@@ -1,0 +1,264 @@
+"""Scalar function families (SURVEY.md §2.8).
+
+Every scalar the reference computes — string splits/prefix strips/sprintf
+(vulcan/vulcan.go:128,165-166,169; cmd/graph-vulcan-assets/main.go:258),
+RFC3339 time handling (inventory/inventory.go:676-685), int casts
+(vulcan/vulcan.go:174), conditional branching (main.go:151-164) and JSON
+encode/decode (vulcan/vulcan.go:105) — plus the array/map families the
+engine needs for annotations and metadata folds.
+
+All of these are built-in Catalyst expressions: JVM-side, codegen'd,
+null-safe. No Python UDFs anywhere in this module.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from graph_vulcan_assets_spark.registry import query
+from graph_vulcan_assets_spark.tables import load_table
+
+
+@query(
+    "q_str_funcs",
+    oracle="""
+    SELECT c_custkey,
+           upper(c_name) AS up,
+           lower(c_mktsegment) AS lo,
+           substr(c_name, 10, 5) AS sub,
+           CAST(length(c_name) AS BIGINT) AS len,
+           concat_ws('-', c_mktsegment, CAST(c_nationkey AS VARCHAR)) AS seg_nat,
+           regexp_extract(c_name, '([0-9]+)$', 1) AS numpart,
+           replace(c_name, 'Customer#', 'C') AS replaced,
+           trim('  ' || c_mktsegment || ' ') AS trimmed
+    FROM customer
+    """,
+)
+def q_str_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String family (F1): upper/lower/substr/length/concat_ws/regexp/replace.
+
+    Reference usages: strings.Split (vulcan/vulcan.go:128), prefix strip
+    (vulcan.go:165-166), fmt.Sprintf ARN build (main.go:258).
+    """
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("up"),
+        F.lower("c_mktsegment").alias("lo"),
+        F.substring("c_name", 10, 5).alias("sub"),
+        F.length("c_name").cast("long").alias("len"),
+        F.concat_ws("-", F.col("c_mktsegment"), F.col("c_nationkey").cast("string")).alias("seg_nat"),
+        F.regexp_extract("c_name", "([0-9]+)$", 1).alias("numpart"),
+        F.expr("replace(c_name, 'Customer#', 'C')").alias("replaced"),
+        F.trim(F.concat(F.lit("  "), F.col("c_mktsegment"), F.lit(" "))).alias("trimmed"),
+    )
+
+
+@query(
+    "q_date_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS BIGINT) AS yr,
+           CAST(month(o_orderdate) AS BIGINT) AS mon,
+           CAST(day(o_orderdate) AS BIGINT) AS dom,
+           CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+           CAST(date_diff('day', o_orderdate, TIMESTAMP '1998-01-01 00:00:00') AS BIGINT) AS days_to_98,
+           strftime(o_orderdate, '%Y-%m') AS ym,
+           o_orderdate + INTERVAL 3 MONTH AS plus3m,
+           CAST(isodow(o_orderdate) AS BIGINT) AS isodow
+    FROM orders
+    """,
+)
+def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time family (F2): extract/trunc/diff/format/interval arithmetic.
+
+    Reference: RFC3339 parse/format (inventory/inventory.go:676-685),
+    timestamp comparisons (main.go:338,354).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.month("o_orderdate").cast("long").alias("mon"),
+        F.dayofmonth("o_orderdate").cast("long").alias("dom"),
+        F.quarter("o_orderdate").cast("long").alias("qtr"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+        F.datediff(F.lit("1998-01-01").cast("date"), F.col("o_orderdate")).cast("long").alias("days_to_98"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 3 MONTHS")).alias("plus3m"),
+        (F.weekday("o_orderdate") + 1).cast("long").alias("isodow"),
+    )
+
+
+@query(
+    "q_math_funcs",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice / l_quantity, 9) AS unit_price,
+           round(abs(l_discount - 0.05), 4) AS disc_dev,
+           CAST(floor(l_quantity) AS BIGINT) AS qty_floor,
+           CAST(ceil(l_extendedprice / 1000) AS BIGINT) AS price_k_ceil,
+           l_orderkey % 7 AS key_mod,
+           round(sqrt(l_extendedprice), 6) AS price_sqrt,
+           round(ln(l_extendedprice + 1), 6) AS price_ln,
+           round(pow(l_discount, 2), 8) AS disc_sq
+    FROM lineitem
+    """,
+)
+def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math / cast family (F3): arithmetic, rounding, mod, sqrt, ln, pow.
+
+    Reference: strconv.Atoi (vulcan/vulcan.go:174), page math
+    (inventory/inventory.go:157-158).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        # round at 9 digits: quotients of 2-decimal money by small integers
+        # either terminate well before digit 9 or sit ≥ 1/(2·q·10^9) away
+        # from any rounding boundary, so both engines agree bit-for-bit
+        F.round(F.col("l_extendedprice") / F.col("l_quantity"), 9).alias("unit_price"),
+        F.round(F.abs(F.col("l_discount") - 0.05), 4).alias("disc_dev"),
+        F.floor("l_quantity").cast("long").alias("qty_floor"),
+        F.ceil(F.col("l_extendedprice") / 1000).cast("long").alias("price_k_ceil"),
+        (F.col("l_orderkey") % 7).alias("key_mod"),
+        F.round(F.sqrt("l_extendedprice"), 6).alias("price_sqrt"),
+        F.round(F.log(F.col("l_extendedprice") + 1), 6).alias("price_ln"),
+        F.round(F.pow(F.col("l_discount"), 2), 8).alias("disc_sq"),
+    )
+
+
+@query(
+    "q_case_when",
+    oracle="""
+    SELECT o_orderkey,
+           CASE o_orderstatus WHEN 'O' THEN 'open'
+                              WHEN 'F' THEN 'finished'
+                              ELSE 'other' END AS status_label,
+           coalesce(nullif(o_orderpriority, '5-LOW'), 'LOW?') AS prio,
+           o_totalprice > 200000 AS is_big,
+           CASE WHEN o_totalprice IS NULL THEN -1.0
+                ELSE round(o_totalprice, 2) END AS price_or_default
+    FROM orders
+    """,
+)
+def q_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional family (F4): CASE/coalesce/nullif/boolean projection.
+
+    Reference: create-vs-update branch (main.go:151-164), nil end_time
+    handling (inventory/inventory.go:636-638).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderstatus") == "O", "open")
+        .when(F.col("o_orderstatus") == "F", "finished")
+        .otherwise("other")
+        .alias("status_label"),
+        F.coalesce(F.nullif(F.col("o_orderpriority"), F.lit("5-LOW")), F.lit("LOW?")).alias("prio"),
+        (F.col("o_totalprice") > 200000).alias("is_big"),
+        F.when(F.col("o_totalprice").isNull(), F.lit(-1.0))
+        .otherwise(F.round("o_totalprice", 2))
+        .alias("price_or_default"),
+    )
+
+
+@query(
+    "q_json_extract",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) * 2 AS k2,
+           json_extract_string(props, '$.missing') AS missing
+    FROM events
+    """,
+)
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON family (F5): extract typed values from a JSON string column.
+
+    Reference: json.Unmarshal of the event payload (vulcan/vulcan.go:105).
+    get_json_object is a codegen'd path expression — no Python involved.
+    """
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return e.select(
+        "event_id",
+        k.alias("k"),
+        (k * 2).alias("k2"),
+        F.get_json_object("props", "$.missing").alias("missing"),
+    )
+
+
+@query(
+    "q_array_funcs",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS BIGINT) AS dim,
+           round(CAST(embedding[1] AS DOUBLE), 6) AS first_component,
+           round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                              x -> x * x))), 6) AS l2_norm,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
+           round(CAST(list_max(embedding) AS DOUBLE), 6) AS max_component
+    FROM embeddings
+    """,
+)
+def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array family (F6): size / index / higher-order transform+aggregate.
+
+    Reference: annotation-array iteration (main.go:131-138). The L2 norm is
+    a higher-order `aggregate` fold — fully JVM-side, the pattern reused by
+    the cosine-similarity operator.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        F.round(F.element_at("embedding", 1).cast("double"), 6).alias("first_component"),
+        F.round(
+            F.sqrt(
+                F.aggregate(
+                    F.col("embedding"),
+                    F.lit(0.0).cast("double"),
+                    lambda acc, x: acc + x.cast("double") * x.cast("double"),
+                )
+            ),
+            6,
+        ).alias("l2_norm"),
+        F.size(F.filter(F.col("embedding"), lambda x: x > 0)).cast("long").alias("n_pos"),
+        F.round(F.array_max("embedding").cast("double"), 6).alias("max_component"),
+    )
+
+
+@query(
+    "q_map_funcs",
+    oracle="""
+    SELECT event_id,
+           event_type AS mtype,
+           CAST(user_id AS VARCHAR) AS muid,
+           CAST(2 AS BIGINT) AS n_keys,
+           'type,uid' AS keys_joined
+    FROM events
+    """,
+)
+def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map family (F7): build a map, extract, enumerate keys.
+
+    Reference: metadata headers folded into a map then read by key
+    (vulcan/vulcan.go:137-149). The oracle computes the same *values*
+    directly — the comparison contract is on the result, not the plan.
+    """
+    e = load_table(spark, sf_dir, "events")
+    m = F.create_map(
+        F.lit("type"), F.col("event_type"),
+        F.lit("uid"), F.col("user_id").cast("string"),
+    )
+    return e.withColumn("m", m).select(
+        "event_id",
+        F.element_at("m", "type").alias("mtype"),
+        F.element_at("m", "uid").alias("muid"),
+        F.size(F.map_keys("m")).cast("long").alias("n_keys"),
+        F.array_join(F.map_keys("m"), ",").alias("keys_joined"),
+    )

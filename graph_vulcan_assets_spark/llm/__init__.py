@@ -1,0 +1,6 @@
+"""LLM-data-pipeline operators (SURVEY.md §2.11): dedup, similarity search,
+text analysis, multimodal column plumbing."""
+
+import graph_vulcan_assets_spark.llm.dedup  # noqa: F401
+import graph_vulcan_assets_spark.llm.similarity  # noqa: F401
+import graph_vulcan_assets_spark.llm.text  # noqa: F401

@@ -1,0 +1,159 @@
+"""Deduplication operators (X1/X2): exact and near-duplicate detection.
+
+Training-data pipelines dedup at corpus scale; everything here is
+shuffle-on-hash, no driver-side state, no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from graph_vulcan_assets_spark.registry import query
+from graph_vulcan_assets_spark.tables import load_table
+
+# MinHash parameters: 8 independent hash slots grouped into 4 bands of 2.
+_MINHASH_HASHES = 8
+_MINHASH_BAND_SIZE = 2
+
+
+@query(
+    "q_dedup_exact",
+    oracle="""
+    SELECT doc_id, lang, source
+    FROM (
+      SELECT doc_id, lang, source,
+             row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+      FROM documents)
+    WHERE rn = 1
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup (X1): keep the lowest doc_id per identical text.
+
+    Spark side groups on sha2(text) so the shuffle key is a fixed-width
+    256-bit digest instead of the full document — at 100 TB that's the
+    difference between shuffling hashes and shuffling the corpus. The
+    oracle partitions by raw text (same answer absent SHA-256 collisions).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.sha2(F.col("text"), 256)).orderBy("doc_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "lang", "source")
+    )
+
+
+def minhash_signatures(docs: DataFrame, n_hashes: int = _MINHASH_HASHES) -> DataFrame:
+    """Per-document MinHash signature over 3-token shingles.
+
+    Pipeline (all built-in expressions): tokenize → 3-gram shingles →
+    xxhash64 with H different seeds → min per seed. One explode + one
+    groupBy(doc_id); the shuffle carries (doc_id, shingle-hash) pairs.
+    """
+    tokens = F.split(F.col("text"), " ")
+    n = F.size(tokens)
+    idx = F.sequence(F.lit(0), F.greatest(n - 3, F.lit(0)))
+    shingle = lambda i: F.concat_ws(  # noqa: E731
+        " ",
+        F.element_at(tokens, i + 1),
+        F.element_at(tokens, i + 2),
+        F.element_at(tokens, i + 3),
+    )
+    shingled = (
+        docs.where(n >= 3)
+        .select("doc_id", F.explode(F.transform(idx, shingle)).alias("shingle"))
+        .distinct()
+    )
+    aggs = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(seed))).alias(f"h{seed}")
+        for seed in range(n_hashes)
+    ]
+    return shingled.groupBy("doc_id").agg(*aggs)
+
+
+@query("q_dedup_near")
+def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup detection (X2, rows-only): MinHash + LSH banding.
+
+    Shingle → MinHash signature (H=8) → band the signature (4 bands of 2) →
+    self-join documents sharing a band bucket → estimate Jaccard from the
+    full signatures. The band join is an equi-join on (band_id, band_hash):
+    shuffle-partitionable and skew-safe, never an O(n²) cross join.
+    Rows-only: MinHash is a randomized sketch, no deterministic SQL oracle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    sig = minhash_signatures(d)
+    hash_cols = [f"h{i}" for i in range(_MINHASH_HASHES)]
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.xxhash64(
+                    *[
+                        F.col(hash_cols[b * _MINHASH_BAND_SIZE + j])
+                        for j in range(_MINHASH_BAND_SIZE)
+                    ]
+                ).alias("band_hash"),
+            )
+            for b in range(_MINHASH_HASHES // _MINHASH_BAND_SIZE)
+        ]
+    )
+    banded = sig.select("doc_id", *hash_cols, F.explode(bands).alias("band")).select(
+        "doc_id", *hash_cols, F.col("band.band_id").alias("band_id"), F.col("band.band_hash").alias("band_hash")
+    )
+    left = banded.select(
+        F.col("doc_id").alias("a_id"),
+        *[F.col(h).alias(f"a_{h}") for h in hash_cols],
+        "band_id",
+        "band_hash",
+    )
+    right = banded.select(
+        F.col("doc_id").alias("b_id"),
+        *[F.col(h).alias(f"b_{h}") for h in hash_cols],
+        "band_id",
+        "band_hash",
+    )
+    matches = F.aggregate(
+        F.array(*[(F.col(f"a_{h}") == F.col(f"b_{h}")).cast("int") for h in hash_cols]),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        left.join(right, ["band_id", "band_hash"])
+        .where(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", matches.alias("n_matching"))
+        .distinct()
+        .withColumn(
+            "jaccard_est", F.round(F.col("n_matching") / float(_MINHASH_HASHES), 4)
+        )
+    )
+
+
+@query("q_dedup_simhash")
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints (X2 family, rows-only): 16-bit token-weight hash.
+
+    Each document's tokens vote per bit position (+1 if the token's hash has
+    the bit set, −1 otherwise); the sign per position forms the fingerprint.
+    Pure explode + groupBy + bit arithmetic — no UDFs. Rows-only: the
+    bit-mixing has no clean SQL-oracle mirror.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    bits = 16
+    votes = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.xxhash64("token"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{b}")
+            for b in range(bits)
+        ]
+    )
+    fingerprint = F.aggregate(
+        F.array(*[F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0)) for b in range(bits)]),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x.cast("long"),
+    )
+    return votes.select("doc_id", fingerprint.alias("simhash"))

@@ -1,0 +1,145 @@
+"""Similarity search (X3): top-k cosine over an embedding column.
+
+Baseline: brute-force cosine against a bounded query set — an equi-free
+join that is broadcast-bounded (the query set is small by construction).
+Scale path: LSH bucketing (random hyperplane signs) turns the all-pairs
+problem into an equi-join on bucket signatures.
+
+All vector math is higher-order built-ins (`aggregate`/`zip_with`) in
+double precision — JVM-side, no Python in the loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.column import Column
+
+from graph_vulcan_assets_spark.registry import query
+from graph_vulcan_assets_spark.tables import load_table
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ in double precision (sequential fold, deterministic order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+@query(
+    "q_sim_topk",
+    oracle="""
+    WITH dv AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    q AS (SELECT vec_id AS qid, e AS qe FROM dv WHERE vec_id < 10),
+    pairs AS (
+      SELECT q.qid, dv.vec_id AS nid,
+             list_dot_product(q.qe, dv.e)
+               / (sqrt(list_dot_product(q.qe, q.qe))
+                  * sqrt(list_dot_product(dv.e, dv.e))) AS cos
+      FROM q, dv WHERE dv.vec_id <> q.qid)
+    SELECT qid, nid, round(cos, 6) AS cos
+    FROM (SELECT qid, nid, cos,
+                 row_number() OVER (PARTITION BY qid
+                                    ORDER BY cos DESC, nid) AS rn
+          FROM pairs)
+    WHERE rn <= 5
+    """,
+)
+def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (X3): 10 query vectors × all candidates.
+
+    The query side is tiny and broadcast, so the "cross" join is a
+    broadcast nested loop over a bounded left side — linear in the corpus,
+    which is the right baseline shape at 100 TB (queries ≪ corpus).
+    Top-k per query via the W6 window pattern.
+    """
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries = e.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    pairs = (
+        e.crossJoin(F.broadcast(queries))
+        .where(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("nid"),
+            (
+                dot(F.col("qe"), F.col("embedding"))
+                / (l2_norm(F.col("qe")) * l2_norm(F.col("embedding")))
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .select("qid", "nid", F.round("cos", 6).alias("cos"))
+    )
+
+
+@query("q_sim_lsh_bucketed")
+def q_sim_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN (X3 scale path, rows-only).
+
+    Random-hyperplane LSH: each vector's bucket is the sign pattern of its
+    projection onto P pseudo-random hyperplanes (hyperplane components are
+    derived deterministically from xxhash64(dim, plane) so executors agree
+    without broadcasting a model). Candidates = pairs sharing a bucket —
+    an equi-join on the signature — then exact cosine re-ranks. At 100 TB
+    the all-pairs comparison never materializes.
+    """
+    planes = 8
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def hyperplane_component(dim_idx: Column, plane: int) -> Column:
+        h = F.xxhash64(dim_idx, F.lit(plane))
+        return (h % 1000).cast("double") / 500.0 - 1.0
+
+    def signature(vec: Column) -> Column:
+        projections = [
+            F.aggregate(
+                F.zip_with(
+                    vec,
+                    F.transform(
+                        F.sequence(F.lit(0), F.size(vec) - 1),
+                        lambda i: hyperplane_component(i, p),
+                    ),
+                    lambda x, h: x.cast("double") * h,
+                ),
+                F.lit(0.0).cast("double"),
+                lambda acc, x: acc + x,
+            )
+            for p in range(planes)
+        ]
+        return F.concat_ws(
+            "", *[F.when(proj > 0, F.lit("1")).otherwise(F.lit("0")) for proj in projections]
+        )
+
+    sigs = e.withColumn("bucket", signature(F.col("embedding")))
+    a = sigs.select(
+        F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_vec"), "bucket"
+    )
+    b = sigs.select(
+        F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_vec"), "bucket"
+    )
+    return (
+        a.join(b, "bucket")
+        .where(F.col("a_id") < F.col("b_id"))
+        .select(
+            "a_id",
+            "b_id",
+            F.round(
+                dot(F.col("a_vec"), F.col("b_vec"))
+                / (l2_norm(F.col("a_vec")) * l2_norm(F.col("b_vec"))),
+                6,
+            ).alias("cos"),
+        )
+        .where(F.col("cos") > 0.2)
+    )

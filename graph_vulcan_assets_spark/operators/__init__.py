@@ -1,0 +1,11 @@
+"""Relational operator inventory (SURVEY.md §2.1–§2.7).
+
+Importing this package registers every operator query in the registry.
+"""
+
+import graph_vulcan_assets_spark.operators.scans  # noqa: F401
+import graph_vulcan_assets_spark.operators.filters  # noqa: F401
+import graph_vulcan_assets_spark.operators.joins  # noqa: F401
+import graph_vulcan_assets_spark.operators.aggregates  # noqa: F401
+import graph_vulcan_assets_spark.operators.windows  # noqa: F401
+import graph_vulcan_assets_spark.operators.sorts_sets  # noqa: F401

@@ -1,0 +1,253 @@
+"""Aggregations (SURVEY.md §2.4).
+
+Re-expresses the reference's duplicate detection
+(cmd/graph-vulcan-assets/main.go:151-166), any-active-owner existence check
+(main.go:305-323) and min-preserve start_time logic (main.go:199-218) as
+hash aggregates, plus the standard grouped-aggregation families.
+
+Scale notes: every groupBy here compiles to HashAggregate with a partial
+(map-side) phase before the shuffle, so the shuffle carries one row per
+group per task, not per input row. Double-typed aggregates are rounded
+identically in the oracle SQL to absorb summation-order differences.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from graph_vulcan_assets_spark.registry import query
+from graph_vulcan_assets_spark.tables import load_table
+
+
+@query(
+    "q_dup_detect",
+    oracle="""
+    SELECT user_id, event_type, count(*) AS n
+    FROM events GROUP BY user_id, event_type HAVING count(*) > 1
+    """,
+)
+def q_dup_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate detection (A1): natural keys appearing more than once.
+
+    Reference treats >1 row per (type, identifier) as a hard error
+    ("duplicated asset", cmd/graph-vulcan-assets/main.go:151-166).
+    """
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", "event_type")
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") > 1)
+    )
+
+
+@query(
+    "q_agg_any_active",
+    oracle="""
+    SELECT user_id, bool_or(value > 100) AS any_active, count(*) AS n
+    FROM events GROUP BY user_id
+    """,
+)
+def q_agg_any_active(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Existence aggregate (A2): "is any relation still active?".
+
+    Reference scans owners to see whether any other `owns` edge is active
+    before expiring an asset (cmd/graph-vulcan-assets/main.go:305-323) —
+    a boolean `any()` aggregate over the group.
+    """
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.expr("any(value > 100)").alias("any_active"),
+        F.count("*").alias("n"),
+    )
+
+
+@query(
+    "q_agg_minmax",
+    oracle="""
+    SELECT user_id, event_type,
+           min(ts) AS start_time, max(ts) AS last_seen,
+           round(min(value), 2) AS min_value, round(max(value), 2) AS max_value,
+           count(*) AS n
+    FROM events GROUP BY user_id, event_type
+    """,
+)
+def q_agg_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-preserve / max-advance (A3).
+
+    Reference keeps the original `start_time` on owns-upsert
+    (cmd/graph-vulcan-assets/main.go:199-218) and advances `last_seen` on
+    each update (inventory/inventory_test.go:407-415) — i.e. min/max per key.
+    """
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("user_id", "event_type").agg(
+        F.min("ts").alias("start_time"),
+        F.max("ts").alias("last_seen"),
+        F.round(F.min("value"), 2).alias("min_value"),
+        F.round(F.max("value"), 2).alias("max_value"),
+        F.count("*").alias("n"),
+    )
+
+
+@query(
+    "q_agg_groupby",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6)))
+                AS DOUBLE) AS sum_disc_price,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                         AS DECIMAL(30,6))) AS DOUBLE) AS sum_charge,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(avg(l_extendedprice), 4) AS avg_price,
+           round(avg(l_discount), 6) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped hash aggregation (A4) — the flagship, TPC-H Q1 shape.
+
+    Catalyst compiles this to partial+final HashAggregate inside whole-stage
+    codegen; the filter pushes to the Parquet scan. At 100 TB the shuffle
+    carries ≤ (groups × tasks) rows — the canonical map-side-combine plan.
+
+    The money sums aggregate as DECIMAL(30,6): the per-row cast recovers the
+    exact decimal-grid value and the integer summation is order-independent,
+    so the result is bit-identical regardless of partitioning — double sums
+    would drift with partition count and could flip a rounding boundary.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    dec = "decimal(30,6)"
+    return (
+        li.where(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast(dec)).cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast(dec)).cast("double").alias("sum_base_price"),
+            F.sum(disc_price.cast(dec)).cast("double").alias("sum_disc_price"),
+            F.sum((disc_price * (1 + F.col("l_tax"))).cast(dec)).cast("double").alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q_agg_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_orderkey) AS n_orders,
+           count(DISTINCT l_partkey) AS n_parts,
+           count(*) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregation (A5): count-distinct via expand + two-phase agg."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@query("q_agg_approx_distinct")
+def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate count-distinct (A6, rows-only): HyperLogLog++ sketch.
+
+    Nondeterministic vs an exact oracle by design; declared rows-only.
+    At 100 TB this replaces the exact distinct's expand+shuffle with a
+    fixed-size sketch per group.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+    )
+
+
+@query(
+    "q_agg_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup (A7): subtotals + grand total via Expand."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count("*").alias("n"),
+    )
+
+
+@query(
+    "q_agg_cube",
+    oracle="""
+    SELECT event_type, user_id % 3 AS user_bucket,
+           round(sum(value), 2) AS sum_value, count(*) AS n
+    FROM events GROUP BY CUBE (event_type, user_id % 3)
+    """,
+)
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cube (A7): all grouping-set combinations."""
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "user_bucket", F.col("user_id") % 3
+    )
+    return e.cube("event_type", "user_bucket").agg(
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.count("*").alias("n"),
+    )
+
+
+@query(
+    "q_agg_having",
+    oracle="""
+    SELECT o_custkey, count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_spent
+    FROM orders GROUP BY o_custkey HAVING count(*) >= 12
+    """,
+)
+def q_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING (A8): post-aggregation predicate."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_spent"),
+        )
+        .where(F.col("n_orders") >= 12)
+    )
+
+
+@query(
+    "q_agg_stats",
+    oracle="""
+    SELECT l_returnflag,
+           round(stddev_samp(l_quantity), 4) AS sd_qty,
+           round(var_samp(l_quantity), 4) AS var_qty,
+           round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           round(avg(l_extendedprice), 4) AS avg_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (A9): stddev / variance / correlation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+    )

@@ -1,0 +1,350 @@
+"""Joins (SURVEY.md §2.3).
+
+The reference's "joins" are HTTP key lookups and one-hop graph traversals
+(N+1 round trips, acknowledged at cmd/graph-vulcan-assets/main.go:19-20).
+Here each becomes a single distributed join with the strategy Catalyst/AQE
+picks (broadcast for small dims, sort-merge for big-big), plus the
+generalized outer/semi/anti/range/as-of variants.
+
+Scale notes:
+- dimension joins (`nation`, `region`, `customer` at small SF) broadcast —
+  no shuffle of the fact side;
+- the range join is implemented with time-bucketing so it stays an
+  equi-join (shuffle-partitionable) instead of a BroadcastNestedLoopJoin,
+  which would be quadratic at 100 TB;
+- the as-of join uses the equi-key as the shuffle key and resolves the
+  temporal predicate with a per-key window, so data is shuffled once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from graph_vulcan_assets_spark.registry import query
+from graph_vulcan_assets_spark.tables import load_table
+
+
+@query(
+    "q_join_inner",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, c_name, c_mktsegment
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+)
+def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner equi join (J2): owns ⋈ teams analogue.
+
+    Reference fetches a team per owns edge over HTTP
+    (inventory/inventory.go:603-628); here one hash join resolves all of
+    them at once.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "inner").select(
+        "o_orderkey", "o_totalprice", "c_name", "c_mktsegment"
+    )
+
+
+@query(
+    "q_join_multiway",
+    oracle="""
+    SELECT n_name,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6)))
+                AS DOUBLE) AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+)
+def q_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiway join + aggregate (J3): TPC-H Q5 shape.
+
+    The one-hop traversal chain of the reference
+    (inventory/inventory.go:497-524,572-599) generalized to a 5-table join.
+    `nation`/`region` broadcast; AQE reorders/sizes the rest.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            # DECIMAL partial aggregation: order-independent, bit-stable
+            # across partition counts (see q_agg_groupby)
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(30,6)"
+                )
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@query(
+    "q_join_broadcast",
+    oracle="""
+    SELECT n_nationkey, n_name, r_name
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    """,
+)
+def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast hash join (J4): tiny dimension shipped to every task.
+
+    Reference resolves ids → identifiers row by row in its test readback
+    (cmd/graph-vulcan-assets/main_test.go:524-540); a broadcast join is the
+    distributed equivalent with zero shuffle of the probe side.
+    """
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        "n_nationkey", "n_name", "r_name"
+    )
+
+
+@query(
+    "q_join_left",
+    oracle="""
+    SELECT c_custkey, c_name, o_orderkey, o_totalprice
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    """,
+)
+def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join (J5): keep customers with no orders (NULL right side)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left").select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
+
+
+@query(
+    "q_join_semi",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+    """,
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left semi join (J5): EXISTS — customers with an open order.
+
+    Mirrors the reference's "edges whose endpoint is an expired asset"
+    membership checks (cmd/graph-vulcan-assets/main.go:270-364).
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "O")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "q_join_anti",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left anti join (J5): NOT EXISTS — customers with no orders at all.
+
+    Mirrors "assets with no active owner" (main.go:305-323).
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "q_join_range",
+    oracle="""
+    SELECT e1.event_id AS a_id, e2.event_id AS b_id, e1.event_type
+    FROM events e1 JOIN events e2
+      ON e1.event_type = e2.event_type
+     AND e2.ts > e1.ts
+     AND e2.ts <= e1.ts + INTERVAL 1 HOUR
+    """,
+)
+def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join (J6), bucketed so it stays an equi-join.
+
+    Semantics: pairs of same-type events where b follows a within 1 hour —
+    the interval-overlap comparisons of the reference's expiry logic
+    (cmd/graph-vulcan-assets/main.go:338,354) generalized.
+
+    Scale path: a naive non-equi join is a BroadcastNestedLoopJoin (O(n²)).
+    Instead each left row is exploded to the two hour-buckets its window can
+    touch and joined on (event_type, bucket) — a plain shuffle hash join —
+    then the exact range predicate filters within buckets. This is the
+    standard bucketed range-join used by large-scale engines.
+    """
+    e = load_table(spark, sf_dir, "events").select("event_id", "event_type", "ts")
+    bucket = F.floor(F.col("ts").cast("long") / 3600)
+    a = e.select(
+        F.col("event_id").alias("a_id"),
+        "event_type",
+        F.col("ts").alias("a_ts"),
+        F.explode(F.array(bucket, bucket + 1)).alias("bkt"),
+    )
+    b = e.select(
+        F.col("event_id").alias("b_id"),
+        F.col("event_type").alias("b_event_type"),
+        F.col("ts").alias("b_ts"),
+        bucket.alias("bkt"),
+    )
+    return (
+        a.join(b, (a.event_type == b.b_event_type) & (a.bkt == b.bkt))
+        .where(
+            (F.col("b_ts") > F.col("a_ts"))
+            & (F.col("b_ts") <= F.col("a_ts") + F.expr("INTERVAL 1 HOUR"))
+        )
+        .select("a_id", "b_id", "event_type")
+    )
+
+
+@query(
+    "q_join_asof",
+    oracle="""
+    SELECT event_id, user_id, o_orderkey, o_orderdate
+    FROM (
+      SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate,
+             row_number() OVER (
+               PARTITION BY e.event_id
+               ORDER BY o.o_orderdate DESC NULLS LAST,
+                        o.o_orderkey DESC NULLS LAST) AS rn
+      FROM events e
+      LEFT JOIN orders o
+        ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts)
+    WHERE rn = 1
+    """,
+)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (J7): each event matched to the latest prior order.
+
+    The reference answers "state as of t" procedurally via `valid_at`
+    (inventory/inventory.go:183-185); relationally it is an as-of join.
+    Implementation: equi-join on the key (one shuffle), temporal predicate
+    as join condition, then a per-left-row window keeps the greatest match
+    with a deterministic tiebreak. The oracle mirrors the window form so
+    ties resolve identically in both engines.
+    """
+    e = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate"
+    )
+    j = e.join(
+        o, (e.user_id == o.o_custkey) & (o.o_orderdate <= e.ts), "left"
+    )
+    w = Window.partitionBy("event_id").orderBy(
+        F.col("o_orderdate").desc_nulls_last(), F.col("o_orderkey").desc_nulls_last()
+    )
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("event_id", "user_id", "o_orderkey", "o_orderdate")
+    )
+
+
+@query(
+    "q_upsert_merge",
+    oracle="""
+    WITH state AS (
+      SELECT user_id, event_type, value AS state_value,
+             first_seen, last_seen
+      FROM (
+        SELECT user_id, event_type, value,
+               min(ts) OVER (PARTITION BY user_id, event_type) AS first_seen,
+               max(ts) OVER (PARTITION BY user_id, event_type) AS last_seen,
+               row_number() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts < TIMESTAMP '2024-01-15 00:00:00')
+      WHERE rn = 1),
+    updates AS (
+      SELECT user_id, event_type, value AS upd_value,
+             first_seen, last_seen
+      FROM (
+        SELECT user_id, event_type, value,
+               min(ts) OVER (PARTITION BY user_id, event_type) AS first_seen,
+               max(ts) OVER (PARTITION BY user_id, event_type) AS last_seen,
+               row_number() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts >= TIMESTAMP '2024-01-15 00:00:00')
+      WHERE rn = 1)
+    SELECT coalesce(s.user_id, u.user_id) AS user_id,
+           coalesce(s.event_type, u.event_type) AS event_type,
+           round(coalesce(u.upd_value, s.state_value), 2) AS value,
+           coalesce(s.first_seen, u.first_seen) AS first_seen,
+           coalesce(u.last_seen, s.last_seen) AS last_seen
+    FROM state s FULL OUTER JOIN updates u
+      ON s.user_id = u.user_id AND s.event_type = u.event_type
+    """,
+)
+def q_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upsert / MERGE (J8) expressed as full-outer-join + coalesce.
+
+    Reference create-vs-update branches per key
+    (cmd/graph-vulcan-assets/main.go:145-167,171-195) with first_seen
+    preserved and last_seen advanced (inventory/inventory_test.go:407-415).
+    Batch-expressible MERGE: state = pre-split snapshot, updates = post-split
+    events; matched rows take the update's value but keep the state's
+    first_seen — exactly Delta's `WHEN MATCHED UPDATE / WHEN NOT MATCHED
+    INSERT`, as one shuffle-on-key full outer join.
+    """
+    split = "2024-01-15 00:00:00"
+
+    def last_per_key(df: DataFrame) -> DataFrame:
+        w = Window.partitionBy("user_id", "event_type").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        wall = Window.partitionBy("user_id", "event_type")
+        return (
+            df.withColumn("first_seen", F.min("ts").over(wall))
+            .withColumn("last_seen", F.max("ts").over(wall))
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("user_id", "event_type", "value", "first_seen", "last_seen")
+        )
+
+    e = load_table(spark, sf_dir, "events")
+    state = last_per_key(e.where(F.col("ts") < split)).withColumnRenamed(
+        "value", "state_value"
+    )
+    updates = last_per_key(e.where(F.col("ts") >= split)).withColumnRenamed(
+        "value", "upd_value"
+    )
+    s, u = state.alias("s"), updates.alias("u")
+    return s.join(
+        u,
+        (F.col("s.user_id") == F.col("u.user_id"))
+        & (F.col("s.event_type") == F.col("u.event_type")),
+        "full_outer",
+    ).select(
+        F.coalesce(F.col("s.user_id"), F.col("u.user_id")).alias("user_id"),
+        F.coalesce(F.col("s.event_type"), F.col("u.event_type")).alias("event_type"),
+        F.round(F.coalesce(F.col("u.upd_value"), F.col("s.state_value")), 2).alias("value"),
+        F.coalesce(F.col("s.first_seen"), F.col("u.first_seen")).alias("first_seen"),
+        F.coalesce(F.col("u.last_seen"), F.col("s.last_seen")).alias("last_seen"),
+    )

@@ -1,0 +1,70 @@
+"""Sources / scans (SURVEY.md §2.1).
+
+The reference reads messages from Kafka and JSON fixture files
+(reference: stream/kafka/kafka.go:64-106, stream/streamtest/streamtest.go:14-60)
+and pages results out of its REST inventory
+(reference: inventory/inventory.go:115-120,149-163).
+
+Spark-first mapping: parquet scans with Catalyst column pruning and
+predicate pushdown; pagination is ORDER BY + LIMIT/OFFSET.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from graph_vulcan_assets_spark.registry import query
+from graph_vulcan_assets_spark.tables import load_table
+
+
+@query(
+    "q_scan_events",
+    oracle="SELECT event_id, ts, user_id, event_type, value, props FROM events",
+)
+def q_scan_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full scan of the event stream table (S3: fixture source replay).
+
+    Reference parses a JSON fixture into messages one by one
+    (stream/streamtest/streamtest.go:14-60); here it is a single columnar
+    parquet scan — at 100 TB this is the vectorized Parquet reader with
+    nothing else in the plan.
+    """
+    return load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+
+
+@query(
+    "q_scan_pruned",
+    oracle="SELECT l_orderkey, l_extendedprice FROM lineitem",
+)
+def q_scan_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-pruned scan (S5): only 2 of 11 lineitem columns leave the reader.
+
+    `.explain` shows ReadSchema with exactly these two fields — at 100 TB the
+    other 9 columns are never read off disk (Parquet is columnar).
+    """
+    return load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+
+
+@query(
+    "q_limit_offset",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders ORDER BY o_orderkey LIMIT 20 OFFSET 40
+    """,
+)
+def q_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pagination (S7): page=2, size=20 over a deterministic total order.
+
+    Reference: inventory/inventory.go:115-120,149-163 (`page`/`size` params).
+    Spark ≥3.4 has DataFrame.offset; the sort+limit compiles to
+    TakeOrderedAndProject (no full sort materialization).
+    """
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+        .offset(40)
+        .limit(20)
+    )

@@ -1,0 +1,207 @@
+"""Window functions (SURVEY.md §2.5).
+
+The reference applies events sequentially so "later message wins" and
+"first_seen never moves" fall out of processing order
+(stream/kafka/kafka.go:69-105; inventory/inventory_test.go:407-415,932-940).
+In a distributed batch replay those become per-key windows ordered by
+(ts, event_id) — the deterministic stand-in for (partition, offset).
+
+Scale notes: every window here partitions by a key (user_id / event_type),
+so the sort is per-partition after one hash shuffle — no global sort. A
+window with no PARTITION BY would serialize on a single task and is avoided.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from graph_vulcan_assets_spark.registry import query
+from graph_vulcan_assets_spark.tables import load_table
+
+
+@query(
+    "q_win_last_event",
+    oracle="""
+    SELECT user_id, event_id, event_type, ts, round(value, 2) AS value
+    FROM (
+      SELECT user_id, event_id, event_type, ts, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+    WHERE rn = 1
+    """,
+)
+def q_win_last_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last event per key (W1): later messages win.
+
+    Replaces the reference's strictly-ordered sequential handler
+    (stream/kafka/kafka.go:69-105): reduce each key to its latest event by
+    (ts, event_id) — the batch form of last-write-wins upsert.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type", "ts", F.round("value", 2).alias("value"))
+    )
+
+
+@query(
+    "q_win_first_seen",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           min(ts) OVER (PARTITION BY user_id) AS first_seen
+    FROM events
+    """,
+)
+def q_win_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-seen per key (W2): `first_seen` fixed at creation.
+
+    Reference contract: update keeps FirstSeen (inventory_test.go:407-415).
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    return e.select(
+        "event_id", "user_id", "ts", F.min("ts").over(w).alias("first_seen")
+    )
+
+
+@query(
+    "q_win_rank",
+    oracle="""
+    SELECT event_id, event_type, round(value, 2) AS value,
+           rank()       OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rnk,
+           dense_rank() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS drnk,
+           ntile(4)     OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS quartile
+    FROM events
+    """,
+)
+def q_win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking family (W3): rank / dense_rank / ntile with total order."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(F.col("value").desc(), F.col("event_id"))
+    return e.select(
+        "event_id",
+        "event_type",
+        F.round("value", 2).alias("value"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@query(
+    "q_win_lag_lead",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           round(value, 2) AS value,
+           round(lag(value)  OVER (PARTITION BY user_id ORDER BY ts, event_id), 2) AS prev_value,
+           round(lead(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 2) AS next_value
+    FROM events
+    """,
+)
+def q_win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic family (W4): lag/lead — "previous state" per key."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round("value", 2).alias("value"),
+        F.round(F.lag("value").over(w), 2).alias("prev_value"),
+        F.round(F.lead("value").over(w), 2).alias("next_value"),
+    )
+
+
+@query(
+    "q_win_running_sum",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 4) AS running_sum,
+           count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_n
+    FROM events
+    """,
+)
+def q_win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running totals (W5): cumulative ROWS frame."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.sum("value").over(w), 4).alias("running_sum"),
+        F.count("*").over(w).alias("running_n"),
+    )
+
+
+@query(
+    "q_win_range_frame",
+    oracle="""
+    SELECT event_id, event_type, ts,
+           round(sum(value) OVER (PARTITION BY event_type ORDER BY epoch_sec
+                                  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW),
+                 4) AS hour_sum
+    FROM (SELECT event_id, event_type, ts, value,
+                 CAST(floor(epoch(ts)) AS BIGINT) AS epoch_sec
+          FROM events)
+    """,
+)
+def q_win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame (W5): trailing 1-hour sum per event type.
+
+    The frame is defined on epoch seconds (identical truncation in both
+    engines) so frame membership is bit-identical.
+    """
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "epoch_sec", F.col("ts").cast("long")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("epoch_sec")
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "event_type",
+        "ts",
+        F.round(F.sum("value").over(w), 4).alias("hour_sum"),
+    )
+
+
+@query(
+    "q_win_topk_group",
+    oracle="""
+    SELECT user_id, event_id, event_type, round(value, 2) AS value
+    FROM (
+      SELECT user_id, event_id, event_type, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY value DESC, event_id) AS rn
+      FROM events)
+    WHERE rn <= 3
+    """,
+)
+def q_win_topk_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K per group (W6): the per-entity pagination generalization.
+
+    At scale Catalyst rewrites rank<=k windows into a per-partition top-k
+    (WindowGroupLimit) before the shuffle, so only k rows per key per task
+    move.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("value").desc(), F.col("event_id"))
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("user_id", "event_id", "event_type", F.round("value", 2).alias("value"))
+    )

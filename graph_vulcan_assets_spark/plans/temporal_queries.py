@@ -1,0 +1,116 @@
+"""Temporal / streaming-semantics queries in batch form (SURVEY.md §2.9).
+
+The reference maintains temporal state by applying events sequentially
+(tombstone → expire flow at cmd/graph-vulcan-assets/main.go:95-112,270-364).
+These queries express the same semantics as declarative batch dataflow over
+the `events` table so a SQL oracle can check them; the streaming module
+applies the identical logic incrementally per micro-batch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from graph_vulcan_assets_spark.registry import query
+from graph_vulcan_assets_spark.tables import load_table
+
+
+@query(
+    "q_tombstone_expire",
+    oracle="""
+    SELECT user_id, event_id AS last_event_id, ts AS last_ts,
+           event_type = 'error' AS expired
+    FROM (
+      SELECT user_id, event_id, ts, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+    WHERE rn = 1
+    """,
+)
+def q_tombstone_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tombstone expiry replay (T3): null-value ⇒ expire, last event wins.
+
+    Reference: a nil message value routes to the expire flow
+    (cmd/graph-vulcan-assets/main.go:99-104); expiring a nonexistent entity
+    is a silent no-op (main.go:276-295). Batch replay: reduce to the last
+    event per key; the key is expired iff that event is a tombstone
+    (here: event_type = 'error' stands in for value IS NULL).
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("ts").alias("last_ts"),
+            (F.col("event_type") == "error").alias("expired"),
+        )
+    )
+
+
+@query(
+    "q_cascade_expire",
+    oracle="""
+    WITH owner_state AS (
+      SELECT o_orderkey, bool_or(o_orderstatus <> 'F') AS any_active
+      FROM orders GROUP BY o_orderkey),
+    expired_assets AS (
+      SELECT o_orderkey FROM owner_state WHERE NOT any_active)
+    SELECT l.l_orderkey, l.l_linenumber, TRUE AS edge_expired
+    FROM lineitem l JOIN expired_assets x ON l.l_orderkey = x.o_orderkey
+    """,
+)
+def q_cascade_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cascade expiry (T7) as batch dataflow.
+
+    Reference order (cmd/graph-vulcan-assets/main.go:270-364): expire owns →
+    if no owns relation remains active, expire the asset → expire all its
+    unexpired edges. Modeled on TPC-H: an order's owner is "active" while
+    o_orderstatus ≠ 'F'; assets with no active owner expire, and the expiry
+    cascades to their lineitem edges. Two stages: a hash aggregate (any
+    active?) and one join — the same shape the streaming foreachBatch runs.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    expired = (
+        o.groupBy("o_orderkey")
+        .agg(F.expr("any(o_orderstatus <> 'F')").alias("any_active"))
+        .where(~F.col("any_active"))
+        .select("o_orderkey")
+    )
+    return li.join(expired, li.l_orderkey == expired.o_orderkey).select(
+        "l_orderkey", "l_linenumber", F.lit(True).alias("edge_expired")
+    )
+
+
+@query(
+    "q_time_tumbling",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS bucket_start, event_type,
+           count(*) AS n, round(sum(value), 2) AS sum_value
+    FROM events GROUP BY date_trunc('hour', ts), event_type
+    """,
+)
+def q_time_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling time-window aggregation (T4), batch-equivalent form.
+
+    The reference has no event-time windows; this is the engine extension.
+    Spark's `window()` with a 1-hour tumble aligns to the epoch, identical
+    to date_trunc('hour') for whole-hour windows. In streaming mode the same
+    expression runs with a watermark (see streaming module).
+    """
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.col("w.start").alias("bucket_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
