@@ -1,0 +1,76 @@
+"""Benchmark harness: times the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "headline_total", "value": N, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": 0.1}
+
+Each query is forced end-to-end with a noop write (full plan executes,
+nothing collects to the driver). A warmup run of the flagship amortizes
+JVM/codegen startup so numbers reflect steady-state throughput.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from graph_vulcan_assets_spark.registry import all_queries
+from graph_vulcan_assets_spark.session import get_spark
+
+HEADLINE = [
+    "q_agg_groupby",
+    "q_join_multiway",
+    "q_join_asof",
+    "q_join_range",
+    "q_agg_distinct",
+    "q_win_last_event",
+    "q_win_topk_group",
+    "q_upsert_merge",
+    "q_cascade_expire",
+    "q_dedup_exact",
+    "q_dedup_near",
+    "q_sim_topk",
+    "q_text_stats",
+    "q_time_tumbling",
+]
+
+
+def run_to_completion(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    spark = get_spark(app_name="gvas-bench")
+    queries = all_queries()
+
+    run_to_completion(queries["q_agg_groupby"](spark, sf_dir))  # warmup
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        start = time.perf_counter()
+        run_to_completion(queries[name](spark, sf_dir))
+        timings[name] = round(time.perf_counter() - start, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
