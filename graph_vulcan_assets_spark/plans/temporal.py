@@ -1,0 +1,407 @@
+"""Temporal property-graph maintenance as batch dataflow.
+
+Re-expresses the reference's sequential event handler
+(cmd/graph-vulcan-assets/main.go:95-364) as a declarative Spark plan: given
+a keyed event stream, produce the final `assets / teams / owns / parent_of`
+state tables. The streaming module applies the same plan incrementally per
+micro-batch.
+
+Semantics reproduced (reference file:line):
+- decode: key "<team>/<asset>" (vulcan/vulcan.go:127-133), headers
+  version/type/identifier mandatory (vulcan.go:136-156), semver major==0
+  gate (vulcan.go:160-180), null value = tombstone reconstructed from
+  key+headers (vulcan.go:104-119).
+- refresh (main.go:114-141): upsert asset (create first_seen=now; update
+  keeps first_seen, last_seen=now, expiration=Unexpired), upsert team
+  (name last-wins), owns upsert preserving the ORIGINAL start_time even
+  across previously-ended relations (setOwner, main.go:199-218), per AWS
+  annotation: normalize account id (main.go:245-262), upsert the
+  AWSAccount asset and a child→account parent_of edge (main.go:223-243).
+- expire / tombstone (main.go:270-364): no-op when asset or team does not
+  exist; end this team's owns relation (keeping start_time); the asset
+  survives iff any OTHER team's owns is still active; otherwise the asset
+  is expired (last_seen=expiration=now) and every not-yet-expired
+  parent_of edge touching it is expired; already-expired edges keep their
+  original expiration (the skip at main.go:338,354).
+
+Scale design: the replay is joins + windows partitioned by entity keys
+(asset natural key / owns pair / edge pair) — every shuffle is on a graph
+key, there is no driver-side loop, no recursion (cascades are one hop by
+construction, main.go:331-361), and event history per entity is the only
+window input. The sequential tiebreaker is `seq` (Kafka partition+offset
+stand-in), never wall-clock.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+UNEXPIRED = "9999-12-12 23:59:59"
+
+# vulcan/vulcan.go:30-58 — unknown JSON fields are dropped by the decoder,
+# mirrored here by from_json's schema projection.
+PAYLOAD_SCHEMA = T.StructType(
+    [
+        T.StructField("Id", T.StringType()),
+        T.StructField(
+            "Team",
+            T.StructType(
+                [
+                    T.StructField("Id", T.StringType()),
+                    T.StructField("Name", T.StringType()),
+                    T.StructField("Description", T.StringType()),
+                    T.StructField("Tag", T.StringType()),
+                ]
+            ),
+        ),
+        T.StructField("Alias", T.StringType()),
+        T.StructField("Rolfp", T.StringType()),
+        T.StructField("Scannable", T.BooleanType()),
+        T.StructField("AssetType", T.StringType()),
+        T.StructField("Identifier", T.StringType()),
+        T.StructField(
+            "Annotations",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("Key", T.StringType()),
+                        T.StructField("Value", T.StringType()),
+                    ]
+                )
+            ),
+        ),
+    ]
+)
+
+RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("seq", T.LongType(), False),
+        T.StructField("ts", T.TimestampType(), False),
+        T.StructField("key", T.StringType(), True),
+        T.StructField("value", T.StringType(), True),
+        T.StructField(
+            "metadata",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("key", T.StringType()),
+                        T.StructField("value", T.StringType()),
+                    ]
+                )
+            ),
+            True,
+        ),
+    ]
+)
+
+AWS_ANNOTATION_KEY = "autodiscovery/security/aws-account"
+_SHORT_AWS_RE = "^[0-9]{12}$"
+_LONG_AWS_RE = "^arn:aws:iam::[0-9]{12}:root$"
+
+
+def normalize_aws_account(col: F.Column) -> F.Column:
+    """main.go:245-262 — short 12-digit form → long ARN; invalid → NULL.
+
+    Deviation (documented): the reference halts the stream on an invalid
+    account id; the engine NULLs it out so the row lands in the dead-letter
+    split instead (SURVEY.md §2.9 T6).
+    """
+    return (
+        F.when(col.rlike(_LONG_AWS_RE), col)
+        .when(col.rlike(_SHORT_AWS_RE), F.concat(F.lit("arn:aws:iam::"), col, F.lit(":root")))
+        .otherwise(F.lit(None).cast("string"))
+    )
+
+
+def decode_events(raw: DataFrame) -> DataFrame:
+    """Decode + gate the raw stream into typed event rows.
+
+    Output columns: seq, ts, is_tombstone, asset_type, identifier, team_id,
+    team_name, aws_accounts (array of normalized ARNs).
+
+    Rows failing the mandatory-header or semver checks are dropped here
+    (the engine's dead-letter split; the reference instead halts —
+    vulcan/vulcan.go:88-106).
+    """
+    meta = F.map_from_entries(F.col("metadata"))
+    version = F.element_at(meta, "version")
+    header_type = F.element_at(meta, "type")
+    header_identifier = F.element_at(meta, "identifier")
+    ver_parts = F.split(F.regexp_replace(version, "^v", ""), r"\.")
+    version_ok = (F.size(ver_parts) >= 3) & (
+        F.element_at(ver_parts, 1).cast("int") == 0
+    )
+
+    key_parts = F.split(F.col("key"), "/")
+    key_team = F.element_at(key_parts, 1)
+
+    payload = F.from_json(F.col("value"), PAYLOAD_SCHEMA)
+    is_tombstone = F.col("value").isNull()
+
+    annotations = F.coalesce(
+        payload["Annotations"],
+        F.array().cast("array<struct<Key:string,Value:string>>"),
+    )
+    aws_accounts = F.transform(
+        F.filter(annotations, lambda a: a["Key"] == AWS_ANNOTATION_KEY),
+        lambda a: normalize_aws_account(a["Value"]),
+    )
+
+    return (
+        raw.where(
+            version.isNotNull()
+            & header_type.isNotNull()
+            & header_identifier.isNotNull()
+            & version_ok
+            & (F.size(key_parts) == 2)
+        )
+        .select(
+            "seq",
+            "ts",
+            is_tombstone.alias("is_tombstone"),
+            # tombstones carry no payload: entity identity comes from
+            # key + headers (vulcan/vulcan.go:104-119)
+            header_type.alias("asset_type"),
+            header_identifier.alias("identifier"),
+            F.when(is_tombstone, key_team)
+            .otherwise(F.coalesce(payload["Team"]["Id"], key_team))
+            .alias("team_id"),
+            F.when(is_tombstone, F.lit(None).cast("string"))
+            .otherwise(payload["Team"]["Name"])
+            .alias("team_name"),
+            F.when(is_tombstone, F.array().cast("array<string>"))
+            .otherwise(F.filter(aws_accounts, lambda x: x.isNotNull()))
+            .alias("aws_accounts"),
+        )
+    )
+
+
+def _last_by_seq(df: DataFrame, keys: list[str]) -> DataFrame:
+    w = Window.partitionBy(*keys).orderBy(F.col("seq").desc())
+    return df.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1).drop("__rn")
+
+
+def replay(decoded: DataFrame) -> dict[str, DataFrame]:
+    """Replay decoded events into final state tables.
+
+    Returns {"assets", "teams", "owns", "parent_of"} DataFrames with the
+    schemas of FIXTURES.md §2 (surrogate ids omitted; natural keys are the
+    identity, matching the reference's order-insensitive golden comparison
+    that ignores ids, main_test.go:374-392).
+    """
+    decoded = decoded.cache()
+
+    refresh = decoded.where(~F.col("is_tombstone"))
+    tombstone = decoded.where(F.col("is_tombstone"))
+
+    # ---- asset refresh events: primary assets + derived AWSAccount assets
+    primary_refresh = refresh.select("seq", "ts", "asset_type", "identifier")
+    account_refresh = refresh.select(
+        "seq", "ts", F.explode("aws_accounts").alias("identifier")
+    ).select("seq", "ts", F.lit("AWSAccount").alias("asset_type"), "identifier")
+    asset_refresh = primary_refresh.unionByName(account_refresh)
+
+    asset_created = asset_refresh.groupBy("asset_type", "identifier").agg(
+        F.min("seq").alias("created_seq"),
+        F.min_by("ts", "seq").alias("first_seen"),
+    )
+
+    # ---- teams: created on refresh, name last-wins (main.go:171-195)
+    team_events = refresh.select("seq", "team_id", "team_name")
+    team_created = team_events.groupBy("team_id").agg(F.min("seq").alias("team_created_seq"))
+    teams = (
+        _last_by_seq(team_events, ["team_id"])
+        .select(F.col("team_id").alias("identifier"), F.col("team_name").alias("name"))
+    )
+
+    # ---- tombstones that pass the existence guards (main.go:276-295)
+    expire_attempts = (
+        tombstone.alias("x")
+        .join(
+            asset_created.alias("ac"),
+            (F.col("x.asset_type") == F.col("ac.asset_type"))
+            & (F.col("x.identifier") == F.col("ac.identifier"))
+            & (F.col("x.seq") > F.col("ac.created_seq")),
+        )
+        .join(
+            team_created.alias("tc"),
+            (F.col("x.team_id") == F.col("tc.team_id"))
+            & (F.col("x.seq") > F.col("tc.team_created_seq")),
+        )
+        .select("x.seq", "x.ts", "x.asset_type", "x.identifier", "x.team_id")
+    )
+
+    # ---- owns pair timeline: activates (refresh) + effective expires
+    pair_activate = refresh.select(
+        "seq", "ts", "asset_type", "identifier", "team_id", F.lit("activate").alias("kind")
+    )
+    pair_created = pair_activate.groupBy("asset_type", "identifier", "team_id").agg(
+        F.min("seq").alias("pair_created_seq"),
+        F.min_by("ts", "seq").alias("start_time"),
+    )
+    pair_expire = (
+        expire_attempts.alias("x")
+        .join(
+            pair_created.alias("pc"),
+            (F.col("x.asset_type") == F.col("pc.asset_type"))
+            & (F.col("x.identifier") == F.col("pc.identifier"))
+            & (F.col("x.team_id") == F.col("pc.team_id"))
+            & (F.col("x.seq") > F.col("pc.pair_created_seq")),
+        )
+        .select("x.seq", "x.ts", "x.asset_type", "x.identifier", "x.team_id")
+        .withColumn("kind", F.lit("expire"))
+    )
+    pair_timeline = pair_activate.unionByName(pair_expire).cache()
+
+    # ---- which expire attempts succeed: no OTHER team's owns active at
+    # that moment (main.go:305-323). As-of lookup of each other-pair's
+    # state just before the tombstone's seq.
+    other_state = (
+        expire_attempts.alias("x")
+        .join(
+            pair_timeline.alias("p"),
+            (F.col("x.asset_type") == F.col("p.asset_type"))
+            & (F.col("x.identifier") == F.col("p.identifier"))
+            & (F.col("x.team_id") != F.col("p.team_id"))
+            & (F.col("p.seq") < F.col("x.seq")),
+        )
+        .select(
+            F.col("x.seq").alias("xseq"),
+            F.col("p.team_id").alias("other_team"),
+            F.col("p.seq").alias("pseq"),
+            F.col("p.kind").alias("kind"),
+        )
+    )
+    w_pair_state = Window.partitionBy("xseq", "other_team").orderBy(F.col("pseq").desc())
+    blocked = (
+        other_state.withColumn("rn", F.row_number().over(w_pair_state))
+        .where((F.col("rn") == 1) & (F.col("kind") == "activate"))
+        .select("xseq")
+        .distinct()
+    )
+    successful_expire = expire_attempts.join(
+        blocked, expire_attempts.seq == blocked.xseq, "left_anti"
+    ).cache()
+
+    # ---- assets final state: last touch wins (refresh resurrects —
+    # UpdateAsset(..., now, Unexpired) main.go:152-156; successful expire
+    # sets last_seen=expiration=now main.go:326-329)
+    asset_touch = asset_refresh.select(
+        "seq", "ts", "asset_type", "identifier", F.lit("refresh").alias("kind")
+    ).unionByName(
+        successful_expire.select(
+            "seq", "ts", "asset_type", "identifier", F.lit("expire").alias("kind")
+        )
+    )
+    assets = (
+        _last_by_seq(asset_touch, ["asset_type", "identifier"])
+        .join(asset_created.select("asset_type", "identifier", "first_seen"), ["asset_type", "identifier"])
+        .select(
+            F.col("asset_type").alias("type"),
+            "identifier",
+            "first_seen",
+            F.col("ts").alias("last_seen"),
+            F.when(F.col("kind") == "expire", F.col("ts"))
+            .otherwise(F.lit(UNEXPIRED).cast("timestamp"))
+            .alias("expiration"),
+        )
+    )
+
+    # ---- owns final state: start_time = first activate ever (preserved
+    # across ends, main.go:199-218); end_time = last event if expire
+    owns = (
+        _last_by_seq(pair_timeline, ["asset_type", "identifier", "team_id"])
+        .join(pair_created, ["asset_type", "identifier", "team_id"])
+        .select(
+            F.col("team_id"),
+            F.col("asset_type").alias("type"),
+            F.col("identifier").alias("asset_identifier"),
+            "start_time",
+            F.when(F.col("kind") == "expire", F.col("ts"))
+            .otherwise(F.lit(None).cast("timestamp"))
+            .alias("end_time"),
+        )
+    )
+
+    # ---- parent_of edges (child asset → AWSAccount parent)
+    edge_activate = refresh.select(
+        "seq", "ts", "asset_type", "identifier", F.explode("aws_accounts").alias("parent_identifier")
+    ).select(
+        "seq",
+        "ts",
+        F.col("asset_type").alias("child_type"),
+        F.col("identifier").alias("child_identifier"),
+        F.lit("AWSAccount").alias("parent_type"),
+        "parent_identifier",
+        F.lit("activate").alias("kind"),
+    )
+    edge_created = edge_activate.groupBy(
+        "child_type", "child_identifier", "parent_type", "parent_identifier"
+    ).agg(F.min("seq").alias("edge_created_seq"), F.min_by("ts", "seq").alias("first_seen"))
+
+    # endpoint expiry: a successful asset expire hits every edge where the
+    # asset is child (Parents) or parent (Children) — main.go:331-361
+    exp = successful_expire.select(
+        F.col("seq"), F.col("ts"), F.col("asset_type").alias("xt"), F.col("identifier").alias("xi")
+    )
+    edge_keys = edge_created.select(
+        "child_type", "child_identifier", "parent_type", "parent_identifier", "edge_created_seq"
+    )
+    edge_expire_candidates = (
+        edge_keys.join(
+            exp,
+            (
+                ((F.col("xt") == F.col("child_type")) & (F.col("xi") == F.col("child_identifier")))
+                | ((F.col("xt") == F.col("parent_type")) & (F.col("xi") == F.col("parent_identifier")))
+            )
+            & (F.col("seq") > F.col("edge_created_seq")),
+        )
+        .select(
+            "seq", "ts", "child_type", "child_identifier", "parent_type", "parent_identifier"
+        )
+    )
+    # "skip already-expired edges": between two activates only the FIRST
+    # candidate expiry applies (main.go:338,354). Find each candidate's
+    # preceding activate; keep the earliest candidate per activate.
+    edge_cols = ["child_type", "child_identifier", "parent_type", "parent_identifier"]
+    acts = edge_activate.select(
+        *edge_cols, F.col("seq").alias("act_seq")
+    )
+    cand_with_act = (
+        edge_expire_candidates.alias("c")
+        .join(acts.alias("a"), edge_cols)
+        .where(F.col("a.act_seq") < F.col("c.seq"))
+        .groupBy(*[F.col(f"c.{c}").alias(c) for c in edge_cols], "c.seq", "c.ts")
+        .agg(F.max("a.act_seq").alias("prev_act_seq"))
+    )
+    w_first_cand = Window.partitionBy(*edge_cols, "prev_act_seq").orderBy("seq")
+    edge_expire = (
+        cand_with_act.withColumn("rn", F.row_number().over(w_first_cand))
+        .where(F.col("rn") == 1)
+        .select("seq", "ts", *edge_cols)
+        .withColumn("kind", F.lit("expire"))
+    )
+    edge_timeline = edge_activate.unionByName(edge_expire.select(edge_activate.columns))
+    parent_of = (
+        _last_by_seq(edge_timeline, edge_cols)
+        .join(edge_created, edge_cols)
+        .select(
+            "child_type",
+            "child_identifier",
+            "parent_type",
+            "parent_identifier",
+            "first_seen",
+            F.col("ts").alias("last_seen"),
+            F.when(F.col("kind") == "expire", F.col("ts"))
+            .otherwise(F.lit(UNEXPIRED).cast("timestamp"))
+            .alias("expiration"),
+        )
+    )
+
+    return {"assets": assets, "teams": teams, "owns": owns, "parent_of": parent_of}
+
+
+def replay_raw(raw: DataFrame) -> dict[str, DataFrame]:
+    return replay(decode_events(raw))
