@@ -183,25 +183,63 @@ def _last_by_seq(df: DataFrame, keys: list[str]) -> DataFrame:
     return df.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1).drop("__rn")
 
 
-def replay(decoded: DataFrame) -> dict[str, DataFrame]:
-    """Replay decoded events into final state tables.
+def events_from_decoded(decoded: DataFrame) -> dict[str, DataFrame]:
+    """Split decoded rows into the primitive event frames replay consumes.
+
+    The frames are also the seeding surface for incremental streaming:
+    persisted state converts back into pseudo-events in these same frames
+    (streaming.ingest.seed_events), so one replay implementation serves
+    both full-history batch and per-micro-batch incremental application.
+    """
+    refresh = decoded.where(~F.col("is_tombstone"))
+    tombstone = decoded.where(F.col("is_tombstone"))
+
+    primary_refresh = refresh.select("seq", "ts", "asset_type", "identifier")
+    account_refresh = refresh.select(
+        "seq", "ts", F.explode("aws_accounts").alias("identifier")
+    ).select("seq", "ts", F.lit("AWSAccount").alias("asset_type"), "identifier")
+
+    edge_activate = refresh.select(
+        "seq", "ts", "asset_type", "identifier",
+        F.explode("aws_accounts").alias("parent_identifier"),
+    ).select(
+        "seq",
+        "ts",
+        F.col("asset_type").alias("child_type"),
+        F.col("identifier").alias("child_identifier"),
+        F.lit("AWSAccount").alias("parent_type"),
+        "parent_identifier",
+    )
+
+    empty_asset = primary_refresh.limit(0)
+    empty_pair = refresh.select("seq", "ts", "asset_type", "identifier", "team_id").limit(0)
+    empty_edge = edge_activate.limit(0)
+    return {
+        "asset_refresh": primary_refresh.unionByName(account_refresh),
+        "team_events": refresh.select("seq", "team_id", "team_name"),
+        "pair_activate": refresh.select("seq", "ts", "asset_type", "identifier", "team_id"),
+        "tombstones": tombstone.select("seq", "ts", "asset_type", "identifier", "team_id"),
+        "edge_activate": edge_activate,
+        # seeding-only frames (empty for pure batch replay)
+        "forced_asset_expire": empty_asset,
+        "forced_pair_expire": empty_pair,
+        "forced_edge_expire": empty_edge,
+    }
+
+
+def replay_from_events(ev: dict[str, DataFrame]) -> dict[str, DataFrame]:
+    """Replay primitive event frames into final state tables.
 
     Returns {"assets", "teams", "owns", "parent_of"} DataFrames with the
     schemas of FIXTURES.md §2 (surrogate ids omitted; natural keys are the
     identity, matching the reference's order-insensitive golden comparison
     that ignores ids, main_test.go:374-392).
     """
-    decoded = decoded.cache()
-
-    refresh = decoded.where(~F.col("is_tombstone"))
-    tombstone = decoded.where(F.col("is_tombstone"))
-
-    # ---- asset refresh events: primary assets + derived AWSAccount assets
-    primary_refresh = refresh.select("seq", "ts", "asset_type", "identifier")
-    account_refresh = refresh.select(
-        "seq", "ts", F.explode("aws_accounts").alias("identifier")
-    ).select("seq", "ts", F.lit("AWSAccount").alias("asset_type"), "identifier")
-    asset_refresh = primary_refresh.unionByName(account_refresh)
+    asset_refresh = ev["asset_refresh"]
+    team_events = ev["team_events"]
+    pair_activate = ev["pair_activate"]
+    tombstone = ev["tombstones"]
+    edge_activate_raw = ev["edge_activate"]
 
     asset_created = asset_refresh.groupBy("asset_type", "identifier").agg(
         F.min("seq").alias("created_seq"),
@@ -209,7 +247,6 @@ def replay(decoded: DataFrame) -> dict[str, DataFrame]:
     )
 
     # ---- teams: created on refresh, name last-wins (main.go:171-195)
-    team_events = refresh.select("seq", "team_id", "team_name")
     team_created = team_events.groupBy("team_id").agg(F.min("seq").alias("team_created_seq"))
     teams = (
         _last_by_seq(team_events, ["team_id"])
@@ -234,9 +271,7 @@ def replay(decoded: DataFrame) -> dict[str, DataFrame]:
     )
 
     # ---- owns pair timeline: activates (refresh) + effective expires
-    pair_activate = refresh.select(
-        "seq", "ts", "asset_type", "identifier", "team_id", F.lit("activate").alias("kind")
-    )
+    pair_activate_k = pair_activate.withColumn("kind", F.lit("activate"))
     pair_created = pair_activate.groupBy("asset_type", "identifier", "team_id").agg(
         F.min("seq").alias("pair_created_seq"),
         F.min_by("ts", "seq").alias("start_time"),
@@ -253,7 +288,11 @@ def replay(decoded: DataFrame) -> dict[str, DataFrame]:
         .select("x.seq", "x.ts", "x.asset_type", "x.identifier", "x.team_id")
         .withColumn("kind", F.lit("expire"))
     )
-    pair_timeline = pair_activate.unionByName(pair_expire).cache()
+    pair_timeline = (
+        pair_activate_k.unionByName(pair_expire)
+        .unionByName(ev["forced_pair_expire"].withColumn("kind", F.lit("expire")))
+        .cache()
+    )
 
     # ---- which expire attempts succeed: no OTHER team's owns active at
     # that moment (main.go:305-323). As-of lookup of each other-pair's
@@ -281,9 +320,15 @@ def replay(decoded: DataFrame) -> dict[str, DataFrame]:
         .select("xseq")
         .distinct()
     )
-    successful_expire = expire_attempts.join(
-        blocked, expire_attempts.seq == blocked.xseq, "left_anti"
-    ).cache()
+    guarded_expire = (
+        expire_attempts.join(blocked, expire_attempts.seq == blocked.xseq, "left_anti")
+        .select("seq", "ts", "asset_type", "identifier")
+        .cache()
+    )
+    # forced (seeded) expires reconstruct an asset's recorded state but must
+    # NOT re-cascade to edges: the seeded edge rows already reflect every
+    # cascade that happened before the snapshot
+    successful_expire = guarded_expire.unionByName(ev["forced_asset_expire"]).cache()
 
     # ---- assets final state: last touch wins (refresh resurrects —
     # UpdateAsset(..., now, Unexpired) main.go:152-156; successful expire
@@ -326,24 +371,14 @@ def replay(decoded: DataFrame) -> dict[str, DataFrame]:
     )
 
     # ---- parent_of edges (child asset → AWSAccount parent)
-    edge_activate = refresh.select(
-        "seq", "ts", "asset_type", "identifier", F.explode("aws_accounts").alias("parent_identifier")
-    ).select(
-        "seq",
-        "ts",
-        F.col("asset_type").alias("child_type"),
-        F.col("identifier").alias("child_identifier"),
-        F.lit("AWSAccount").alias("parent_type"),
-        "parent_identifier",
-        F.lit("activate").alias("kind"),
-    )
+    edge_activate = edge_activate_raw.withColumn("kind", F.lit("activate"))
     edge_created = edge_activate.groupBy(
         "child_type", "child_identifier", "parent_type", "parent_identifier"
     ).agg(F.min("seq").alias("edge_created_seq"), F.min_by("ts", "seq").alias("first_seen"))
 
     # endpoint expiry: a successful asset expire hits every edge where the
     # asset is child (Parents) or parent (Children) — main.go:331-361
-    exp = successful_expire.select(
+    exp = guarded_expire.select(
         F.col("seq"), F.col("ts"), F.col("asset_type").alias("xt"), F.col("identifier").alias("xi")
     )
     edge_keys = edge_created.select(
@@ -361,6 +396,10 @@ def replay(decoded: DataFrame) -> dict[str, DataFrame]:
         .select(
             "seq", "ts", "child_type", "child_identifier", "parent_type", "parent_identifier"
         )
+        # forced (seeded) edge expires join the candidate pool: they carry
+        # the smallest seq after their activate, so the first-per-activate
+        # rule keeps them applied and correctly skips later real expires
+        .unionByName(ev["forced_edge_expire"])
     )
     # "skip already-expired edges": between two activates only the FIRST
     # candidate expiry applies (main.go:338,354). Find each candidate's
@@ -401,6 +440,11 @@ def replay(decoded: DataFrame) -> dict[str, DataFrame]:
     )
 
     return {"assets": assets, "teams": teams, "owns": owns, "parent_of": parent_of}
+
+
+def replay(decoded: DataFrame) -> dict[str, DataFrame]:
+    """Full-history batch replay of decoded events."""
+    return replay_from_events(events_from_decoded(decoded.cache()))
 
 
 def replay_raw(raw: DataFrame) -> dict[str, DataFrame]:

@@ -1,0 +1,231 @@
+"""Structured Streaming ingestion of the asset event stream.
+
+Reference behavior re-expressed (SURVEY.md §2.9):
+- at-least-once delivery with offset-commit-after-processing
+  (stream/kafka/kafka.go:31-51,98-104) → checkpointed micro-batches plus an
+  IDEMPOTENT foreachBatch sink (an already-applied batch_id is skipped), so
+  replays after a crash converge to the same state — effective
+  exactly-once on the state tables.
+- strictly sequential per-key processing (kafka.go:69-105) → events within
+  a micro-batch are ordered by `seq` inside the replay; the seeded state
+  carries pseudo-events below every real seq, so cross-batch order is
+  preserved exactly.
+- tombstone / cascade semantics: identical code path as batch — the
+  micro-batch's decoded events are unioned with seed events derived from
+  the persisted state and run through plans.temporal.replay_from_events.
+
+Scale notes: state tables are parquet snapshots written per batch
+(content-addressed by batch id). On a real deployment these become Delta
+tables with MERGE; the seed/replay logic is unchanged — only the state I/O
+swaps. All state transforms are joins/windows on entity keys; state size
+is O(live entities), not O(event history).
+
+Kafka wiring (untestable in this environment, no broker): see
+`kafka_reader()` — the standard readStream.format("kafka") with
+includeHeaders; the fixture file-stream exercises the identical
+decode→seed→replay→write path.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from graph_vulcan_assets_spark.plans.temporal import (
+    RAW_SCHEMA,
+    UNEXPIRED,
+    decode_events,
+    events_from_decoded,
+    replay_from_events,
+)
+
+STATE_TABLES = ("assets", "teams", "owns", "parent_of")
+
+
+def kafka_reader(spark: SparkSession, bootstrap: str, topic: str) -> DataFrame:
+    """Kafka source matching the reference consumer's contract.
+
+    Reference: subscribe + poll with headers, earliest reset
+    (stream/kafka/kafka.go:64-106, cmd/graph-vulcan-assets/main.go:45-49).
+    The (partition, offset) pair maps to the replay's `seq` ordering key.
+    Not exercised in tests (no broker in the image) — the file stream
+    drives the same downstream pipeline.
+    """
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("subscribe", topic)
+        .option("startingOffsets", "earliest")
+        .option("includeHeaders", "true")
+        .load()
+    )
+    return raw.select(
+        (F.col("partition").cast("long") * F.lit(1 << 40) + F.col("offset")).alias("seq"),
+        F.col("timestamp").alias("ts"),
+        F.col("key").cast("string").alias("key"),
+        F.col("value").cast("string").alias("value"),
+        F.expr(
+            "transform(headers, h -> struct(h.key as key, cast(h.value as string) as value))"
+        ).alias("metadata"),
+    )
+
+
+class TemporalGraphStream:
+    """Incremental state maintenance over a stream of raw messages."""
+
+    def __init__(self, spark: SparkSession, state_dir: str):
+        self.spark = spark
+        self.state_dir = state_dir
+        os.makedirs(os.path.join(state_dir, "_applied"), exist_ok=True)
+
+    # ---- state I/O ------------------------------------------------------
+    def _applied_batches(self) -> list[int]:
+        d = os.path.join(self.state_dir, "_applied")
+        return sorted(int(f) for f in os.listdir(d) if f.isdigit())
+
+    def read_state(self) -> dict[str, DataFrame] | None:
+        applied = self._applied_batches()
+        if not applied:
+            return None
+        latest = applied[-1]
+        return {
+            t: self.spark.read.parquet(
+                os.path.join(self.state_dir, t, f"batch={latest}")
+            )
+            for t in STATE_TABLES
+        }
+
+    def _write_state(self, state: dict[str, DataFrame], batch_id: int) -> None:
+        for t in STATE_TABLES:
+            state[t].write.mode("overwrite").parquet(
+                os.path.join(self.state_dir, t, f"batch={batch_id}")
+            )
+        # marker written last: a crash mid-write leaves the batch
+        # unacknowledged and it is re-applied on restart (at-least-once →
+        # idempotent, matching kafka.go:98-104's commit-after-process)
+        with open(os.path.join(self.state_dir, "_applied", str(batch_id)), "w") as f:
+            f.write("ok")
+
+    # ---- incremental application ---------------------------------------
+    def apply_batch(self, raw_batch: DataFrame, batch_id: int) -> None:
+        if batch_id in self._applied_batches():
+            return  # replayed micro-batch after recovery: idempotent skip
+
+        decoded = decode_events(raw_batch)
+        ev = events_from_decoded(decoded)
+        state = self.read_state()
+        if state is not None:
+            seeds = seed_events(state)
+            ev = {k: seeds[k].unionByName(ev[k]) for k in ev}
+        new_state = replay_from_events(ev)
+        # materialize before writing (state tables are small; the replay
+        # plan references the previous snapshot being overwritten)
+        new_state = {t: df.localCheckpoint(eager=True) for t, df in new_state.items()}
+        self._write_state(new_state, batch_id)
+
+    # ---- stream wiring --------------------------------------------------
+    def run_file_stream(self, input_dir: str, checkpoint_dir: str):
+        """Fixture-file source: each JSON file becomes one micro-batch."""
+        raw = (
+            self.spark.readStream.schema(RAW_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .json(input_dir)
+        )
+        return (
+            raw.writeStream.foreachBatch(self.apply_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+
+def seed_events(state: dict[str, DataFrame]) -> dict[str, DataFrame]:
+    """Convert persisted state tables back into pseudo-events.
+
+    Seeds sit at seq −2 (creation) and −1 (latest touch / expiry), below
+    every real seq, so the replay reconstructs exactly the sequential
+    state the tables encode:
+    - asset first_seen → refresh@−2; active assets with a later last_seen
+      get refresh@−1; expired assets get a FORCED expire@−1 (bypasses the
+      existence guards — the guards were already checked when the expiry
+      originally happened).
+    - owns start_time → activate@−2 (start_time preservation,
+      main.go:199-218); ended owns get a forced pair-expire@−1.
+    - edges likewise; forced edge expires enter the candidate pool so a
+      later real expiry correctly skips the already-expired edge
+      (main.go:338,354).
+    """
+    assets, teams, owns, edges = (
+        state["assets"],
+        state["teams"],
+        state["owns"],
+        state["parent_of"],
+    )
+    unexpired = F.lit(UNEXPIRED).cast("timestamp")
+
+    a = assets.select(
+        F.col("type").alias("asset_type"),
+        "identifier",
+        "first_seen",
+        "last_seen",
+        (F.col("expiration") != unexpired).alias("expired"),
+    )
+    asset_refresh = a.select(
+        F.lit(-2).cast("long").alias("seq"), F.col("first_seen").alias("ts"), "asset_type", "identifier"
+    ).unionByName(
+        a.where(~F.col("expired") & (F.col("last_seen") > F.col("first_seen"))).select(
+            F.lit(-1).cast("long").alias("seq"), F.col("last_seen").alias("ts"), "asset_type", "identifier"
+        )
+    )
+    forced_asset_expire = a.where(F.col("expired")).select(
+        F.lit(-1).cast("long").alias("seq"), F.col("last_seen").alias("ts"), "asset_type", "identifier"
+    )
+
+    team_events = teams.select(
+        F.lit(-2).cast("long").alias("seq"),
+        F.col("identifier").alias("team_id"),
+        F.col("name").alias("team_name"),
+    )
+
+    o = owns.select(
+        F.col("type").alias("asset_type"),
+        F.col("asset_identifier").alias("identifier"),
+        "team_id",
+        "start_time",
+        "end_time",
+    )
+    pair_activate = o.select(
+        F.lit(-2).cast("long").alias("seq"), F.col("start_time").alias("ts"),
+        "asset_type", "identifier", "team_id",
+    )
+    forced_pair_expire = o.where(F.col("end_time").isNotNull()).select(
+        F.lit(-1).cast("long").alias("seq"), F.col("end_time").alias("ts"),
+        "asset_type", "identifier", "team_id",
+    )
+
+    e = edges.withColumn("expired", F.col("expiration") != unexpired)
+    edge_cols = ["child_type", "child_identifier", "parent_type", "parent_identifier"]
+    edge_activate = e.select(
+        F.lit(-2).cast("long").alias("seq"), F.col("first_seen").alias("ts"), *edge_cols
+    ).unionByName(
+        e.where(~F.col("expired") & (F.col("last_seen") > F.col("first_seen"))).select(
+            F.lit(-1).cast("long").alias("seq"), F.col("last_seen").alias("ts"), *edge_cols
+        )
+    )
+    forced_edge_expire = e.where(F.col("expired")).select(
+        F.lit(-1).cast("long").alias("seq"), F.col("expiration").alias("ts"), *edge_cols
+    )
+
+    empty_tombstones = pair_activate.limit(0)
+    return {
+        "asset_refresh": asset_refresh,
+        "team_events": team_events,
+        "pair_activate": pair_activate,
+        "tombstones": empty_tombstones,
+        "edge_activate": edge_activate,
+        "forced_asset_expire": forced_asset_expire,
+        "forced_pair_expire": forced_pair_expire,
+        "forced_edge_expire": forced_edge_expire,
+    }
