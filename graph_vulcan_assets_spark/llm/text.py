@@ -123,6 +123,87 @@ def q_text_lang_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STOPWORDS = {
+    "en": ["the", "and", "of"],
+    "es": ["el", "la", "que"],
+    "de": ["der", "und", "die"],
+    "fr": ["le", "et", "les"],
+    "zh": ["de", "shi", "le"],
+}
+
+
+@query(
+    "q_lang_id",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             len(list_filter(string_split(text, ' '),
+                 t -> t IN ('the', 'and', 'of'))) AS en_hits,
+             len(list_filter(string_split(text, ' '),
+                 t -> t IN ('el', 'la', 'que'))) AS es_hits
+      FROM documents)
+    SELECT doc_id, lang,
+           CAST(en_hits AS BIGINT) AS en_hits,
+           CAST(es_hits AS BIGINT) AS es_hits,
+           CASE WHEN en_hits > es_hits THEN 'en'
+                WHEN es_hits > en_hits THEN 'es'
+                ELSE 'unknown' END AS lang_guess
+    FROM scored
+    """,
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language identification heuristic (X4): stopword-hit voting.
+
+    The classic cheap lang-ID: count hits against per-language stopword
+    lists, argmax wins. All higher-order array functions — JVM-side,
+    linear scan, no shuffle. (Scoped to en/es here so the oracle stays
+    readable; the pattern extends to any list of languages.)
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tokens = F.split(F.col("text"), " ")
+
+    def hits(words: list[str]):
+        arr = F.array(*[F.lit(w) for w in words])
+        return F.size(F.filter(tokens, lambda t: F.array_contains(arr, t)))
+
+    en, es = hits(_STOPWORDS["en"]), hits(_STOPWORDS["es"])
+    return d.select(
+        "doc_id",
+        "lang",
+        en.cast("long").alias("en_hits"),
+        es.cast("long").alias("es_hits"),
+        F.when(en > es, "en").when(es > en, "es").otherwise("unknown").alias("lang_guess"),
+    )
+
+
+@query(
+    "q_token_count",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))
+                AS BIGINT) AS n_bpe_ish,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_whitespace,
+           CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_chars_div4
+    FROM documents
+    """,
+)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (X4): whitespace + BPE-ish regex + chars/4 estimate.
+
+    The three standard cheap token-count estimators used for corpus
+    budgeting; the regex mirrors pre-tokenizer splitting (letter runs,
+    digit runs, single punctuation)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"), F.lit(0)))
+        .cast("long")
+        .alias("n_bpe_ish"),
+        F.size(F.split("text", " ")).cast("long").alias("n_whitespace"),
+        F.ceil(F.length("text") / 4.0).cast("long").alias("n_chars_div4"),
+    )
+
+
 @query(
     "q_text_fingerprint",
     oracle="""
