@@ -51,20 +51,20 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = _MINHASH_HASHES) -> Data
     Pipeline (all built-in expressions): tokenize → 3-gram shingles →
     xxhash64 with H different seeds → min per seed. One explode + one
     groupBy(doc_id); the shuffle carries (doc_id, shingle-hash) pairs.
+
+    The token array is materialized as a physical column before shingling:
+    referencing the raw split() expression inside the per-index lambda
+    would re-split the text for every shingle (O(tokens²) per document).
     """
-    tokens = F.split(F.col("text"), " ")
-    n = F.size(tokens)
+    tokenized = docs.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
+    toks = F.col("toks")
+    n = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(n - 3, F.lit(0)))
-    shingle = lambda i: F.concat_ws(  # noqa: E731
-        " ",
-        F.element_at(tokens, i + 1),
-        F.element_at(tokens, i + 2),
-        F.element_at(tokens, i + 3),
-    )
-    shingled = (
-        docs.where(n >= 3)
-        .select("doc_id", F.explode(F.transform(idx, shingle)).alias("shingle"))
-        .distinct()
+    shingle = lambda i: F.array_join(F.slice(toks, i + 1, 3), " ")  # noqa: E731
+    # no distinct(): min() is duplicate-insensitive, so deduplicating the
+    # exploded shingles would only add a full extra shuffle
+    shingled = tokenized.where(n >= 3).select(
+        "doc_id", F.explode(F.transform(idx, shingle)).alias("shingle")
     )
     aggs = [
         F.min(F.xxhash64(F.col("shingle"), F.lit(seed))).alias(f"h{seed}")
