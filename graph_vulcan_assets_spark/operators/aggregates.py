@@ -232,6 +232,83 @@ def q_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_agg_pivot",
+    oracle="""
+    SELECT user_id,
+           count(*) FILTER (WHERE event_type = 'click') AS click,
+           count(*) FILTER (WHERE event_type = 'view') AS view,
+           count(*) FILTER (WHERE event_type = 'purchase') AS purchase
+    FROM events GROUP BY user_id
+    """,
+)
+def q_agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (A-family extension): event types to columns.
+
+    Spark's pivot with an explicit value list compiles to a single
+    aggregate pass (no second scan); the oracle is the equivalent ANSI
+    FILTER form.
+    """
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["click", "view", "purchase"])
+    )
+
+
+@query(
+    "q_unpivot",
+    oracle="""
+    SELECT o_orderkey, metric, round(val, 2) AS val
+    FROM (
+      SELECT o_orderkey, 'totalprice' AS metric, o_totalprice AS val FROM orders
+      UNION ALL
+      SELECT o_orderkey, 'custkey', CAST(o_custkey AS DOUBLE) FROM orders)
+    """,
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot / melt: wide columns to (metric, value) rows via stack."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.unpivot(
+        ["o_orderkey"],
+        ["o_totalprice", "o_custkey"],
+        "metric",
+        "val",
+    ).select(
+        "o_orderkey",
+        F.when(F.col("metric") == "o_totalprice", "totalprice")
+        .otherwise("custkey")
+        .alias("metric"),
+        F.round(F.col("val").cast("double"), 2).alias("val"),
+    )
+
+
+@query(
+    "q_agg_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
+           round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (A9): interpolated median / p90.
+
+    Spark `percentile` and DuckDB `quantile_cont` both use linear
+    interpolation between closest ranks — identical definitions.
+    (`percentile_approx` is the scale path; it is sketch-based and
+    therefore rows-only, see q_agg_approx_distinct.)
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("median_qty"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90_price"),
+    )
+
+
+@query(
     "q_agg_stats",
     oracle="""
     SELECT l_returnflag,

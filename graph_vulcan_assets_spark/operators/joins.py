@@ -179,6 +179,60 @@ def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_join_full",
+    oracle="""
+    WITH clickers AS (
+      SELECT user_id, count(*) AS n_clicks FROM events
+      WHERE event_type = 'click' GROUP BY user_id),
+    buyers AS (
+      SELECT user_id, count(*) AS n_purchases FROM events
+      WHERE event_type = 'purchase' GROUP BY user_id)
+    SELECT coalesce(c.user_id, b.user_id) AS user_id,
+           coalesce(c.n_clicks, 0) AS n_clicks,
+           coalesce(b.n_purchases, 0) AS n_purchases
+    FROM clickers c FULL OUTER JOIN buyers b ON c.user_id = b.user_id
+    """,
+)
+def q_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join (J5): union of key spaces with null-fill."""
+    e = load_table(spark, sf_dir, "events")
+    clicks = (
+        e.where(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_clicks"))
+    )
+    buys = (
+        e.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_purchases"))
+    )
+    c, b = clicks.alias("c"), buys.alias("b")
+    return c.join(b, F.col("c.user_id") == F.col("b.user_id"), "full_outer").select(
+        F.coalesce(F.col("c.user_id"), F.col("b.user_id")).alias("user_id"),
+        F.coalesce(F.col("c.n_clicks"), F.lit(0)).alias("n_clicks"),
+        F.coalesce(F.col("b.n_purchases"), F.lit(0)).alias("n_purchases"),
+    )
+
+
+@query(
+    "q_join_cross",
+    oracle="""
+    SELECT n_name, r_name FROM nation CROSS JOIN region
+    """,
+)
+def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded cross join (J6 family): explicit Cartesian of two tiny dims.
+
+    Cross joins are only ever acceptable with a provably bounded side; the
+    engine's unbounded-pair problems (range join, near-dup, ANN) all use
+    bucketing instead.
+    """
+    n = load_table(spark, sf_dir, "nation").select("n_name")
+    r = load_table(spark, sf_dir, "region").select("r_name")
+    return n.crossJoin(F.broadcast(r))
+
+
+@query(
     "q_join_range",
     oracle="""
     SELECT e1.event_id AS a_id, e2.event_id AS b_id, e1.event_type

@@ -134,3 +134,35 @@ def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = e.select("user_id")
     b = e.where(F.col("event_type") == "error").select("user_id")
     return a.subtract(b)
+
+
+@query(
+    "q_except_all",
+    oracle="""
+    SELECT user_id FROM events WHERE event_type IN ('click', 'view')
+    EXCEPT ALL
+    SELECT user_id FROM events WHERE event_type = 'view'
+    """,
+)
+def q_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (U2): multiset difference (keeps multiplicities)."""
+    e = load_table(spark, sf_dir, "events")
+    a = e.where(F.col("event_type").isin("click", "view")).select("user_id")
+    b = e.where(F.col("event_type") == "view").select("user_id")
+    return a.exceptAll(b)
+
+
+@query(
+    "q_intersect_all",
+    oracle="""
+    SELECT user_id FROM events WHERE event_type = 'click'
+    INTERSECT ALL
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    """,
+)
+def q_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL (U2): multiset intersection."""
+    e = load_table(spark, sf_dir, "events")
+    a = e.where(F.col("event_type") == "click").select("user_id")
+    b = e.where(F.col("event_type") == "purchase").select("user_id")
+    return a.intersectAll(b)

@@ -1,0 +1,88 @@
+"""Streaming event-time windows (SURVEY.md §2.9 T4) and dead-letter split
+(T6).
+
+The reference has no event-time windows; these are the engine extensions
+on top of the same event stream: tumbling / sliding / session aggregation
+with watermarked late-data handling, runnable in genuine streaming mode
+(exercised in tests with a file source + memory sink).
+
+Dead-letter split: the reference HALTS the whole stream on the first
+malformed event (vulcan/vulcan.go:88-106, fixture terminator
+cmd/graph-vulcan-assets/testdata/messages.json:205-213). The engine's
+documented deviation routes bad rows to a dead-letter output with a reason
+instead, keeping the stream alive.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def tumbling_counts(events: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
+    """Tumbling event-time window; works on batch and streaming frames."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("bucket_start"), "event_type", "n", "sum_value")
+    )
+
+
+def sliding_counts(events: DataFrame, window: str = "1 hour", slide: str = "15 minutes") -> DataFrame:
+    src = events.withWatermark("ts", "2 hours") if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("w.start").alias("bucket_start"),
+            F.col("w.end").alias("bucket_end"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+def session_counts(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Session windows per user: a session closes after `gap` of silence."""
+    src = events.withWatermark("ts", "2 hours") if events.isStreaming else events
+    return (
+        src.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def dead_letter_split(raw: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Split a raw message frame into (valid, dead_letter-with-reason).
+
+    Reasons mirror the reference's error strings: missing metadata
+    (vulcan/vulcan.go:136-156), unsupported version (vulcan.go:160-180),
+    malformed key (vulcan.go:127-133).
+    """
+    meta = F.map_from_entries(F.col("metadata"))
+    version = F.element_at(meta, "version")
+    htype = F.element_at(meta, "type")
+    hident = F.element_at(meta, "identifier")
+    ver_parts = F.split(F.regexp_replace(version, "^v", ""), r"\.")
+    version_ok = (F.size(ver_parts) >= 3) & (F.element_at(ver_parts, 1).cast("int") == 0)
+    key_ok = F.size(F.split(F.col("key"), "/")) == 2
+
+    reason = (
+        F.when(version.isNull(), "missing metadata entry: version")
+        .when(htype.isNull(), "missing metadata entry: type")
+        .when(hident.isNull(), "missing metadata entry: identifier")
+        .when(~version_ok, F.concat(F.lit("unsupported version: "), version))
+        .when(~key_ok, F.concat(F.lit("malformed message key: "), F.coalesce(F.col("key"), F.lit("<null>"))))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    tagged = raw.withColumn("reject_reason", reason)
+    valid = tagged.where(F.col("reject_reason").isNull()).drop("reject_reason")
+    dead = tagged.where(F.col("reject_reason").isNotNull())
+    return valid, dead

@@ -1,0 +1,57 @@
+"""Streaming window aggregations (T4) and dead-letter split (T6)."""
+
+from __future__ import annotations
+
+import pytest
+
+from graph_vulcan_assets_spark.plans import fixtures
+from graph_vulcan_assets_spark.plans.temporal import RAW_SCHEMA
+from graph_vulcan_assets_spark.streaming import windows
+from graph_vulcan_assets_spark.tables import load_table
+
+
+@pytest.mark.parametrize(
+    "fn,name",
+    [
+        (windows.tumbling_counts, "tumbling"),
+        (windows.sliding_counts, "sliding"),
+        (windows.session_counts, "session"),
+    ],
+)
+def test_streaming_windows_match_batch(spark, sf_dir, tmp_path, fn, name):
+    """Run the same windowed aggregation in batch mode and in genuine
+    streaming mode (file source, complete output to a memory sink): the
+    final streaming result must equal the batch result."""
+    events = load_table(spark, sf_dir, "events")
+    batch_rows = {tuple(r) for r in fn(events).collect()}
+
+    # stream the same rows from parquet files
+    src_dir = str(tmp_path / "stream_src")
+    events.write.mode("overwrite").parquet(src_dir)
+    stream = spark.readStream.schema(events.schema).parquet(src_dir)
+    q = (
+        fn(stream)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(f"win_{name}")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    stream_rows = {tuple(r) for r in spark.sql(f"SELECT * FROM win_{name}").collect()}
+    assert stream_rows == batch_rows
+    assert len(stream_rows) > 0
+
+
+def test_dead_letter_split(spark):
+    msgs = fixtures.golden_messages()
+    raw = spark.createDataFrame(msgs, schema=RAW_SCHEMA)
+    valid, dead = windows.dead_letter_split(raw)
+    reasons = {r["seq"]: r["reject_reason"] for r in dead.collect()}
+    # fixture seqs 10 (major version 1), 11 (missing identifier header),
+    # 12 (malformed key) must be rejected with matching reasons
+    assert reasons[10].startswith("unsupported version")
+    assert reasons[11] == "missing metadata entry: identifier"
+    assert reasons[12].startswith("malformed message key")
+    assert set(reasons) == {10, 11, 12}
+    assert valid.count() == len(msgs) - 3
