@@ -131,6 +131,104 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_dedup_ngram",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE doc_id < 40),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(len(t) - 2),
+               i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS shingles
+      FROM toks WHERE len(t) >= 3)
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                 / (len(a.shingles) + len(b.shingles)
+                    - len(list_intersect(a.shingles, b.shingles))), 6) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.shingles, b.shingles)) > 0
+    """,
+)
+def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard similarity (X2): 3-gram shingle sets, bounded
+    pairset, oracle-checked.
+
+    The exact counterpart to MinHash: distinct 3-gram sets per document,
+    pairwise |A∩B| / |A∪B|. Bounded to doc_id < 40 because all-pairs exact
+    Jaccard is quadratic — the MinHash/LSH path (q_dedup_near) is the
+    scale variant; this one is its ground-truth.
+    """
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 40)
+    toks = F.split(F.col("text"), " ")
+    shingled = d.select("doc_id", toks.alias("t")).where(F.size("t") >= 3).select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size("t") - 3),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at("t", i + 1),
+                    F.element_at("t", i + 2),
+                    F.element_at("t", i + 3),
+                ),
+            )
+        ).alias("shingles"),
+    )
+    a = shingled.select(F.col("doc_id").alias("a_id"), F.col("shingles").alias("a_sh"))
+    b = shingled.select(F.col("doc_id").alias("b_id"), F.col("shingles").alias("b_sh"))
+    inter = F.size(F.array_intersect("a_sh", "b_sh"))
+    union = F.size("a_sh") + F.size("b_sh") - inter
+    return (
+        a.join(b, F.col("a_id") < F.col("b_id"))
+        .where(inter > 0)
+        .select(
+            "a_id",
+            "b_id",
+            F.round(inter.cast("double") / union, 6).alias("jaccard"),
+        )
+    )
+
+
+@query(
+    "q_dedup_embed",
+    oracle="""
+    WITH dv AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+      FROM embeddings WHERE vec_id < 200)
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           round(list_dot_product(a.e, b.e)
+                 / (sqrt(list_dot_product(a.e, a.e))
+                    * sqrt(list_dot_product(b.e, b.e))), 6) AS cos
+    FROM dv a JOIN dv b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.e, b.e)
+          / (sqrt(list_dot_product(a.e, a.e))
+             * sqrt(list_dot_product(b.e, b.e))) > 0.4
+    """,
+)
+def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup (X2): semantic duplicate pairs above a
+    cosine threshold, bounded subset with exact oracle.
+
+    The scale path for the full corpus is q_sim_lsh_bucketed (hyperplane
+    LSH); this bounded brute-force variant is its oracle-checkable
+    ground truth.
+    """
+    from graph_vulcan_assets_spark.llm.similarity import dot, l2_norm
+
+    e = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
+    a = e.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_vec"))
+    b = e.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_vec"))
+    cos = dot(F.col("a_vec"), F.col("b_vec")) / (
+        l2_norm(F.col("a_vec")) * l2_norm(F.col("b_vec"))
+    )
+    return (
+        a.join(b, F.col("a_id") < F.col("b_id"))
+        .withColumn("cos_raw", cos)
+        .where(F.col("cos_raw") > 0.4)
+        .select("a_id", "b_id", F.round("cos_raw", 6).alias("cos"))
+    )
+
+
 @query("q_dedup_simhash")
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash fingerprints (X2 family, rows-only): 16-bit token-weight hash.
