@@ -44,23 +44,40 @@ from graph_vulcan_assets_spark.plans.temporal import (
 STATE_TABLES = ("assets", "teams", "owns", "parent_of")
 
 
-def kafka_reader(spark: SparkSession, bootstrap: str, topic: str) -> DataFrame:
+def kafka_reader(
+    spark: SparkSession,
+    bootstrap: str,
+    topic: str,
+    username: str | None = None,
+    password: str | None = None,
+) -> DataFrame:
     """Kafka source matching the reference consumer's contract.
 
     Reference: subscribe + poll with headers, earliest reset
-    (stream/kafka/kafka.go:64-106, cmd/graph-vulcan-assets/main.go:45-49).
-    The (partition, offset) pair maps to the replay's `seq` ordering key.
-    Not exercised in tests (no broker in the image) — the file stream
-    drives the same downstream pipeline.
+    (stream/kafka/kafka.go:64-106, cmd/graph-vulcan-assets/main.go:45-49);
+    SCRAM-SHA-256 over SASL_SSL when credentials are set, plaintext
+    otherwise (main.go:51-56). The (partition, offset) pair maps to the
+    replay's `seq` ordering key. Not exercised in tests (no broker in the
+    image) — the file stream drives the same downstream pipeline.
     """
-    raw = (
+    reader = (
         spark.readStream.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap)
         .option("subscribe", topic)
         .option("startingOffsets", "earliest")
         .option("includeHeaders", "true")
-        .load()
     )
+    if username and password:
+        jaas = (
+            "org.apache.kafka.common.security.scram.ScramLoginModule required "
+            f'username="{username}" password="{password}";'
+        )
+        reader = (
+            reader.option("kafka.security.protocol", "SASL_SSL")
+            .option("kafka.sasl.mechanism", "SCRAM-SHA-256")
+            .option("kafka.sasl.jaas.config", jaas)
+        )
+    raw = reader.load()
     return raw.select(
         (F.col("partition").cast("long") * F.lit(1 << 40) + F.col("offset")).alias("seq"),
         F.col("timestamp").alias("ts"),
