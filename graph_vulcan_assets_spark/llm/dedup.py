@@ -66,11 +66,17 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = _MINHASH_HASHES) -> Data
     shingled = tokenized.where(n >= 3).select(
         "doc_id", F.explode(F.transform(idx, shingle)).alias("shingle")
     )
-    aggs = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(seed))).alias(f"h{seed}")
-        for seed in range(n_hashes)
-    ]
-    return shingled.groupBy("doc_id").agg(*aggs)
+    # hash each variable-length shingle string ONCE, then derive the H
+    # minhash slots by re-hashing the fixed 8-byte result with the slot id
+    # as seed — the permutation family costs H long-hashes instead of H
+    # string-hashes per shingle
+    mixed = shingled.select("doc_id", F.xxhash64(F.col("shingle")).alias("base"))
+    return mixed.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.col("base"), F.lit(i))).alias(f"h{i}")
+            for i in range(n_hashes)
+        ]
+    )
 
 
 @query("q_dedup_near")

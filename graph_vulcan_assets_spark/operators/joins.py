@@ -50,8 +50,8 @@ def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_join_multiway",
     oracle="""
     SELECT n_name,
-           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6)))
-                AS DOUBLE) AS revenue,
+           sum(CAST(round(l_extendedprice * (1 - l_discount) * 1000000, 0)
+                    AS BIGINT)) / 1000000.0 AS revenue,
            count(*) AS n_items
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
@@ -85,15 +85,17 @@ def q_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
         .agg(
-            # DECIMAL partial aggregation: order-independent, bit-stable
-            # across partition counts (see q_agg_groupby)
-            F.sum(
-                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-                    "decimal(30,6)"
+            # integer micro-unit sum: order-independent, bit-stable across
+            # partition counts, fast codegen path (see q_agg_groupby)
+            (
+                F.sum(
+                    F.round(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 1000000,
+                        0,
+                    ).cast("long")
                 )
-            )
-            .cast("double")
-            .alias("revenue"),
+                / 1000000.0
+            ).alias("revenue"),
             F.count("*").alias("n_items"),
         )
     )
@@ -301,9 +303,13 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     The reference answers "state as of t" procedurally via `valid_at`
     (inventory/inventory.go:183-185); relationally it is an as-of join.
     Implementation: equi-join on the key (one shuffle), temporal predicate
-    as join condition, then a per-left-row window keeps the greatest match
-    with a deterministic tiebreak. The oracle mirrors the window form so
-    ties resolve identically in both engines.
+    as join condition, then a per-left-row max_by aggregation keeps the
+    greatest match with a deterministic tiebreak. max_by beats the
+    row_number-window form at scale: it is a hash aggregate with a
+    map-side partial phase, so each task pre-reduces its matches to one
+    row per event before any shuffle — no per-key sort at all. The oracle
+    mirrors the semantics in window form (deterministic tie on orderkey),
+    which selects the same row.
     """
     e = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id")
     o = load_table(spark, sf_dir, "orders").select(
@@ -312,13 +318,19 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = e.join(
         o, (e.user_id == o.o_custkey) & (o.o_orderdate <= e.ts), "left"
     )
-    w = Window.partitionBy("event_id").orderBy(
-        F.col("o_orderdate").desc_nulls_last(), F.col("o_orderkey").desc_nulls_last()
+    best = F.max_by(
+        F.struct(F.col("o_orderkey"), F.col("o_orderdate")),
+        F.struct(F.col("o_orderdate"), F.col("o_orderkey")),
     )
     return (
-        j.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("event_id", "user_id", "o_orderkey", "o_orderdate")
+        j.groupBy("event_id")
+        .agg(F.first("user_id").alias("user_id"), best.alias("best"))
+        .select(
+            "event_id",
+            "user_id",
+            F.col("best.o_orderkey").alias("o_orderkey"),
+            F.col("best.o_orderdate").alias("o_orderdate"),
+        )
     )
 
 
