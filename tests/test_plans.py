@@ -1,0 +1,89 @@
+"""Physical-plan regression guards.
+
+Correctness tests prove the right ANSWER; these prove the right PLAN — the
+properties that keep the operators viable at 100 TB. A refactor that
+silently turns the bucketed range join back into a nested-loop join, or
+loses filter pushdown, fails here long before anyone runs it at scale.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from graph_vulcan_assets_spark.registry import all_queries
+
+QUERIES = all_queries()
+
+
+def plan_of(spark, sf_dir, name: str) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        QUERIES[name](spark, sf_dir).explain("formatted")
+    return buf.getvalue()
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "q_scan_pruned")
+    read_schema = [l for l in p.splitlines() if "ReadSchema" in l][0]
+    assert "l_orderkey" in read_schema and "l_extendedprice" in read_schema
+    assert "l_shipdate" not in read_schema  # 9 of 11 columns never read
+
+
+def test_filters_push_to_parquet(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "q_filter_eq")
+    pushed = [l for l in p.splitlines() if "PushedFilters" in l][0]
+    assert "EqualTo(event_type,purchase)" in pushed
+    assert "EqualTo(user_id,7)" in pushed
+
+
+def test_range_join_is_not_nested_loop(spark, sf_dir):
+    """The bucketed range join must stay an equi-join: a
+    BroadcastNestedLoopJoin/CartesianProduct here is O(n²) at scale."""
+    p = plan_of(spark, sf_dir, "q_join_range")
+    assert "NestedLoop" not in p
+    assert "CartesianProduct" not in p
+    assert "HashJoin" in p or "SortMergeJoin" in p
+
+
+def test_topk_uses_window_group_limit(spark, sf_dir):
+    """rank<=k must compile to WindowGroupLimit (per-partition top-k
+    pruning before the shuffle)."""
+    assert "WindowGroupLimit" in plan_of(spark, sf_dir, "q_win_topk_group")
+
+
+def test_global_topk_avoids_full_sort(spark, sf_dir):
+    assert "TakeOrderedAndProject" in plan_of(spark, sf_dir, "q_topk")
+
+
+def test_dimension_joins_broadcast(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "q_join_broadcast")
+    assert "BroadcastHashJoin" in p
+
+
+def test_asof_join_is_partial_aggregate(spark, sf_dir):
+    """The as-of join reduces matches with a partial+final aggregate pair
+    (struct-typed max_by buffers compile to SortAggregate — still map-side
+    pre-reduced before the shuffle), never a nested-loop join."""
+    p = plan_of(spark, sf_dir, "q_join_asof")
+    assert p.count("SortAggregate") + p.count("HashAggregate") >= 2
+    assert "NestedLoop" not in p
+
+
+def test_flagship_aggregate_is_partial_final(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "q_agg_groupby")
+    # partial + final HashAggregate pair = map-side combine before shuffle
+    assert p.count("HashAggregate") >= 2
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["q_dedup_near", "q_sim_lsh_bucketed", "q_dedup_exact", "q_win_last_event"],
+)
+def test_no_cartesian_anywhere(spark, sf_dir, name):
+    """Unbounded-pair operators must bucket, never cross-join."""
+    p = plan_of(spark, sf_dir, name)
+    assert "CartesianProduct" not in p
+    assert "NestedLoop" not in p
