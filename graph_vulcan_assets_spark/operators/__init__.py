@@ -9,3 +9,5 @@ import graph_vulcan_assets_spark.operators.joins  # noqa: F401
 import graph_vulcan_assets_spark.operators.aggregates  # noqa: F401
 import graph_vulcan_assets_spark.operators.windows  # noqa: F401
 import graph_vulcan_assets_spark.operators.sorts_sets  # noqa: F401
+import graph_vulcan_assets_spark.operators.skew  # noqa: F401
+import graph_vulcan_assets_spark.operators.bucketing  # noqa: F401

@@ -110,6 +110,27 @@ def test_reapplied_batch_is_noop(spark, tmp_path):
     assert read_final_state(spark, stream) == before
 
 
+def test_crash_before_marker_reapplies_cleanly(spark, tmp_path):
+    """Crash simulation for commit-after-process (kafka.go:98-104): state
+    files written but the batch marker (the 'offset commit') lost. The
+    redelivered batch must re-apply and converge to the same final state."""
+    import os
+
+    msgs = fixtures.golden_messages()
+    stream = TemporalGraphStream(spark, str(tmp_path / "state"))
+    stream.apply_batch(spark.createDataFrame(msgs[:8], schema=RAW_SCHEMA), 0)
+    stream.apply_batch(spark.createDataFrame(msgs[8:], schema=RAW_SCHEMA), 1)
+    expected = read_final_state(spark, stream)
+
+    # "crash": drop batch 1's marker — as if the process died after the
+    # state write but before the commit point
+    os.remove(os.path.join(str(tmp_path / "state"), "_applied", "1"))
+    assert stream._applied_batches() == [0]
+    stream.apply_batch(spark.createDataFrame(msgs[8:], schema=RAW_SCHEMA), 1)
+    assert read_final_state(spark, stream) == expected
+    assert read_final_state(spark, stream) == state_from_interpreter(msgs)
+
+
 def test_restart_resumes_from_checkpoint(spark, tmp_path):
     msgs = fixtures.golden_messages()
     input_dir = str(tmp_path / "input")
