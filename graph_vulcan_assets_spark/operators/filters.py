@@ -292,6 +292,62 @@ def q_filter_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_subquery_scalar",
+    oracle="""
+    SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+    """,
+)
+def q_subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery (generalization): above-average filter.
+
+    Expressed through the SQL surface so Catalyst's subquery handling is
+    exercised (the scalar subquery becomes a one-row broadcast). The avg
+    is compared, not output, so double-vs-double comparison noise cannot
+    flip membership except for a row exactly AT the average — impossible
+    here (avg of 15k 2-decimal values has ~10 decimal digits).
+    """
+    from graph_vulcan_assets_spark.tables import load_table as _lt
+
+    _lt(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal
+        FROM customer
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+        """
+    )
+
+
+@query(
+    "q_subquery_exists_corr",
+    oracle="""
+    SELECT o_orderkey, o_custkey
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+    """,
+)
+def q_subquery_exists_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS subquery (generalization): decorrelated by
+    Catalyst into a left-semi join — the declarative form of the
+    reference's per-row existence lookups (main.go:305-323)."""
+    from graph_vulcan_assets_spark.tables import load_table as _lt
+
+    _lt(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    _lt(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey
+        FROM orders o
+        WHERE EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+        """
+    )
+
+
+@query(
     "q_filter_in_like",
     oracle="""
     SELECT c_custkey, c_name, c_mktsegment
