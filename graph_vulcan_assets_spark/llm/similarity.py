@@ -84,6 +84,70 @@ def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q_sim_ivf")
+def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN (X3 scale path, rows-only): inverted-file index with
+    deterministic centroids.
+
+    IVF in three declarative stages, no MLlib and no iterative training:
+    1. centroids = a deterministic 1-in-25 sample of the corpus (for a
+       trained variant, swap in k-means centers — the dataflow is
+       unchanged);
+    2. assignment: every vector → nearest centroid (broadcast centroids,
+       per-row argmin — linear scan, one pass);
+    3. probe: each query searches only vectors assigned to its `nprobe`
+       nearest centroids — an equi-join on centroid id instead of an
+       all-pairs scan. At 100 TB the assignment is the only full pass;
+       probing touches ~nprobe/k of the corpus.
+    """
+    nprobe = 3
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    centroids = e.where(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+
+    def with_centroids(src: DataFrame, vec_col: str, k: int, out: str) -> DataFrame:
+        """Attach each row's k nearest centroid ids (broadcast argmin)."""
+        joined = src.crossJoin(F.broadcast(centroids)).withColumn(
+            "__cos",
+            dot(F.col(vec_col), F.col("cvec"))
+            / (l2_norm(F.col(vec_col)) * l2_norm(F.col("cvec"))),
+        )
+        w = Window.partitionBy(src.columns[0]).orderBy(
+            F.col("__cos").desc(), F.col("cid")
+        )
+        return (
+            joined.withColumn("__rk", F.row_number().over(w))
+            .where(F.col("__rk") <= k)
+            .select(*src.columns, F.col("cid").alias(out))
+        )
+
+    assigned = with_centroids(e, "embedding", 1, "cell")
+    queries = e.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    probes = with_centroids(queries, "qe", nprobe, "cell")
+
+    pairs = (
+        probes.join(assigned, "cell")
+        .where(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("nid"),
+            (
+                dot(F.col("qe"), F.col("embedding"))
+                / (l2_norm(F.col("qe")) * l2_norm(F.col("embedding")))
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .select("qid", "nid", F.round("cos", 6).alias("cos"))
+    )
+
+
 @query("q_sim_lsh_bucketed")
 def q_sim_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed ANN (X3 scale path, rows-only).

@@ -180,6 +180,56 @@ def q_win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_sessionize",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sessioned AS (
+      SELECT user_id, event_id, ts, value,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM marked)
+    SELECT user_id, session_no, count(*) AS n_events,
+           min(ts) AS session_start, max(ts) AS session_end,
+           round(sum(CAST(round(value * 1000000, 0) AS BIGINT)) / 1000000.0, 2)
+             AS session_value
+    FROM sessioned GROUP BY user_id, session_no
+    """,
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (W-family extension): 30-minute-gap sessions.
+
+    The classic lag + cumulative-sum-of-gap-markers pattern: a new session
+    starts when the gap to the previous event exceeds the threshold; the
+    running sum of start-markers numbers the sessions. One shuffle on
+    user_id serves both windows and the final aggregate. The streaming
+    equivalent is session_window() (streaming/windows.py).
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    new_session = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    cum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sessioned = e.withColumn("new_session", new_session).withColumn(
+        "session_no", F.sum("new_session").over(cum)
+    )
+    micros = F.round(F.col("value") * 1000000, 0).cast("long")
+    return sessioned.groupBy("user_id", "session_no").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.round(F.sum(micros) / 1000000.0, 2).alias("session_value"),
+    )
+
+
+@query(
     "q_win_topk_group",
     oracle="""
     SELECT user_id, event_id, event_type, round(value, 2) AS value
