@@ -239,6 +239,58 @@ def q_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_agg_listagg",
+    oracle="""
+    SELECT n_regionkey,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def q_agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation: collect + sort + join.
+
+    Deterministic by construction (explicit sort inside the aggregate) —
+    an unordered listagg would be partition-order-dependent and could
+    never hash-match an oracle.
+    """
+    n = load_table(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations")
+    )
+
+
+@query(
+    "q_agg_mode",
+    oracle="""
+    SELECT user_id, event_type AS top_type, n AS top_n
+    FROM (
+      SELECT user_id, event_type, count(*) AS n,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY count(*) DESC, event_type) AS rn
+      FROM events GROUP BY user_id, event_type)
+    WHERE rn = 1
+    """,
+)
+def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mode: most frequent value per group, ties broken by
+    value order (a bare mode() is tie-nondeterministic across engines)."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    counts = e.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("user_id").orderBy(F.col("n").desc(), F.col("event_type"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("top_type"),
+            F.col("n").alias("top_n"),
+        )
+    )
+
+
+@query(
     "q_agg_pivot",
     oracle="""
     SELECT user_id,
