@@ -115,11 +115,12 @@ def normalize_aws_account(col: F.Column) -> F.Column:
     )
 
 
-def decode_events(raw: DataFrame) -> DataFrame:
+def decode_events(raw: DataFrame, annotation_key: str = AWS_ANNOTATION_KEY) -> DataFrame:
     """Decode + gate the raw stream into typed event rows.
 
     Output columns: seq, ts, is_tombstone, asset_type, identifier, team_id,
-    team_name, aws_accounts (array of normalized ARNs).
+    team_name, aws_accounts (array of normalized ARNs). `annotation_key`
+    mirrors cfg.AWSAccountAnnotationKey (main.go:131-138).
 
     Rows failing the mandatory-header or semver checks are dropped here
     (the engine's dead-letter split; the reference instead halts —
@@ -145,7 +146,7 @@ def decode_events(raw: DataFrame) -> DataFrame:
         F.array().cast("array<struct<Key:string,Value:string>>"),
     )
     aws_accounts = F.transform(
-        F.filter(annotations, lambda a: a["Key"] == AWS_ANNOTATION_KEY),
+        F.filter(annotations, lambda a: a["Key"] == annotation_key),
         lambda a: normalize_aws_account(a["Value"]),
     )
 

@@ -90,11 +90,25 @@ def kafka_reader(
 
 
 class TemporalGraphStream:
-    """Incremental state maintenance over a stream of raw messages."""
+    """Incremental state maintenance over a stream of raw messages.
 
-    def __init__(self, spark: SparkSession, state_dir: str):
+    `annotation_key` mirrors cfg.AWSAccountAnnotationKey; `fault` is a
+    test hook invoked before each batch commit (raise to simulate a crash
+    between processing and offset commit — kafka_test.go:136-211's
+    crash/replay scenario).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_dir: str,
+        annotation_key: str | None = None,
+        fault=None,
+    ):
         self.spark = spark
         self.state_dir = state_dir
+        self.annotation_key = annotation_key
+        self.fault = fault
         os.makedirs(os.path.join(state_dir, "_applied"), exist_ok=True)
 
     # ---- state I/O ------------------------------------------------------
@@ -130,7 +144,10 @@ class TemporalGraphStream:
         if batch_id in self._applied_batches():
             return  # replayed micro-batch after recovery: idempotent skip
 
-        decoded = decode_events(raw_batch)
+        if self.annotation_key is not None:
+            decoded = decode_events(raw_batch, self.annotation_key)
+        else:
+            decoded = decode_events(raw_batch)
         ev = events_from_decoded(decoded)
         state = self.read_state()
         if state is not None:
@@ -140,6 +157,8 @@ class TemporalGraphStream:
         # materialize before writing (state tables are small; the replay
         # plan references the previous snapshot being overwritten)
         new_state = {t: df.localCheckpoint(eager=True) for t, df in new_state.items()}
+        if self.fault is not None:
+            self.fault(batch_id)  # crash injection point (pre-commit)
         self._write_state(new_state, batch_id)
 
     # ---- stream wiring --------------------------------------------------
@@ -156,6 +175,34 @@ class TemporalGraphStream:
             .trigger(availableNow=True)
             .start()
         )
+
+
+def run_with_retry(
+    start_stream,
+    retry_seconds: float,
+    max_attempts: int = 10,
+) -> None:
+    """Restart-on-failure loop matching the reference's outer retry
+    (cmd/graph-vulcan-assets/main.go:71-91): on stream failure, wait
+    `retry_seconds` and restart from the same checkpoint; a zero retry
+    duration re-raises immediately (RETRY_DURATION=0 ⇒ exit on error).
+
+    `start_stream` is a zero-arg callable returning a StreamingQuery
+    (e.g. lambda: stream.run_file_stream(input_dir, ckpt)).
+    """
+    import time as _time
+
+    attempts = 0
+    while True:
+        attempts += 1
+        try:
+            q = start_stream()
+            q.awaitTermination()
+            return
+        except Exception:
+            if retry_seconds == 0 or attempts >= max_attempts:
+                raise
+            _time.sleep(retry_seconds)
 
 
 def seed_events(state: dict[str, DataFrame]) -> dict[str, DataFrame]:

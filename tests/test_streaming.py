@@ -131,6 +131,46 @@ def test_crash_before_marker_reapplies_cleanly(spark, tmp_path):
     assert read_final_state(spark, stream) == state_from_interpreter(msgs)
 
 
+def test_retry_runner_recovers_from_injected_crash(spark, tmp_path):
+    """The reference's outer retry loop (main.go:71-91): a crash between
+    processing and commit kills the stream; the retry restarts it from the
+    checkpoint, the batch re-applies, and the final state is exact."""
+    from graph_vulcan_assets_spark.streaming.ingest import run_with_retry
+
+    msgs = fixtures.golden_messages()
+    input_dir = str(tmp_path / "input")
+    write_chunks(msgs, input_dir)
+
+    crashed = {"done": False}
+
+    def fault(batch_id):
+        if batch_id == 1 and not crashed["done"]:
+            crashed["done"] = True
+            raise RuntimeError("injected crash before offset commit")
+
+    stream = TemporalGraphStream(spark, str(tmp_path / "state"), fault=fault)
+    run_with_retry(
+        lambda: stream.run_file_stream(input_dir, str(tmp_path / "ckpt")),
+        retry_seconds=0.1,
+    )
+    assert crashed["done"]
+    assert read_final_state(spark, stream) == state_from_interpreter(msgs)
+
+
+def test_custom_annotation_key(spark, tmp_path):
+    """cfg.AWSAccountAnnotationKey is configurable (main.go:131-138):
+    with a different key, the default-key annotations are ignored."""
+    msgs = fixtures.golden_messages()
+    stream = TemporalGraphStream(
+        spark, str(tmp_path / "state"), annotation_key="some/other-key"
+    )
+    stream.apply_batch(spark.createDataFrame(msgs, schema=RAW_SCHEMA), 0)
+    state = stream.read_state()
+    types = {r["type"] for r in state["assets"].collect()}
+    assert "AWSAccount" not in types  # no annotations matched
+    assert state["parent_of"].count() == 0
+
+
 def test_restart_resumes_from_checkpoint(spark, tmp_path):
     msgs = fixtures.golden_messages()
     input_dir = str(tmp_path / "input")
