@@ -1,0 +1,65 @@
+"""Event-sourced asset history (SCD2) — time travel beyond the reference.
+
+The reference's `valid_at` filters the CURRENT row's interval
+(inventory/inventory.go:173-193): after a resurrection, past expiry windows
+are invisible. This module keeps the full version history — one row per
+state change with a [valid_from, valid_to) validity interval — so
+`assets_as_of(history, t)` answers "what did the graph look like at t"
+exactly, for any t.
+
+Built on the replay's shared guard derivation (plans.temporal.
+derive_guard_frames), so the expiry semantics exist in exactly one place.
+All windows partition by the asset key — one shuffle, scales with history
+size per asset.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from graph_vulcan_assets_spark.plans.temporal import (
+    UNEXPIRED,
+    derive_guard_frames,
+    events_from_decoded,
+)
+
+
+def asset_history(decoded: DataFrame) -> DataFrame:
+    """Version table: one row per asset state change.
+
+    Columns: type, identifier, valid_from, valid_to (NULL for the current
+    version; half-open [valid_from, valid_to)), first_seen, last_seen,
+    expiration, expired — the attribute values AS OF that version.
+    """
+    ev = events_from_decoded(decoded)
+    g = derive_guard_frames(ev)
+
+    touches = ev["asset_refresh"].withColumn("kind", F.lit("refresh")).unionByName(
+        g["guarded_expire"].withColumn("kind", F.lit("expire"))
+    )
+    wk = Window.partitionBy("asset_type", "identifier").orderBy("seq")
+    wall = Window.partitionBy("asset_type", "identifier")
+    return touches.select(
+        F.col("asset_type").alias("type"),
+        "identifier",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(wk).alias("valid_to"),
+        F.min_by("ts", "seq").over(wall).alias("first_seen"),
+        F.col("ts").alias("last_seen"),
+        F.when(F.col("kind") == "expire", F.col("ts"))
+        .otherwise(F.lit(UNEXPIRED).cast("timestamp"))
+        .alias("expiration"),
+        (F.col("kind") == "expire").alias("expired"),
+    )
+
+
+def assets_as_of(history: DataFrame, t: datetime.datetime) -> DataFrame:
+    """Snapshot of asset state at instant t (true time travel: a later
+    resurrection does not rewrite what was visible at t)."""
+    return history.where(
+        (F.col("valid_from") <= F.lit(t))
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > F.lit(t)))
+    ).select("type", "identifier", "first_seen", "last_seen", "expiration", "expired")

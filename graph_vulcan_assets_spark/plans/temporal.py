@@ -228,30 +228,21 @@ def events_from_decoded(decoded: DataFrame) -> dict[str, DataFrame]:
     }
 
 
-def replay_from_events(ev: dict[str, DataFrame]) -> dict[str, DataFrame]:
-    """Replay primitive event frames into final state tables.
-
-    Returns {"assets", "teams", "owns", "parent_of"} DataFrames with the
-    schemas of FIXTURES.md §2 (surrogate ids omitted; natural keys are the
-    identity, matching the reference's order-insensitive golden comparison
-    that ignores ids, main_test.go:374-392).
-    """
+def derive_guard_frames(ev: dict[str, DataFrame]) -> dict[str, DataFrame]:
+    """Shared derivations: creation watermarks, owns-pair timeline, and the
+    guarded (successful) expires. Used by the state replay and by the
+    history/time-travel module so the expiry guard logic exists once."""
     asset_refresh = ev["asset_refresh"]
     team_events = ev["team_events"]
     pair_activate = ev["pair_activate"]
     tombstone = ev["tombstones"]
-    edge_activate_raw = ev["edge_activate"]
 
     asset_created = asset_refresh.groupBy("asset_type", "identifier").agg(
         F.min("seq").alias("created_seq"),
         F.min_by("ts", "seq").alias("first_seen"),
     )
-
-    # ---- teams: created on refresh, name last-wins (main.go:171-195)
-    team_created = team_events.groupBy("team_id").agg(F.min("seq").alias("team_created_seq"))
-    teams = (
-        _last_by_seq(team_events, ["team_id"])
-        .select(F.col("team_id").alias("identifier"), F.col("team_name").alias("name"))
+    team_created = team_events.groupBy("team_id").agg(
+        F.min("seq").alias("team_created_seq")
     )
 
     # ---- tombstones that pass the existence guards (main.go:276-295)
@@ -326,6 +317,38 @@ def replay_from_events(ev: dict[str, DataFrame]) -> dict[str, DataFrame]:
         .select("seq", "ts", "asset_type", "identifier")
         .cache()
     )
+    return {
+        "asset_created": asset_created,
+        "team_created": team_created,
+        "pair_created": pair_created,
+        "pair_timeline": pair_timeline,
+        "guarded_expire": guarded_expire,
+    }
+
+
+def replay_from_events(ev: dict[str, DataFrame]) -> dict[str, DataFrame]:
+    """Replay primitive event frames into final state tables.
+
+    Returns {"assets", "teams", "owns", "parent_of"} DataFrames with the
+    schemas of FIXTURES.md §2 (surrogate ids omitted; natural keys are the
+    identity, matching the reference's order-insensitive golden comparison
+    that ignores ids, main_test.go:374-392).
+    """
+    asset_refresh = ev["asset_refresh"]
+    team_events = ev["team_events"]
+    edge_activate_raw = ev["edge_activate"]
+
+    g = derive_guard_frames(ev)
+    asset_created = g["asset_created"]
+    pair_created = g["pair_created"]
+    pair_timeline = g["pair_timeline"]
+    guarded_expire = g["guarded_expire"]
+
+    # ---- teams: created on refresh, name last-wins (main.go:171-195)
+    teams = _last_by_seq(team_events, ["team_id"]).select(
+        F.col("team_id").alias("identifier"), F.col("team_name").alias("name")
+    )
+
     # forced (seeded) expires reconstruct an asset's recorded state but must
     # NOT re-cascade to edges: the seeded edge rows already reflect every
     # cascade that happened before the snapshot
