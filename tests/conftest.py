@@ -14,7 +14,8 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 @pytest.fixture(scope="session")
 def spark():
-    spark = get_spark(app_name="gvas-tests", master="local[8]", shuffle_partitions=8)
+    shuffle = int(os.environ.get("SPARK_GRAFT_TEST_SHUFFLE", "8"))
+    spark = get_spark(app_name="gvas-tests", master="local[8]", shuffle_partitions=shuffle)
     yield spark
 
 
