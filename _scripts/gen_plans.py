@@ -1,0 +1,62 @@
+"""Regenerate PLANS_r1.md — physical-plan audit of the headline queries."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import HEADLINE  # noqa: E402
+from graph_vulcan_assets_spark.registry import all_queries  # noqa: E402
+from graph_vulcan_assets_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    spark = get_spark(master="local[8]")
+    qs = all_queries()
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    lines = [
+        "# PLANS_r1 — physical-plan audit of the headline queries",
+        "",
+        "Generated from `.explain('formatted')` at sf0.1 (local[8], AQE on).",
+        "Regenerate: `python _scripts/gen_plans.py` (this file is a snapshot).",
+        "",
+        "| query | joins | aggregates | window | exchanges | pushed filters |",
+        "|---|---|---|---|---|---|",
+    ]
+    for name in HEADLINE:
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            qs[name](spark, sf_dir).explain("formatted")
+        p = buf.getvalue()
+        joins = sorted(set(re.findall(r"(\w+Join\w*) ", p)))
+        aggs = len(re.findall(r"\(\d+\) \w*Aggregate", p))
+        wins = len(re.findall(r"\(\d+\) Window", p)) + p.count("WindowGroupLimit")
+        exch = len(re.findall(r"\(\d+\) (?:Broadcast)?Exchange", p))
+        pushed = (
+            "yes"
+            if "PushedFilters: [" in p and not re.search(r"PushedFilters: \[\]", p)
+            else "—"
+        )
+        lines.append(
+            f"| `{name}` | {', '.join(joins) if joins else '—'} | {aggs} | {wins} | {exch} | {pushed} |"
+        )
+    lines += [
+        "",
+        "Invariants enforced by `tests/test_plans.py`: no CartesianProduct /",
+        "BroadcastNestedLoopJoin anywhere in pair-generating operators; filter",
+        "pushdown and column pruning reach the Parquet scan; top-k compiles to",
+        "WindowGroupLimit / TakeOrderedAndProject; aggregates are partial+final.",
+    ]
+    out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS_r1.md")
+    with open(out, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()
