@@ -408,18 +408,28 @@ def replay_from_events(ev: dict[str, DataFrame]) -> dict[str, DataFrame]:
     edge_keys = edge_created.select(
         "child_type", "child_identifier", "parent_type", "parent_identifier", "edge_created_seq"
     )
+    # endpoint match is an OR over (child, parent): expressed as TWO
+    # equi-joins unioned — the single OR-condition join would compile to a
+    # CartesianProduct (quadratic in edges × expires at scale). An expire
+    # matching both endpoints yields duplicate candidates; the
+    # first-per-activate groupBy below collapses them.
+    out_cols = [
+        "seq", "ts", "child_type", "child_identifier", "parent_type", "parent_identifier"
+    ]
+    child_side = edge_keys.join(
+        exp,
+        (F.col("xt") == F.col("child_type"))
+        & (F.col("xi") == F.col("child_identifier"))
+        & (F.col("seq") > F.col("edge_created_seq")),
+    ).select(*out_cols)
+    parent_side = edge_keys.join(
+        exp,
+        (F.col("xt") == F.col("parent_type"))
+        & (F.col("xi") == F.col("parent_identifier"))
+        & (F.col("seq") > F.col("edge_created_seq")),
+    ).select(*out_cols)
     edge_expire_candidates = (
-        edge_keys.join(
-            exp,
-            (
-                ((F.col("xt") == F.col("child_type")) & (F.col("xi") == F.col("child_identifier")))
-                | ((F.col("xt") == F.col("parent_type")) & (F.col("xi") == F.col("parent_identifier")))
-            )
-            & (F.col("seq") > F.col("edge_created_seq")),
-        )
-        .select(
-            "seq", "ts", "child_type", "child_identifier", "parent_type", "parent_identifier"
-        )
+        child_side.unionByName(parent_side)
         # forced (seeded) edge expires join the candidate pool: they carry
         # the smallest seq after their activate, so the first-per-activate
         # rule keeps them applied and correctly skips later real expires

@@ -87,3 +87,23 @@ def test_no_cartesian_anywhere(spark, sf_dir, name):
     p = plan_of(spark, sf_dir, name)
     assert "CartesianProduct" not in p
     assert "NestedLoop" not in p
+
+
+def test_temporal_replay_has_no_cartesian(spark):
+    """The edge-expiry endpoint match is an OR over (child, parent): it
+    must stay two unioned equi-joins — the naive OR-condition join
+    compiles to CartesianProduct (quadratic in edges × expires)."""
+    import contextlib
+    import io
+
+    from graph_vulcan_assets_spark.plans import fixtures
+    from graph_vulcan_assets_spark.plans.temporal import RAW_SCHEMA, replay_raw
+
+    raw = spark.createDataFrame(fixtures.random_messages(3, n=100), schema=RAW_SCHEMA)
+    for table, df in replay_raw(raw).items():
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        p = buf.getvalue()
+        assert "CartesianProduct" not in p, table
+        assert "NestedLoop" not in p, table
