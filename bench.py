@@ -24,6 +24,8 @@ from graph_vulcan_assets_spark.session import get_spark
 
 HEADLINE = [
     "q_agg_groupby",
+    "q_shape_q3",
+    "q_shape_q10",
     "q_join_multiway",
     "q_join_asof",
     "q_join_range",
@@ -66,6 +68,23 @@ def main() -> None:
             run_to_completion(queries[name](spark, sf_dir))
             best = min(best, time.perf_counter() - start)
         timings[name] = round(best, 3)
+
+    # temporal-graph replay throughput: 20k-message random stream through
+    # the full decode → replay dataflow (the engine's answer to the
+    # reference's ≥5 HTTP round trips per event)
+    from graph_vulcan_assets_spark.plans.fixtures import random_messages
+    from graph_vulcan_assets_spark.plans.temporal import RAW_SCHEMA, replay_raw
+
+    msgs = random_messages(99, n=20000)
+    raw = spark.createDataFrame(msgs, schema=RAW_SCHEMA)
+    raw.count()  # materialize input outside the timing
+    best = float("inf")
+    for _ in range(2):
+        start = time.perf_counter()
+        for df in replay_raw(raw).values():
+            run_to_completion(df)
+        best = min(best, time.perf_counter() - start)
+    timings["temporal_replay_20k_events"] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(

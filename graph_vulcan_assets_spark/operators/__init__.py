@@ -11,3 +11,4 @@ import graph_vulcan_assets_spark.operators.windows  # noqa: F401
 import graph_vulcan_assets_spark.operators.sorts_sets  # noqa: F401
 import graph_vulcan_assets_spark.operators.skew  # noqa: F401
 import graph_vulcan_assets_spark.operators.bucketing  # noqa: F401
+import graph_vulcan_assets_spark.operators.composites  # noqa: F401
