@@ -4,3 +4,4 @@ text analysis, multimodal column plumbing."""
 import graph_vulcan_assets_spark.llm.dedup  # noqa: F401
 import graph_vulcan_assets_spark.llm.similarity  # noqa: F401
 import graph_vulcan_assets_spark.llm.text  # noqa: F401
+import graph_vulcan_assets_spark.llm.clustering  # noqa: F401
