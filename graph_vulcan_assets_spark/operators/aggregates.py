@@ -99,9 +99,12 @@ def q_agg_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
                     AS BIGINT)) / 1000000.0 AS sum_disc_price,
            sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000, 0)
                     AS BIGINT)) / 1000000.0 AS sum_charge,
-           round(avg(l_quantity), 4) AS avg_qty,
-           round(avg(l_extendedprice), 4) AS avg_price,
-           round(avg(l_discount), 6) AS avg_disc,
+           sum(CAST(round(l_quantity * 1000000, 0) AS BIGINT)) / 1000000.0
+             / count(*) AS avg_qty,
+           sum(CAST(round(l_extendedprice * 1000000, 0) AS BIGINT)) / 1000000.0
+             / count(*) AS avg_price,
+           sum(CAST(round(l_discount * 1000000, 0) AS BIGINT)) / 1000000.0
+             / count(*) AS avg_disc,
            count(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -138,9 +141,13 @@ def q_agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
             micros(F.col("l_extendedprice")).alias("sum_base_price"),
             micros(disc_price).alias("sum_disc_price"),
             micros(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            # averages as exact-sum / count: bit-identical in both engines
+            # with no rounding step — round(avg(x), p) can land exactly on
+            # a half boundary when x has fixed decimals and the group size
+            # divides the sum (engines disagree on the tie direction)
+            (micros(F.col("l_quantity")) / F.count("*")).alias("avg_qty"),
+            (micros(F.col("l_extendedprice")) / F.count("*")).alias("avg_price"),
+            (micros(F.col("l_discount")) / F.count("*")).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
     )

@@ -58,6 +58,49 @@ def q_shape_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_join_part_supplier",
+    oracle="""
+    SELECT p_brand, s_nationkey,
+           sum(CAST(round(l_quantity * 1000000, 0) AS BIGINT)) / 1000000.0 AS sum_qty,
+           sum(CAST(round(p_retailprice * 1000000, 0) AS BIGINT)) / 1000000.0
+             / count(*) AS avg_retail,
+           count(DISTINCT l_suppkey) AS n_suppliers,
+           count(*) AS n_items
+    FROM lineitem
+    JOIN part     ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    WHERE p_type IN ('ECONOMY', 'PROMO')
+    GROUP BY p_brand, s_nationkey
+    """,
+)
+def q_join_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Part/supplier dimension joins (completes table coverage): lineitem
+    resolved against both dimensions, grouped by brand × supplier nation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(
+        F.col("p_type").isin("ECONOMY", "PROMO")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy("p_brand", "s_nationkey")
+        .agg(
+            (F.sum(F.round(F.col("l_quantity") * 1000000, 0).cast("long")) / 1000000.0).alias("sum_qty"),
+            # exact-sum / count: bit-identical in both engines — avg() of
+            # 2-decimal prices lands exactly on round-half boundaries
+            (
+                F.sum(F.round(F.col("p_retailprice") * 1000000, 0).cast("long"))
+                / 1000000.0
+                / F.count("*")
+            ).alias("avg_retail"),
+            F.countDistinct("l_suppkey").alias("n_suppliers"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@query(
     "q_shape_q10",
     oracle="""
     SELECT c_custkey, c_name, n_name,
