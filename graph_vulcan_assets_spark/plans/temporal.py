@@ -180,6 +180,13 @@ def decode_events(raw: DataFrame, annotation_key: str = AWS_ANNOTATION_KEY) -> D
 
 
 def _last_by_seq(df: DataFrame, keys: list[str]) -> DataFrame:
+    """One row per key: the row with the greatest seq.
+
+    Window row_number, not max_by: measured 2× faster here — max_by with a
+    struct buffer compiles to SortAggregate (sorts in BOTH the partial and
+    final phases) while the rank<=1 window compiles to WindowGroupLimit,
+    which pre-prunes each task's rows to 1 per key before the shuffle.
+    """
     w = Window.partitionBy(*keys).orderBy(F.col("seq").desc())
     return df.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1).drop("__rn")
 
