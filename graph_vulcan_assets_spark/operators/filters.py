@@ -136,7 +136,7 @@ def q_split_key(spark: SparkSession, sf_dir: str) -> DataFrame:
              unnest(embedding) AS val,
              unnest(range(len(embedding))) AS pos
       FROM embeddings)
-    WHERE val > 0.5
+    WHERE val > 0.3
     """,
 )
 def q_explode_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -144,12 +144,13 @@ def q_explode_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reference iterates annotation arrays keeping matching keys
     (cmd/graph-vulcan-assets/main.go:131-138); here posexplode over the
-    embedding array keeps components > 0.5.
+    embedding array keeps components > 0.3 (testdata max component is
+    ~0.458, so the filter actually selects a non-empty minority).
     """
     e = load_table(spark, sf_dir, "embeddings")
     return (
         e.select("vec_id", F.posexplode("embedding").alias("pos", "val"))
-        .where(F.col("val") > 0.5)
+        .where(F.col("val") > 0.3)
         .select(
             "vec_id",
             F.col("pos").cast("long").alias("pos"),

@@ -165,16 +165,19 @@ def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_custkey, c_name
     FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
     """,
 )
 def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left anti join (J5): NOT EXISTS — customers with no orders at all.
+    """Left anti join (J5): NOT EXISTS — customers with no finished orders.
 
-    Mirrors "assets with no active owner" (main.go:305-323).
+    Mirrors "assets with no active owner" (main.go:305-323). The anti join
+    runs against the status='F' subset so survivors exist in the testdata
+    (every customer has at least one order of some status).
     """
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
         "c_custkey", "c_name"
     )

@@ -191,8 +191,9 @@ def q_win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
     sessioned AS (
       SELECT user_id, event_id, ts, value,
-             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                    ROWS UNBOUNDED PRECEDING) AS session_no
+             CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS session_no
       FROM marked)
     SELECT user_id, session_no, count(*) AS n_events,
            min(ts) AS session_start, max(ts) AS session_end,

@@ -45,14 +45,95 @@ def load_all() -> None:
     import graph_vulcan_assets_spark.llm  # noqa: F401
 
 
+# Exposure order for ``queries()`` / ``oracle_sql()``. The driver runs its
+# correctness budget over queries in iteration order, so every SURVEY §2
+# [DECLARE] key is exposed before the §2.12 extensions. Within the declared
+# set: first the keys with no round-1 driver row (set ops, scalar-function
+# families, temporal batch queries, LLM extensions), then the keys whose
+# round-1 row needs refreshing (q_sessionize oracle type fix; de-vacuated
+# q_explode_filter / q_join_anti), then the remaining declared inventory.
+# The tail of the declared block (window/sort generalizations) already has
+# green round-1 rows, so it loses the least if a fixed-size budget cuts off.
+PRIORITY: tuple[str, ...] = (
+    # -- declared, no driver row in round 1 (SURVEY §2.7/2.8/2.9/2.11)
+    "q_union_all",
+    "q_union_distinct",
+    "q_intersect",
+    "q_except",
+    "q_str_funcs",
+    "q_date_funcs",
+    "q_math_funcs",
+    "q_case_when",
+    "q_json_extract",
+    "q_array_funcs",
+    "q_map_funcs",
+    "q_tombstone_expire",
+    "q_time_tumbling",
+    "q_cascade_expire",
+    "q_dedup_exact",
+    "q_sim_topk",
+    "q_text_stats",
+    "q_text_search",
+    # -- fixed this round, need fresh rows
+    "q_sessionize",
+    "q_explode_filter",
+    "q_join_anti",
+    # -- remaining declared inventory (green round-1 rows)
+    "q_agg_groupby",
+    "q_scan_events",
+    "q_scan_pruned",
+    "q_limit_offset",
+    "q_filter_notnull",
+    "q_semver_gate",
+    "q_split_key",
+    "q_regex_normalize",
+    "q_filter_eq",
+    "q_valid_at",
+    "q_filter_range",
+    "q_filter_in_like",
+    "q_join_inner",
+    "q_join_multiway",
+    "q_join_broadcast",
+    "q_join_left",
+    "q_join_semi",
+    "q_join_range",
+    "q_join_asof",
+    "q_upsert_merge",
+    "q_dup_detect",
+    "q_agg_any_active",
+    "q_agg_minmax",
+    "q_agg_distinct",
+    "q_agg_rollup",
+    "q_agg_cube",
+    "q_agg_having",
+    "q_agg_stats",
+    "q_win_last_event",
+    "q_win_first_seen",
+    "q_win_rank",
+    "q_win_lag_lead",
+    "q_win_running_sum",
+    "q_win_range_frame",
+    "q_win_topk_group",
+    "q_sort_multi",
+    "q_topk",
+)
+
+
+def _ordered(mapping: dict[str, Any]) -> dict[str, Any]:
+    """Priority keys first (in PRIORITY order), then the rest as registered."""
+    out = {k: mapping[k] for k in PRIORITY if k in mapping}
+    out.update((k, v) for k, v in mapping.items() if k not in out)
+    return out
+
+
 def all_queries() -> dict[str, QueryFn]:
     load_all()
-    return dict(QUERIES)
+    return _ordered(QUERIES)
 
 
 def all_oracle_sql() -> dict[str, str]:
     load_all()
-    return dict(ORACLE)
+    return _ordered(ORACLE)
 
 
 def describe() -> list[dict[str, Any]]:

@@ -46,3 +46,22 @@ def test_every_query_has_callable_and_oracle_alignment(spark):
     # declared queries must be oracle-checked (not silently rows-only)
     no_oracle = [k for k in declared if k not in osql]
     assert not no_oracle, f"declared queries missing oracle SQL: {no_oracle}"
+
+
+def test_declared_queries_register_before_extensions():
+    """The driver budgets correctness checks in iteration order: every
+    SURVEY §2 declared key (plus this round's fixed keys) must come before
+    any §2.12 extension in both queries() and oracle_sql()."""
+    from graph_vulcan_assets_spark import registry
+
+    mod = load_entry_module()
+    qs = list(mod.queries())
+    osql = list(mod.oracle_sql())
+    priority = list(registry.PRIORITY)
+    assert len(priority) == len(set(priority)), "duplicate PRIORITY keys"
+    assert qs[: len(priority)] == priority
+    # oracle_sql preserves the same relative order (rows-only keys absent)
+    expected_osql = [k for k in qs if k in set(osql)]
+    assert osql == expected_osql
+    # all priority keys actually exist
+    assert all(k in set(qs) for k in priority)

@@ -12,6 +12,7 @@ import decimal
 import math
 
 import duckdb
+import pyarrow as pa
 import pytest
 
 from graph_vulcan_assets_spark.registry import all_oracle_sql, all_queries
@@ -50,6 +51,60 @@ def normalize(v):
     return str(v)
 
 
+def arrow_family(t: pa.DataType) -> str:
+    """Coarse type family used to mirror the driver's type-tagged value hash.
+
+    Round 1 lesson: equal values with different Arrow type tags (DuckDB
+    HUGEINT → decimal128 vs Spark BIGINT → int64) hash differently on the
+    driver, while a value-only comparison passes. Comparing families catches
+    that class locally. Timestamps collapse to one family regardless of
+    unit/tz (the testdata itself mixes ns/ms and the driver tolerates it).
+    """
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_decimal(t):
+        return "decimal"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "str"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "bytes"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return "list"
+    return str(t)
+
+
+def spark_family(dt) -> str:
+    from pyspark.sql import types as T
+
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return "int"
+    if isinstance(dt, (T.FloatType, T.DoubleType)):
+        return "float"
+    if isinstance(dt, T.DecimalType):
+        return "decimal"
+    if isinstance(dt, T.BooleanType):
+        return "bool"
+    if isinstance(dt, T.StringType):
+        return "str"
+    if isinstance(dt, T.BinaryType):
+        return "bytes"
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return "timestamp"
+    if isinstance(dt, T.DateType):
+        return "date"
+    if isinstance(dt, T.ArrayType):
+        return "list"
+    return str(dt)
+
+
 def rows_to_multiset(rows, colnames):
     order = sorted(range(len(colnames)), key=lambda i: colnames[i])
     normalized = [tuple(normalize(r[i]) for i in order) for r in rows]
@@ -64,14 +119,27 @@ def test_oracle_parity(spark, sf_dir, name):
     spark_cols = sdf.columns
 
     con = duck_connection(sf_dir)
-    res = con.execute(ORACLE[name])
-    duck_cols = [d[0] for d in res.description]
-    duck_rows = res.fetchall()
+    arrow_tbl = con.execute(ORACLE[name]).fetch_arrow_table()
+    duck_cols = arrow_tbl.schema.names
+    duck_rows = [
+        tuple(col[i] for col in cols_py)
+        for cols_py in [[c.to_pylist() for c in arrow_tbl.columns]]
+        for i in range(arrow_tbl.num_rows)
+    ]
     con.close()
 
     assert sorted(spark_cols) == sorted(duck_cols), (
         f"{name}: column mismatch spark={spark_cols} duck={duck_cols}"
     )
+    # type-family parity (mirrors the driver's type-tagged hash)
+    duck_fams = {n: arrow_family(f.type) for n, f in zip(arrow_tbl.schema.names, arrow_tbl.schema)}
+    spark_fams = {f.name: spark_family(f.dataType) for f in sdf.schema.fields}
+    fam_mismatch = {
+        c: (spark_fams[c], duck_fams[c])
+        for c in spark_fams
+        if spark_fams[c] != duck_fams[c]
+    }
+    assert not fam_mismatch, f"{name}: type-family mismatch (spark, duck): {fam_mismatch}"
     assert len(spark_rows) == len(duck_rows), (
         f"{name}: row count spark={len(spark_rows)} duck={len(duck_rows)}"
     )
