@@ -14,11 +14,18 @@ Reference behavior re-expressed (SURVEY.md §2.9):
   micro-batch's decoded events are unioned with seed events derived from
   the persisted state and run through plans.temporal.replay_from_events.
 
-Scale notes: state tables are parquet snapshots written per batch
-(content-addressed by batch id). On a real deployment these become Delta
-tables with MERGE; the seed/replay logic is unchanged — only the state I/O
-swaps. All state transforms are joins/windows on entity keys; state size
-is O(live entities), not O(event history).
+Scale notes: incremental compute is O(micro-batch), not O(state) — each
+batch seeds ONLY the state rows whose entity keys the batch touches
+(broadcast semi-join on the batch's key set), replays that bounded subset,
+and unions the untouched remainder through unchanged (a pure columnar
+copy, no shuffle). State tables are parquet snapshots written per batch
+(content-addressed by batch id; superseded snapshots pruned, keeping the
+last two acknowledged for crash recovery). On a real deployment these
+become Delta tables with MERGE — then the untouched pass-through copy
+disappears too and the write side is also O(batch); the seed/replay logic
+is unchanged, only the state I/O swaps. All state transforms are
+joins/windows on entity keys; state size is O(live entities), not
+O(event history).
 
 Kafka wiring (untestable in this environment, no broker): see
 `kafka_reader()` — the standard readStream.format("kafka") with
@@ -29,6 +36,7 @@ decode→seed→replay→write path.
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -138,6 +146,33 @@ class TemporalGraphStream:
         # idempotent, matching kafka.go:98-104's commit-after-process)
         with open(os.path.join(self.state_dir, "_applied", str(batch_id)), "w") as f:
             f.write("ok")
+        self._prune_snapshots()
+
+    def _prune_snapshots(self) -> None:
+        """Remove superseded batch=N snapshot dirs.
+
+        Keeps the last TWO acknowledged snapshots: a crash between the
+        state write of batch N and its marker leaves N unacknowledged, and
+        the redelivered batch must still find N−1 intact to re-apply
+        against. Dirs older than that (and orphans from crashed attempts)
+        are dead weight — without pruning, snapshot storage grows
+        O(batches × state), the one unbounded resource in the design.
+        """
+        applied = self._applied_batches()
+        keep = set(applied[-2:])
+        if not keep:
+            return
+        newest = max(keep)
+        for t in STATE_TABLES:
+            base = os.path.join(self.state_dir, t)
+            if not os.path.isdir(base):
+                continue
+            for d in os.listdir(base):
+                if not d.startswith("batch="):
+                    continue
+                bid = int(d.split("=", 1)[1])
+                if bid not in keep and bid < newest:
+                    shutil.rmtree(os.path.join(base, d), ignore_errors=True)
 
     # ---- incremental application ---------------------------------------
     def apply_batch(self, raw_batch: DataFrame, batch_id: int) -> None:
@@ -150,10 +185,26 @@ class TemporalGraphStream:
             decoded = decode_events(raw_batch)
         ev = events_from_decoded(decoded)
         state = self.read_state()
-        if state is not None:
-            seeds = seed_events(state)
+        if state is None:
+            new_state = replay_from_events(ev)
+        else:
+            # O(batch) incremental step: seed ONLY the state rows whose
+            # entity keys this micro-batch touches; everything else passes
+            # through untouched (no join, no window, no shuffle — a
+            # straight columnar copy into the next snapshot).
+            touched_assets, touched_teams = touched_keys(ev)
+            touched_assets = touched_assets.localCheckpoint(eager=True)
+            touched_teams = touched_teams.localCheckpoint(eager=True)
+            seeded, untouched = split_state_by_touched(
+                state, touched_assets, touched_teams
+            )
+            seeds = seed_events(seeded)
             ev = {k: seeds[k].unionByName(ev[k]) for k in ev}
-        new_state = replay_from_events(ev)
+            replayed = replay_from_events(ev)
+            new_state = {
+                t: untouched[t].select(replayed[t].columns).unionByName(replayed[t])
+                for t in STATE_TABLES
+            }
         # eager local checkpoint: materializes each state table ONCE and
         # cuts the replay lineage, so the four table writes are cheap
         # re-reads (measured ~2x faster than lazy writes here) and plans
@@ -205,6 +256,83 @@ def run_with_retry(
             if retry_seconds == 0 or attempts >= max_attempts:
                 raise
             _time.sleep(retry_seconds)
+
+
+def touched_keys(ev: dict[str, DataFrame]) -> tuple[DataFrame, DataFrame]:
+    """The entity keys a micro-batch can possibly affect.
+
+    Asset keys come from refreshes (including the exploded AWSAccount
+    parents) and tombstones; team ids from refresh team events and
+    tombstone keys. Every downstream mutation is reachable only from
+    these: owns pairs are keyed by a touched asset, the tombstone cascade
+    (main.go:331-361) is one hop and expires only edges with a touched
+    endpoint, and new edges are created only between two touched assets
+    (child refresh + its AWSAccount annotation).
+    """
+    assets = (
+        ev["asset_refresh"]
+        .select("asset_type", "identifier")
+        .unionByName(ev["tombstones"].select("asset_type", "identifier"))
+        .distinct()
+    )
+    teams = (
+        ev["team_events"]
+        .select("team_id")
+        .unionByName(ev["tombstones"].select("team_id"))
+        .distinct()
+    )
+    return assets, teams
+
+
+def split_state_by_touched(
+    state: dict[str, DataFrame],
+    touched_assets: DataFrame,
+    touched_teams: DataFrame,
+) -> tuple[dict[str, DataFrame], dict[str, DataFrame]]:
+    """Partition every state table into (touched → seed+replay, untouched
+    → pass through). The touched key set is one micro-batch's worth of
+    keys, so it is broadcast: the split costs one broadcast-hash probe per
+    state row, never a shuffle of the state."""
+    ta = F.broadcast(touched_assets)
+    tt = F.broadcast(touched_teams)
+
+    def split(df: DataFrame, keys: DataFrame, on: list[str]) -> tuple[DataFrame, DataFrame]:
+        return df.join(keys, on, "left_semi"), df.join(keys, on, "left_anti")
+
+    a_keys = ta.select(F.col("asset_type").alias("type"), "identifier")
+    assets_t, assets_u = split(state["assets"], a_keys, ["type", "identifier"])
+
+    t_keys = tt.select(F.col("team_id").alias("identifier"))
+    teams_t, teams_u = split(state["teams"], t_keys, ["identifier"])
+
+    o_keys = ta.select(
+        F.col("asset_type").alias("type"),
+        F.col("identifier").alias("asset_identifier"),
+    )
+    owns_t, owns_u = split(state["owns"], o_keys, ["type", "asset_identifier"])
+
+    # edge is touched when EITHER endpoint is a touched asset; the OR is
+    # two consecutive broadcast semi/anti splits, never an OR-join
+    c_keys = ta.select(
+        F.col("asset_type").alias("child_type"),
+        F.col("identifier").alias("child_identifier"),
+    )
+    p_keys = ta.select(
+        F.col("asset_type").alias("parent_type"),
+        F.col("identifier").alias("parent_identifier"),
+    )
+    child_hit, child_miss = split(
+        state["parent_of"], c_keys, ["child_type", "child_identifier"]
+    )
+    parent_hit, edges_u = split(
+        child_miss, p_keys, ["parent_type", "parent_identifier"]
+    )
+    edges_t = child_hit.unionByName(parent_hit)
+
+    return (
+        {"assets": assets_t, "teams": teams_t, "owns": owns_t, "parent_of": edges_t},
+        {"assets": assets_u, "teams": teams_u, "owns": owns_u, "parent_of": edges_u},
+    )
 
 
 def seed_events(state: dict[str, DataFrame]) -> dict[str, DataFrame]:

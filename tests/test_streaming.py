@@ -157,6 +157,84 @@ def test_retry_runner_recovers_from_injected_crash(spark, tmp_path):
     assert read_final_state(spark, stream) == state_from_interpreter(msgs)
 
 
+def test_seeding_scoped_to_touched_keys(spark, tmp_path):
+    """O(batch) contract: a micro-batch seeds (and re-replays) only the
+    state rows whose entity keys it touches; every other row must land in
+    the untouched pass-through partition."""
+    from graph_vulcan_assets_spark.plans.temporal import RAW_SCHEMA as RS
+    from graph_vulcan_assets_spark.streaming.ingest import (
+        split_state_by_touched,
+        touched_keys,
+    )
+    from graph_vulcan_assets_spark.plans.temporal import (
+        decode_events,
+        events_from_decoded,
+    )
+
+    msgs = fixtures.golden_messages()
+    stream = TemporalGraphStream(spark, str(tmp_path / "state"))
+    stream.apply_batch(spark.createDataFrame(msgs, schema=RS), 0)
+    state = stream.read_state()
+    all_assets = {(r["type"], r["identifier"]) for r in state["assets"].collect()}
+    assert len(all_assets) > 1  # the split below must be non-trivial
+
+    # a second batch touching exactly one existing asset (+ its team):
+    # a fresh refresh of an already-known entity, with a seq above every
+    # prior event (ordered delivery, kafka.go:69-105)
+    import datetime
+
+    one = dict([m for m in msgs if m["value"] is not None][0])
+    one["seq"] = max(m["seq"] for m in msgs) + 1
+    one["ts"] = max(m["ts"] for m in msgs) + datetime.timedelta(minutes=5)
+    batch2 = spark.createDataFrame([one], schema=RS)
+    ev = events_from_decoded(decode_events(batch2))
+    ta, tt = touched_keys(ev)
+    seeded, untouched = split_state_by_touched(state, ta, tt)
+
+    touched_set = {(r["asset_type"], r["identifier"]) for r in ta.collect()}
+    seeded_assets = {(r["type"], r["identifier"]) for r in seeded["assets"].collect()}
+    untouched_assets = {(r["type"], r["identifier"]) for r in untouched["assets"].collect()}
+    assert seeded_assets <= touched_set
+    assert seeded_assets | untouched_assets == all_assets
+    assert seeded_assets.isdisjoint(untouched_assets)
+    assert untouched_assets  # most of the graph passes through untouched
+
+    # owns scoped to touched assets; edges scoped to touched endpoints
+    for r in seeded["owns"].collect():
+        assert (r["type"], r["asset_identifier"]) in touched_set
+    for r in seeded["parent_of"].collect():
+        assert (
+            (r["child_type"], r["child_identifier"]) in touched_set
+            or (r["parent_type"], r["parent_identifier"]) in touched_set
+        )
+    # applying the batch through the scoped path still converges exactly
+    stream.apply_batch(batch2, 1)
+    assert read_final_state(spark, stream) == state_from_interpreter(msgs + [one])
+
+
+def test_superseded_snapshots_pruned(spark, tmp_path):
+    """Snapshot dirs older than the last two acknowledged batches are
+    removed — storage stays O(state), not O(batches × state)."""
+    import os
+
+    from graph_vulcan_assets_spark.plans.temporal import RAW_SCHEMA as RS
+
+    msgs = fixtures.golden_messages()
+    chunks = [msgs[:7], msgs[7:14], msgs[14:]]
+    stream = TemporalGraphStream(spark, str(tmp_path / "state"))
+    for bid, chunk in enumerate(chunks):
+        stream.apply_batch(spark.createDataFrame(chunk, schema=RS), bid)
+
+    for t in ("assets", "teams", "owns", "parent_of"):
+        dirs = sorted(
+            d for d in os.listdir(str(tmp_path / "state" / t)) if d.startswith("batch=")
+        )
+        assert dirs == ["batch=1", "batch=2"], dirs
+    # markers are retained (the idempotency record), state still readable
+    assert stream._applied_batches() == [0, 1, 2]
+    assert read_final_state(spark, stream) == state_from_interpreter(msgs)
+
+
 def test_custom_annotation_key(spark, tmp_path):
     """cfg.AWSAccountAnnotationKey is configurable (main.go:131-138):
     with a different key, the default-key annotations are ignored."""
