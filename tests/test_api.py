@@ -64,6 +64,49 @@ def test_parents_children_traversal(spark):
     ]
 
 
+def test_id_roundtrip_traversals(spark):
+    """Id-keyed API surface (inventory.go:497-628): assets() surfaces a
+    deterministic surrogate id; the traversals accept it; edge ids resolve
+    back to identifiers — main_test.go:524-540's readback joins."""
+    api = build_api(spark)
+    h1 = api.assets("Hostname", "h1.example.com").collect()[0]
+    assert isinstance(h1["id"], int)
+
+    # natural-key call and id-keyed call return identical edge sets
+    by_key = api.parents("Hostname", "h1.example.com").collect()
+    by_id = api.parents(asset_id=h1["id"]).collect()
+    assert [(r["parent_type"], r["parent_identifier"]) for r in by_key] == [
+        (r["parent_type"], r["parent_identifier"]) for r in by_id
+    ]
+
+    # edge carries parent_id/child_id; parent_id resolves to the account
+    edge = by_id[0]
+    assert edge["child_id"] == h1["id"]
+    acct = api.asset_by_id(edge["parent_id"]).collect()
+    assert len(acct) == 1
+    assert (acct[0]["type"], acct[0]["identifier"]) == (
+        "AWSAccount",
+        "arn:aws:iam::000000000001:root",
+    )
+    # children by id from the resolved parent
+    kids = api.children(asset_id=edge["parent_id"]).collect()
+    assert [(c["child_type"], c["child_identifier"]) for c in kids] == [
+        ("Hostname", "h1.example.com")
+    ]
+
+    # owners by id: same rows as the natural-key form; team_ref resolves
+    own_key = api.owners("Hostname", "h1.example.com").collect()
+    own_id = api.owners(asset_id=h1["id"]).collect()
+    assert {r["team_id"] for r in own_key} == {r["team_id"] for r in own_id}
+    t = api.team_by_id(own_id[0]["team_ref"]).collect()
+    assert len(t) == 1 and t[0]["identifier"] == own_id[0]["team_id"]
+
+    # ids are deterministic across a fresh replay (no sequence state)
+    api2 = build_api(spark)
+    h1_again = api2.assets("Hostname", "h1.example.com").collect()[0]
+    assert h1_again["id"] == h1["id"]
+
+
 def test_pagination(spark):
     api = build_api(spark)
     all_assets = [
