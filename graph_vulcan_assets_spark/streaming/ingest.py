@@ -41,6 +41,7 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from graph_vulcan_assets_spark.log import get_logger
 from graph_vulcan_assets_spark.plans.temporal import (
     RAW_SCHEMA,
     UNEXPIRED,
@@ -53,6 +54,8 @@ from graph_vulcan_assets_spark.plans.temporal import (
 )
 
 STATE_TABLES = ("assets", "teams", "owns", "parent_of")
+
+_log = get_logger("streaming.ingest")
 
 
 def kafka_reader(
@@ -175,12 +178,15 @@ class TemporalGraphStream:
                     continue
                 bid = int(d.split("=", 1)[1])
                 if bid not in keep and bid < newest:
+                    _log.debug("pruning superseded snapshot %s/%s", t, d)
                     shutil.rmtree(os.path.join(base, d), ignore_errors=True)
 
     # ---- incremental application ---------------------------------------
     def apply_batch(self, raw_batch: DataFrame, batch_id: int) -> None:
         if batch_id in self._applied_batches():
-            return  # replayed micro-batch after recovery: idempotent skip
+            # replayed micro-batch after recovery: idempotent skip
+            _log.info("batch %d already applied, skipping (idempotent replay)", batch_id)
+            return
 
         # scale initial shuffle partitions to the micro-batch size: the
         # replay is many small shuffles, and per-partition fixed cost
@@ -233,6 +239,7 @@ class TemporalGraphStream:
         if self.fault is not None:
             self.fault(batch_id)  # crash injection point (pre-commit)
         self._write_state(new_state, batch_id)
+        _log.info("batch %d applied and committed", batch_id)
 
     # ---- stream wiring --------------------------------------------------
     def run_file_stream(self, input_dir: str, checkpoint_dir: str):
@@ -272,9 +279,11 @@ def run_with_retry(
             q = start_stream()
             q.awaitTermination()
             return
-        except Exception:
+        except Exception as exc:
             if retry_seconds == 0 or attempts >= max_attempts:
                 raise
+            # main.go:86-90 logs the error and sleeps before restarting
+            _log.error("stream failed (attempt %d): %s — retrying in %.1fs", attempts, exc, retry_seconds)
             _time.sleep(retry_seconds)
 
 
