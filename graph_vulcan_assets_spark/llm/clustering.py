@@ -81,7 +81,7 @@ def connected_components(
     "q_dedup_clusters",
     oracle="""
     WITH RECURSIVE toks AS (
-      SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE doc_id < 40),
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE doc_id < 200),
     sh AS (
       SELECT doc_id,
              list_distinct(list_transform(range(len(t) - 2),
@@ -107,7 +107,8 @@ def connected_components(
 )
 def q_dedup_clusters(spark, sf_dir) -> DataFrame:
     """Duplicate-group clustering (X2 tail): exact-Jaccard edges (≥0.5,
-    bounded pairset as in q_dedup_ngram) → connected components.
+    bounded doc_id<200 pairset as in q_dedup_ngram — covers the planted
+    near-dups at every test SF) → connected components.
 
     The oracle computes the same components with a recursive CTE
     (min reachable id per node) — iterative dataflow vs recursive SQL,

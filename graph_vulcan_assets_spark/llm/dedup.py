@@ -141,7 +141,7 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_dedup_ngram",
     oracle="""
     WITH toks AS (
-      SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE doc_id < 40),
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE doc_id < 200),
     sh AS (
       SELECT doc_id,
              list_distinct(list_transform(range(len(t) - 2),
@@ -160,11 +160,13 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairset, oracle-checked.
 
     The exact counterpart to MinHash: distinct 3-gram sets per document,
-    pairwise |A∩B| / |A∪B|. Bounded to doc_id < 40 because all-pairs exact
+    pairwise |A∩B| / |A∪B|. Bounded to doc_id < 200 because all-pairs exact
     Jaccard is quadratic — the MinHash/LSH path (q_dedup_near) is the
-    scale variant; this one is its ground-truth.
+    scale variant; this one is its ground-truth. The bound is 200 so the
+    pairset covers the planted near-duplicates at every test SF (at
+    sf0.01 they sit above doc_id 40).
     """
-    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 40)
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
     toks = F.split(F.col("text"), " ")
     shingled = d.select("doc_id", toks.alias("t")).where(F.size("t") >= 3).select(
         "doc_id",

@@ -123,16 +123,22 @@ def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_except",
     oracle="""
-    SELECT user_id FROM events
+    SELECT user_id, event_type FROM events
     EXCEPT
-    SELECT user_id FROM events WHERE event_type = 'error'
+    SELECT user_id, event_type FROM events WHERE event_type = 'error'
     """,
 )
 def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXCEPT (U2): users who never hit an error."""
+    """EXCEPT (U2): (user, event_type) pairs minus the error pairs.
+
+    The difference runs on the composite projection — at the testdata's
+    density every user has every event type, so a user-id-only EXCEPT
+    would be vacuously empty (0 rows proves nothing); the pair-level
+    difference keeps all non-error combinations.
+    """
     e = load_table(spark, sf_dir, "events")
-    a = e.select("user_id")
-    b = e.where(F.col("event_type") == "error").select("user_id")
+    a = e.select("user_id", "event_type")
+    b = e.where(F.col("event_type") == "error").select("user_id", "event_type")
     return a.subtract(b)
 
 
