@@ -1,4 +1,4 @@
-"""Regenerate PLANS_r1.md — physical-plan audit of the headline queries."""
+"""Regenerate PLANS_r{N}.md (round via SPARK_GRAFT_ROUND, default 2) — physical-plan audit of the headline queries."""
 
 from __future__ import annotations
 
@@ -16,11 +16,12 @@ from graph_vulcan_assets_spark.session import get_spark  # noqa: E402
 
 
 def main() -> None:
+    rnd = os.environ.get("SPARK_GRAFT_ROUND", "2")
     spark = get_spark(master="local[8]")
     qs = all_queries()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     lines = [
-        "# PLANS_r1 — physical-plan audit of the headline queries",
+        f"# PLANS_r{rnd} — physical-plan audit of the headline queries",
         "",
         "Generated from `.explain('formatted')` at sf0.1 (local[8], AQE on).",
         "Regenerate: `python _scripts/gen_plans.py` (this file is a snapshot).",
@@ -52,7 +53,7 @@ def main() -> None:
         "pushdown and column pruning reach the Parquet scan; top-k compiles to",
         "WindowGroupLimit / TakeOrderedAndProject; aggregates are partial+final.",
     ]
-    out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS_r1.md")
+    out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), f"PLANS_r{rnd}.md")
     with open(out, "w") as f:
         f.write("\n".join(lines) + "\n")
     print(f"wrote {out}")
