@@ -72,6 +72,15 @@ def test_asof_join_is_partial_aggregate(spark, sf_dir):
     assert "NestedLoop" not in p
 
 
+def test_multi_distinct_avoids_expand(spark, sf_dir):
+    """q_agg_distinct uses the two-level pre-aggregation rewrite: no
+    Expand node (Catalyst's multi-distinct Expand multiplies every input
+    row by the number of distinct specs before the shuffle)."""
+    p = plan_of(spark, sf_dir, "q_agg_distinct")
+    assert "Expand" not in p
+    assert p.count("HashAggregate") >= 4  # partial+final per branch
+
+
 def test_flagship_aggregate_is_partial_final(spark, sf_dir):
     p = plan_of(spark, sf_dir, "q_agg_groupby")
     # partial + final HashAggregate pair = map-side combine before shuffle
