@@ -35,3 +35,78 @@ def write_round_trip_formats(df: DataFrame, base_dir: str) -> dict[str, str]:
         writer.format(fmt).save(out)
         paths[fmt] = out
     return paths
+
+
+# ---- declared source-format queries -----------------------------------
+#
+# The reader paths as oracle-checked queries: each materializes a derived
+# copy of `events` in the target format ONCE per sf_dir (idempotent,
+# content-deterministic), reads it back through the explicit-schema
+# reader, and aggregates. The DuckDB oracle runs on the ORIGINAL parquet —
+# a hash match proves the format round-trip loses nothing. Columns are
+# restricted to int/string (CSV/JSONL are text formats; doubles stay in
+# the binary formats' tests).
+
+import os  # noqa: E402
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from graph_vulcan_assets_spark.registry import query  # noqa: E402
+from graph_vulcan_assets_spark.tables import load_table  # noqa: E402
+
+_RT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+    ]
+)
+
+_RT_ORACLE = """
+    SELECT event_type, count(*) AS n,
+           CAST(sum(event_id) AS BIGINT) AS sum_ids,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY event_type
+"""
+
+
+def _events_copy(spark: SparkSession, sf_dir: str, fmt: str) -> str:
+    """Materialize the 3-column events projection as `fmt`, once."""
+    tag = sf_dir.strip("/").replace("/", "_")
+    out = f"/tmp/gvas-src-cache/{tag}/{fmt}"
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        df = load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type"
+        )
+        writer = df.write.mode("overwrite")
+        if fmt == "csv":
+            writer = writer.option("header", "true")
+        writer.format(fmt).save(out)
+    return out
+
+
+def _rt_agg(df: DataFrame) -> DataFrame:
+    return df.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("event_id").alias("sum_ids"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+@query("q_source_csv", oracle=_RT_ORACLE)
+def q_source_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV source: explicit-schema read-back of a derived copy; the oracle
+    aggregates the original parquet, so a match proves CSV fidelity."""
+    return _rt_agg(read_csv(spark, _events_copy(spark, sf_dir, "csv"), _RT_SCHEMA))
+
+
+@query("q_source_jsonl", oracle=_RT_ORACLE)
+def q_source_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines source read-back (same contract as q_source_csv)."""
+    return _rt_agg(read_jsonl(spark, _events_copy(spark, sf_dir, "json"), _RT_SCHEMA))
+
+
+@query("q_source_orc", oracle=_RT_ORACLE)
+def q_source_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source read-back (same contract as q_source_csv)."""
+    return _rt_agg(read_orc(spark, _events_copy(spark, sf_dir, "orc")))
