@@ -1,0 +1,283 @@
+"""Training-data curation operators (SURVEY §2.11 extension): deterministic
+split assignment, stratified sampling, corpus mixing, benchmark
+decontamination, and sequence packing.
+
+These are the dataset-assembly steps that sit between the cleaning/dedup
+stages (llm/dedup.py, llm/text.py) and a training run. Everything is
+hash-deterministic — two engines (or two cluster runs) produce identical
+assignments — and shuffle-aware: sampling and splitting are stateless
+map-only scans; packing windows are sharded so no single task sees the
+whole corpus; the decontamination join broadcasts the (small) eval side.
+
+No counterpart exists in the reference (a streaming asset-inventory ETL —
+cmd/graph-vulcan-assets/main.go); these extend the engine toward the
+LLM-pipeline surface the brief calls for.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from graph_vulcan_assets_spark.registry import query
+from graph_vulcan_assets_spark.tables import load_table
+
+# MD5 is the cross-engine deterministic hash (both Spark and DuckDB are
+# RFC-1321 compliant, so hex digests compare identically). The hex digest
+# is uniform, so comparing its prefix against a hex threshold implements
+# "keep with probability p" deterministically: p = threshold / 256 when
+# thresholding the first two hex chars.
+def _fingerprint(col):
+    return F.md5(col.cast("string"))
+
+
+@query(
+    "q_split_train_test",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, lang, source, md5(CAST(doc_id AS VARCHAR)) AS fp
+      FROM documents)
+    SELECT doc_id, lang, source,
+           substr(fp, 1, 2) AS bucket,
+           CASE WHEN fp < 'e6' THEN 'train'
+                WHEN fp < 'f6' THEN 'validation'
+                ELSE 'test' END AS split
+    FROM h
+    """,
+)
+def q_split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/validation/test split by content-key hash.
+
+    The split is a pure function of the stable document key — no RNG, no
+    state, no shuffle: adding documents never reassigns existing ones, and
+    every engine computes the same assignment. Thresholds are hex-string
+    prefixes of the uniform MD5 digest ('e6'/'f6' ≈ 90/6/4%). Map-only:
+    survives any scale trivially.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    fp = _fingerprint(F.col("doc_id"))
+    return d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.substring(fp, 1, 2).alias("bucket"),
+        F.when(fp < "e6", "train")
+        .when(fp < "f6", "validation")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+@query(
+    "q_sample_stratified",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rn,
+             count(*) OVER (PARTITION BY lang) AS n_lang
+      FROM documents)
+    SELECT doc_id, lang, CAST(rn AS BIGINT) AS rn, CAST(n_lang AS BIGINT) AS n_lang
+    FROM ranked
+    WHERE rn <= ceil(0.1 * n_lang)
+    """,
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-size stratified sample: first ceil(10%) of each language by hash
+    rank.
+
+    Unlike Bernoulli sampling (``df.sample``/``sampleBy``), ranking the
+    stratum by a content hash gives an exact per-stratum size AND
+    determinism across runs/engines. One shuffle on the stratum key; the
+    rank window never sees more than a stratum per task. For strata too
+    large for a single partition's sort, the hash-threshold form
+    (q_corpus_mix) is the constant-memory fallback.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(_fingerprint(F.col("doc_id")), "doc_id")
+    wc = Window.partitionBy("lang")
+    ranked = d.select(
+        "doc_id",
+        "lang",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.count("*").over(wc).cast("long").alias("n_lang"),
+    )
+    return ranked.where(F.col("rn") <= F.ceil(0.1 * F.col("n_lang")))
+
+
+@query(
+    "q_corpus_mix",
+    oracle="""
+    WITH rated AS (
+      SELECT doc_id, lang, source,
+             CASE WHEN lang = 'en' THEN 'ff'
+                  WHEN lang IN ('de', 'fr') THEN '80'
+                  ELSE '40' END AS keep_below,
+             md5(CAST(doc_id AS VARCHAR)) AS fp
+      FROM documents)
+    SELECT doc_id, lang, source,
+           CAST(CASE WHEN lang = 'en' THEN 1.0
+                     WHEN lang IN ('de', 'fr') THEN 0.5
+                     ELSE 0.25 END AS DOUBLE) AS mix_rate
+    FROM rated
+    WHERE substr(fp, 1, 2) <= keep_below
+    """,
+)
+def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted corpus mixing: down-sample strata to target rates by hash
+    threshold.
+
+    The standard pre-training mixture step (e.g. up-weight English, down-
+    weight others) as a stateless filter: keep a row iff its hash prefix
+    falls below the stratum's rate threshold. Constant memory, map-only,
+    no shuffle — the scale path when strata are too big to rank
+    (cf. q_sample_stratified). Rates here: en 1.0, de/fr ~0.5, rest ~0.25.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    keep_below = (
+        F.when(F.col("lang") == "en", "ff")
+        .when(F.col("lang").isin("de", "fr"), "80")
+        .otherwise("40")
+    )
+    mix_rate = (
+        F.when(F.col("lang") == "en", F.lit(1.0))
+        .when(F.col("lang").isin("de", "fr"), F.lit(0.5))
+        .otherwise(F.lit(0.25))
+    )
+    fp = _fingerprint(F.col("doc_id"))
+    return (
+        d.withColumn("__keep", F.substring(fp, 1, 2) <= keep_below)
+        .where(F.col("__keep"))
+        .select("doc_id", "lang", "source", mix_rate.alias("mix_rate"))
+    )
+
+
+@query(
+    "q_decontaminate",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(len(t) - 4),
+               i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+                    || ' ' || t[i+4] || ' ' || t[i+5]))) AS s
+      FROM toks WHERE len(t) >= 5),
+    ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 19 = 0),
+    tr AS (SELECT doc_id, s FROM sh WHERE doc_id % 19 <> 0)
+    SELECT tr.doc_id AS doc_id,
+           CAST(count(*) AS BIGINT) AS n_overlap
+    FROM tr JOIN ev USING (s)
+    GROUP BY tr.doc_id
+    """,
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing 5-gram shingles
+    with a held-out eval set.
+
+    The eval set (doc_id % 19 = 0 here; in production, the benchmark
+    corpus) contributes its distinct 5-grams; training docs joining any of
+    them are contaminated, scored by overlapping-shingle count. The join is
+    a broadcast of the eval shingle set — eval benchmarks are tiny next to
+    a 100 TB corpus, so the training side streams map-side with no shuffle.
+    If the eval side ever outgrew broadcast, the same plan shuffles on the
+    shingle hash (cf. minhash_signatures' hash-narrowing trick in
+    llm/dedup.py for keeping the shuffle width at 8 bytes).
+
+    Non-vacuous at sf0.01: the planted near-duplicate documents put 4
+    contaminated docs / ~180 overlap hits in the answer.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.col("t")
+    shingle = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(toks, i + j) for j in range(1, 6)]
+    )
+    shingled = (
+        d.select("doc_id", F.split("text", " ").alias("t"))
+        .where(F.size(toks) >= 5)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.transform(F.sequence(F.lit(0), F.size(toks) - 5), shingle)
+                )
+            ).alias("s"),
+        )
+    )
+    ev = shingled.where(F.col("doc_id") % 19 == 0).select("s").distinct()
+    tr = shingled.where(F.col("doc_id") % 19 != 0)
+    return (
+        tr.join(F.broadcast(ev), "s")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_overlap"))
+    )
+
+
+# Token budget per packed training sequence. Small relative to the ~54-token
+# synthetic docs so packs are plentiful at every test SF; at real scale this
+# is the model context length (2k/8k/...).
+_PACK_BUDGET = 512
+
+
+@query(
+    "q_pack_sequences",
+    oracle=f"""
+    WITH sized AS (
+      SELECT doc_id,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+             md5(CAST(doc_id AS VARCHAR)) AS fp,
+             len(string_split(text, ' ')) AS n_tokens
+      FROM documents),
+    placed AS (
+      SELECT doc_id, shard, CAST(n_tokens AS BIGINT) AS n_tokens,
+             sum(n_tokens) OVER (
+               PARTITION BY shard ORDER BY fp, doc_id
+               ROWS UNBOUNDED PRECEDING) - n_tokens AS start_tok
+      FROM sized)
+    SELECT doc_id, shard, n_tokens,
+           CAST(floor(start_tok / {_PACK_BUDGET}) AS BIGINT) AS pack_no,
+           CAST(start_tok % {_PACK_BUDGET} AS BIGINT) AS pack_offset
+    FROM placed
+    """,
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: shuffle documents deterministically, then greedily
+    fill fixed token-budget packs.
+
+    The training-batch assembly step: order documents by content hash
+    (= deterministic global shuffle), run a per-shard cumulative token
+    count, and assign each document to pack floor(start/budget) with its
+    offset inside the pack. Sharding by the hash's first nibble keeps each
+    running-sum window to 1/16th of the corpus — no global sort, no
+    single-task bottleneck; widen the shard prefix for bigger corpora.
+    Documents may straddle a pack boundary (standard concat-then-chunk
+    packing); the (pack_no, pack_offset) pair is exactly what a loader
+    needs to slice them.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    fp = _fingerprint(F.col("doc_id"))
+    sized = d.select(
+        "doc_id",
+        F.substring(fp, 1, 1).alias("shard"),
+        fp.alias("fp"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("fp", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    placed = sized.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("start_tok"),
+    )
+    return placed.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        F.floor(F.col("start_tok") / _PACK_BUDGET).cast("long").alias("pack_no"),
+        (F.col("start_tok") % _PACK_BUDGET).cast("long").alias("pack_offset"),
+    )

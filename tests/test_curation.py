@@ -1,0 +1,107 @@
+"""Curation operators: plan guards + non-vacuity at the driver's SF.
+
+The driver's correctness gate runs at sf0.01 — a query that returns 0 rows
+there is vacuously green (round-1 lesson), so each curation query asserts a
+meaningful answer shape at sf0.01 explicitly.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from pyspark.sql import functions as F
+
+from graph_vulcan_assets_spark.registry import all_queries
+
+QUERIES = all_queries()
+SF001 = "/root/testdata/sf0.01"
+
+
+def plan_of(spark, sf_dir, name: str) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        QUERIES[name](spark, sf_dir).explain("formatted")
+    return buf.getvalue()
+
+
+# ---------------------------------------------------------------- plan guards
+
+
+def test_split_and_mix_are_map_only(spark, sf_dir):
+    """Hash-split and hash-mix must stay stateless scans: any Exchange here
+    means someone added a shuffle to a map-only operator."""
+    for name in ("q_split_train_test", "q_corpus_mix"):
+        assert "Exchange" not in plan_of(spark, sf_dir, name), name
+
+
+def test_decontaminate_broadcasts_eval_side(spark, sf_dir):
+    """The eval shingle set must broadcast: at 100 TB the training side
+    cannot afford a shuffle keyed on raw 5-gram strings."""
+    p = plan_of(spark, sf_dir, "q_decontaminate")
+    assert "BroadcastHashJoin" in p
+    assert "NestedLoop" not in p and "CartesianProduct" not in p
+
+
+def test_pack_sequences_has_no_global_sort(spark, sf_dir):
+    """Packing windows are sharded by hash nibble — a SinglePartition
+    exchange would serialize the whole corpus through one task."""
+    p = plan_of(spark, sf_dir, "q_pack_sequences")
+    assert "SinglePartition" not in p
+
+
+def test_stratified_sample_has_no_global_sort(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "q_sample_stratified")
+    assert "SinglePartition" not in p
+
+
+# ------------------------------------------------------- non-vacuity @ sf0.01
+
+
+def test_split_covers_all_three_splits(spark):
+    rows = (
+        QUERIES["q_split_train_test"](spark, SF001)
+        .groupBy("split")
+        .count()
+        .collect()
+    )
+    by_split = {r["split"]: r["count"] for r in rows}
+    assert set(by_split) == {"train", "validation", "test"}
+    assert by_split["train"] > by_split["validation"] + by_split["test"]
+
+
+def test_stratified_sample_is_ten_pct_per_stratum(spark):
+    df = QUERIES["q_sample_stratified"](spark, SF001)
+    rows = df.groupBy("lang").agg(
+        F.count("*").alias("sampled"), F.max("n_lang").alias("n_lang")
+    ).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["sampled"] == -(-r["n_lang"] // 10)  # ceil(10%), exact
+
+
+def test_corpus_mix_downsamples_non_en(spark):
+    rows = QUERIES["q_corpus_mix"](spark, SF001).groupBy("lang").count().collect()
+    by_lang = {r["lang"]: r["count"] for r in rows}
+    assert by_lang["en"] == 218  # rate 1.0 keeps every English doc
+    assert 0 < by_lang["es"] < 73  # rate 0.25 keeps a strict subset
+    assert 0 < by_lang["zh"] < 75
+
+
+def test_decontaminate_flags_planted_near_dups(spark):
+    rows = QUERIES["q_decontaminate"](spark, SF001).collect()
+    assert len(rows) == 4  # the planted near-duplicates at sf0.01
+    assert all(r["n_overlap"] > 0 for r in rows)
+
+
+def test_pack_sequences_fills_multiple_packs(spark):
+    df = QUERIES["q_pack_sequences"](spark, SF001)
+    agg = df.agg(
+        F.max("pack_no").alias("max_pack"),
+        F.sum("n_tokens").alias("total"),
+        F.countDistinct("shard").alias("shards"),
+    ).collect()[0]
+    assert agg["max_pack"] >= 1  # more than one pack per shard somewhere
+    assert agg["shards"] == 16
+    # offsets stay inside the budget
+    assert df.where(F.col("pack_offset") >= 512).count() == 0
