@@ -1,0 +1,238 @@
+"""Custom stateful streaming operator (SURVEY §2.9 T5 extension):
+gap-based sessionization via ``applyInPandasWithState``.
+
+The reference's stateful processing is table-upsert state keyed by asset
+(``inventory/inventory.go``); the engine reproduces that with the replay
+pipeline (plans/temporal.py). This module adds the *custom* stateful-operator
+shape Spark offers beyond SQL: per-key mutable state with event-time
+timeouts, held in the state store across micro-batches.
+
+Semantics match the batch sessionizer (operators/windows.py q_sessionize):
+a session closes after 30 minutes of per-user silence. In streaming form a
+session is EMITTED when
+
+- a later event for the same user arrives past the gap (closed by data), or
+- the event-time watermark passes session_end + gap (closed by timeout) —
+  so quiet users flush without waiting for their next event.
+
+Scale shape: state is one fixed-width tuple per active user (4 longs), the
+stream shuffles once on user_id, and each micro-batch moves only that
+batch's keys through Python via Arrow. Values are pre-quantized to integer
+micros JVM-side so the Python stage does integer sums only — no float
+summation-order drift between engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupStateTimeout
+
+GAP_SECONDS = 1800
+
+# state: one fixed-width row per open session
+_STATE_SCHEMA = "session_start_us long, last_ts_us long, n_events long, value_micros long"
+# raw emitted rows (timestamps re-hydrated JVM-side by sessionize_stateful)
+_RAW_OUT_SCHEMA = (
+    "user_id long, session_start_us long, session_end_us long, "
+    "n_events long, value_micros long"
+)
+
+
+def _make_sessionize_group(gap_seconds: int):
+    """Build the per-group state function as a self-contained CLOSURE.
+
+    cloudpickle serializes a closure by value, a module-level function by
+    module reference — and the executors' Python workers can't import this
+    package when the driver process runs from an arbitrary cwd (the driver
+    contract imports __spark_entry__.py by file path). Nothing in the
+    returned function may reference this module's globals.
+    """
+    cols = ["user_id", "session_start_us", "session_end_us", "n_events", "value_micros"]
+
+    def sessionize_group(key, pdfs, state):
+        import pandas as pd
+
+        (user_id,) = key
+        if state.hasTimedOut:
+            start, last, n, micros = state.get
+            state.remove()
+            yield pd.DataFrame([[user_id, start, last, n, micros]], columns=cols)
+            return
+
+        pdf = pd.concat(list(pdfs)).sort_values(["ts_us", "event_id"])
+        if state.exists:
+            start, last, n, micros = state.get
+        else:
+            start = last = None
+            n = micros = 0
+
+        closed = []
+        for t, v in zip(pdf["ts_us"].to_numpy(), pdf["value_micros"].to_numpy()):
+            t, v = int(t), int(v)
+            # gap on floor-seconds: identical to the batch/oracle formula
+            # epoch(ts2) - epoch(ts1) > gap (each timestamp truncated)
+            if last is not None and t // 1_000_000 - last // 1_000_000 > gap_seconds:
+                closed.append([user_id, start, last, n, micros])
+                start, n, micros = None, 0, 0
+            if start is None:
+                start = t
+            last = t
+            n += 1
+            micros += v
+
+        state.update((start, last, n, micros))
+        # event-time timeout: flush when the watermark passes last_ts + gap
+        state.setTimeoutTimestamp(last // 1000 + gap_seconds * 1000)
+        yield pd.DataFrame(closed, columns=cols)
+
+    return sessionize_group
+
+
+def sessionize_stateful(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """30-minute-gap sessionization as a custom stateful streaming operator.
+
+    ``events`` must be a streaming DataFrame with columns
+    (event_id, ts, user_id, value). Returns the closed-session stream:
+    (user_id, session_start, session_end, n_events, session_value).
+    """
+    prepared = events.withWatermark("ts", watermark).select(
+        "ts",  # carries the watermark; unused by the pandas stage
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        # quantize JVM-side: identical HALF_UP rounding to the batch/oracle
+        F.round(F.col("value") * 1_000_000, 0).cast("long").alias("value_micros"),
+    )
+    raw = prepared.groupBy("user_id").applyInPandasWithState(
+        _make_sessionize_group(GAP_SECONDS),
+        outputStructType=_RAW_OUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    return raw.select(
+        "user_id",
+        F.timestamp_micros("session_start_us").alias("session_start"),
+        F.timestamp_micros("session_end_us").alias("session_end"),
+        "n_events",
+        F.round(F.col("value_micros") / 1_000_000.0, 2).alias("session_value"),
+    )
+
+
+def batch_sessions(events: DataFrame) -> DataFrame:
+    """Batch ground truth: per-session summary with the same gap/quantization.
+
+    Same lag + cumulative-marker plan as q_sessionize
+    (operators/windows.py), aggregated to one row per session.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    new_session = F.when(gap.isNull() | (gap > GAP_SECONDS), 1).otherwise(0)
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sessioned = events.withColumn("new_session", new_session).withColumn(
+        "session_no", F.sum("new_session").over(cum)
+    )
+    micros = F.round(F.col("value") * 1_000_000, 0).cast("long")
+    return sessioned.groupBy("user_id", "session_no").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").alias("n_events"),
+        F.round(F.sum(micros) / 1_000_000.0, 2).alias("session_value"),
+    )
+
+
+def replay_sessionize(spark, sf_dir: str, checkpoint_dir: str, source_dir: str) -> DataFrame:
+    """File-replay harness: stream the events table through the stateful
+    sessionizer into a memory sink; returns the emitted closed sessions.
+
+    The source is written as ONE file so the replay is a single ordered
+    micro-batch — the deterministic configuration the oracle mirrors (a
+    multi-file replay exercises cross-batch state; tests cover that path
+    with controlled file ordering).
+    """
+    from graph_vulcan_assets_spark.tables import load_table
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    events.coalesce(1).write.mode("overwrite").parquet(source_dir)
+    stream = spark.readStream.schema(events.schema).parquet(source_dir)
+    name = "stream_sessions_" + abs(hash((sf_dir, source_dir))).__str__()
+    # scope the state-store partition count to the replay: a vanilla session
+    # defaults to 200 shuffle partitions, 6x more tasks than useful for a
+    # test-SF micro-batch (the checkpoint pins the count, so it must be set
+    # before the first trigger)
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(min(int(prev_shuffle), 32)))
+    try:
+        q = (
+            sessionize_stateful(stream)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+    return spark.table(name)
+
+
+from graph_vulcan_assets_spark.registry import query  # noqa: E402
+
+
+@query(
+    "q_stream_sessionize",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sessioned AS (
+      SELECT user_id, ts, value,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM marked),
+    sess AS (
+      SELECT user_id, session_no,
+             min(ts) AS session_start, max(ts) AS session_end,
+             CAST(count(*) AS BIGINT) AS n_events,
+             round(sum(CAST(round(value * 1000000, 0) AS BIGINT)) / 1000000.0, 2)
+               AS session_value
+      FROM sessioned GROUP BY user_id, session_no)
+    SELECT user_id, session_start, session_end, n_events, session_value
+    FROM sess
+    WHERE session_no < (SELECT max(session_no) FROM sess s2
+                        WHERE s2.user_id = sess.user_id)
+       OR epoch_us(session_end) // 1000 + 1800000
+          < (SELECT max(epoch_us(ts)) // 1000 FROM events) - 7200000
+    """,
+)
+def q_stream_sessionize(spark, sf_dir: str) -> DataFrame:
+    """Stateful streaming sessionization (T5 extension), oracle-checked.
+
+    Replays the events table through ``applyInPandasWithState`` as a real
+    Structured Streaming query (file source → state store → memory sink)
+    and returns the emitted CLOSED sessions. The oracle is deterministic:
+    every non-final session (closed by a later event), PLUS each user's
+    final session iff it TIMED OUT by end of stream — availableNow runs a
+    final no-data batch whose watermark is max(ts) − 2 h (in ms), and the
+    state store fires timeouts strictly below it (timeout timestamp =
+    session_end_ms + gap_ms). Final sessions younger than that stay open
+    and are correctly NOT emitted in append mode.
+    """
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="gvas_stream_sess_")
+    return replay_sessionize(spark, sf_dir, base + "/ckpt", base + "/src")
