@@ -6,3 +6,4 @@ import graph_vulcan_assets_spark.llm.similarity  # noqa: F401
 import graph_vulcan_assets_spark.llm.text  # noqa: F401
 import graph_vulcan_assets_spark.llm.clustering  # noqa: F401
 import graph_vulcan_assets_spark.llm.curation  # noqa: F401
+import graph_vulcan_assets_spark.llm.multimodal  # noqa: F401

