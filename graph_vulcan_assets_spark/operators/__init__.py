@@ -12,3 +12,4 @@ import graph_vulcan_assets_spark.operators.sorts_sets  # noqa: F401
 import graph_vulcan_assets_spark.operators.skew  # noqa: F401
 import graph_vulcan_assets_spark.operators.bucketing  # noqa: F401
 import graph_vulcan_assets_spark.operators.composites  # noqa: F401
+import graph_vulcan_assets_spark.operators.graph  # noqa: F401

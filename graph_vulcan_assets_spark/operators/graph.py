@@ -1,0 +1,99 @@
+"""Graph traversal operators: transitive closure by iterative expansion.
+
+The reference is a graph inventory whose read API walks parent/child/owner
+edges one hop at a time (`inventory/inventory.go:497-628`); the engine's
+id-keyed single-hop traversals live in plans/api.py. This module adds the
+MULTI-hop form — "all ancestors of every node, with depth" — which Spark
+has no built-in for (no recursive CTE): implemented as breadth-first
+frontier expansion, one equi-join per level.
+
+Scale shape: each iteration joins the current frontier against the edge
+list on the frontier's ancestor id — a shuffle-partitionable equi-join,
+never a cross product; iterations = graph depth, not graph size. Lineage
+is truncated per level with ``localCheckpoint`` (same rationale as
+llm/clustering.py: nested iterative plans otherwise grow analysis time
+exponentially). The per-level driver round-trip is one scalar count.
+On a real cluster swap ``localCheckpoint`` for ``checkpoint`` with a
+reliable directory (not fault-tolerant otherwise).
+
+The test graph is a deterministic 10-ary tree over documents
+(parent = doc_id DIV 10), so DuckDB's recursive CTE provides an exact
+oracle at every SF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from graph_vulcan_assets_spark.registry import query
+from graph_vulcan_assets_spark.tables import load_table
+
+
+def doc_hierarchy_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic child→parent edges over documents: a 10-ary tree
+    rooted at doc 0 (parent = doc_id DIV 10)."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.where(F.col("doc_id") > 0)
+        .select(
+            F.col("doc_id").alias("child"),
+            F.expr("doc_id DIV 10").alias("parent"),
+        )
+    )
+
+
+def transitive_ancestors(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+    """(node, ancestor, depth) for every ancestor reachable over child→parent
+    edges. Works for trees and DAGs (keeps the minimum depth per pair)."""
+    level = edges.select(
+        F.col("child").alias("node"),
+        F.col("parent").alias("ancestor"),
+        F.lit(1).cast("long").alias("depth"),
+    ).localCheckpoint(eager=True)
+    hop = edges.select(
+        F.col("child").alias("h_child"), F.col("parent").alias("h_parent")
+    ).localCheckpoint(eager=True)
+
+    out = [level]
+    for _ in range(max_iter):
+        nxt = (
+            level.join(hop, level.ancestor == hop.h_child)
+            .select(
+                "node",
+                F.col("h_parent").alias("ancestor"),
+                (F.col("depth") + 1).alias("depth"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        if nxt.count() == 0:
+            break
+        out.append(nxt)
+        level = nxt
+
+    all_pairs = out[0]
+    for lv in out[1:]:
+        all_pairs = all_pairs.unionByName(lv)
+    # DAGs can reach the same ancestor along several paths: report min depth
+    return all_pairs.groupBy("node", "ancestor").agg(F.min("depth").alias("depth"))
+
+
+@query(
+    "q_graph_ancestors",
+    oracle="""
+    WITH RECURSIVE edges AS (
+      SELECT doc_id AS child, doc_id // 10 AS parent
+      FROM documents WHERE doc_id > 0),
+    anc AS (
+      SELECT child AS node, parent AS ancestor, CAST(1 AS BIGINT) AS depth
+      FROM edges
+      UNION ALL
+      SELECT anc.node, e.parent, anc.depth + 1
+      FROM anc JOIN edges e ON anc.ancestor = e.child)
+    SELECT node, ancestor, depth FROM anc
+    """,
+)
+def q_graph_ancestors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive closure with depth (multi-hop traversal), oracle-checked
+    against DuckDB's recursive CTE."""
+    return transitive_ancestors(doc_hierarchy_edges(spark, sf_dir))

@@ -89,7 +89,13 @@ def test_flagship_aggregate_is_partial_final(spark, sf_dir):
 
 @pytest.mark.parametrize(
     "name",
-    ["q_dedup_near", "q_sim_lsh_bucketed", "q_dedup_exact", "q_win_last_event"],
+    [
+        "q_dedup_near",
+        "q_sim_lsh_bucketed",
+        "q_dedup_exact",
+        "q_win_last_event",
+        "q_graph_ancestors",
+    ],
 )
 def test_no_cartesian_anywhere(spark, sf_dir, name):
     """Unbounded-pair operators must bucket, never cross-join."""
