@@ -29,7 +29,17 @@ def main() -> None:
         "| query | joins | aggregates | window | exchanges | pushed filters |",
         "|---|---|---|---|---|---|",
     ]
-    for name in HEADLINE:
+    # non-headline operators whose plan shape is worth auditing each round
+    extra = [
+        "q_split_train_test",
+        "q_sample_stratified",
+        "q_corpus_mix",
+        "q_decontaminate",
+        "q_pack_sequences",
+        "q_graph_ancestors",
+        "q_multimodal_features",
+    ]
+    for name in HEADLINE + [x for x in extra if x in qs]:
         buf = io.StringIO()
         with contextlib.redirect_stdout(buf):
             qs[name](spark, sf_dir).explain("formatted")

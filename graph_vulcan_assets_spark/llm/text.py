@@ -226,3 +226,54 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.lower(F.trim(F.col("text")))).alias("fingerprint"),
         F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
     )
+
+
+@query(
+    "q_text_repetition",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+    g AS (
+      SELECT doc_id, lang,
+             list_transform(range(len(t) - 2),
+               i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]) AS gs
+      FROM toks WHERE len(t) >= 3)
+    SELECT doc_id, lang,
+           CAST(len(gs) AS BIGINT) AS n_grams,
+           CAST(len(list_distinct(gs)) AS BIGINT) AS n_distinct,
+           round(1.0 - CAST(len(list_distinct(gs)) AS DOUBLE) / len(gs), 6)
+             AS rep_ratio
+    FROM g
+    """,
+)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition (X4): duplicate 3-gram fraction.
+
+    The standard boilerplate/repetition signal from pre-training quality
+    gates (high ratio = templated or looping text). Per-document array
+    expressions only — no explode, no shuffle; the corpus streams through
+    a single map stage.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.col("t")
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ",
+        F.element_at(toks, i + 1),
+        F.element_at(toks, i + 2),
+        F.element_at(toks, i + 3),
+    )
+    grams = F.transform(F.sequence(F.lit(0), F.size(toks) - 3), gram)
+    g = (
+        d.select("doc_id", "lang", F.split("text", " ").alias("t"))
+        .where(F.size(toks) >= 3)
+        .select("doc_id", "lang", grams.alias("gs"))
+    )
+    n = F.size("gs")
+    nd = F.size(F.array_distinct("gs"))
+    return g.select(
+        "doc_id",
+        "lang",
+        n.cast("long").alias("n_grams"),
+        nd.cast("long").alias("n_distinct"),
+        F.round(1.0 - nd.cast("double") / n, 6).alias("rep_ratio"),
+    )
