@@ -97,3 +97,30 @@ def q_graph_ancestors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive closure with depth (multi-hop traversal), oracle-checked
     against DuckDB's recursive CTE."""
     return transitive_ancestors(doc_hierarchy_edges(spark, sf_dir))
+
+
+@query(
+    "q_graph_subtree_size",
+    oracle="""
+    WITH RECURSIVE edges AS (
+      SELECT doc_id AS child, doc_id // 10 AS parent
+      FROM documents WHERE doc_id > 0),
+    anc AS (
+      SELECT child AS node, parent AS ancestor FROM edges
+      UNION ALL
+      SELECT anc.node, e.parent
+      FROM anc JOIN edges e ON anc.ancestor = e.child)
+    SELECT ancestor, CAST(count(*) AS BIGINT) AS n_descendants,
+           CAST(count(*) + 1 AS BIGINT) AS subtree_size
+    FROM anc GROUP BY ancestor
+    """,
+)
+def q_graph_subtree_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchy rollup: descendant count per internal node (the OLAP
+    'aggregate over a tree' shape — org charts, asset containment,
+    category trees). One groupBy over the transitive closure."""
+    anc = transitive_ancestors(doc_hierarchy_edges(spark, sf_dir))
+    return anc.groupBy("ancestor").agg(
+        F.count("*").cast("long").alias("n_descendants"),
+        (F.count("*") + 1).cast("long").alias("subtree_size"),
+    )
