@@ -31,6 +31,19 @@ def _fingerprint(col):
     return F.md5(col.cast("string"))
 
 
+def assign_split(df: DataFrame, key_col: str = "doc_id") -> DataFrame:
+    """Append (bucket, split) columns derived ONLY from the row's key hash.
+
+    Because the assignment is a pure row-local function, it is invariant
+    under corpus growth/shrinkage: adding or removing other documents never
+    reassigns an existing one (tested in tests/test_curation.py)."""
+    fp = _fingerprint(F.col(key_col))
+    return df.withColumn("bucket", F.substring(fp, 1, 2)).withColumn(
+        "split",
+        F.when(fp < "e6", "train").when(fp < "f6", "validation").otherwise("test"),
+    )
+
+
 @query(
     "q_split_train_test",
     oracle="""
@@ -55,17 +68,7 @@ def q_split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     survives any scale trivially.
     """
     d = load_table(spark, sf_dir, "documents")
-    fp = _fingerprint(F.col("doc_id"))
-    return d.select(
-        "doc_id",
-        "lang",
-        "source",
-        F.substring(fp, 1, 2).alias("bucket"),
-        F.when(fp < "e6", "train")
-        .when(fp < "f6", "validation")
-        .otherwise("test")
-        .alias("split"),
-    )
+    return assign_split(d).select("doc_id", "lang", "source", "bucket", "split")
 
 
 @query(

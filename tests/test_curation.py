@@ -105,3 +105,26 @@ def test_pack_sequences_fills_multiple_packs(spark):
     assert agg["shards"] == 16
     # offsets stay inside the budget
     assert df.where(F.col("pack_offset") >= 512).count() == 0
+
+
+def test_split_assignment_invariant_under_corpus_growth(spark):
+    """THE property hash-splitting buys: a document's split never changes
+    when other documents are added or removed (no reshuffling of eval
+    membership as the corpus grows — Bernoulli/sampleBy cannot promise
+    this across runs with different row counts)."""
+    from graph_vulcan_assets_spark.llm.curation import assign_split
+    from graph_vulcan_assets_spark.tables import load_table
+
+    full = load_table(spark, SF001, "documents")
+    subset = full.where(F.col("doc_id") % 2 == 0)  # simulate a smaller corpus
+    on_full = {
+        r["doc_id"]: r["split"]
+        for r in assign_split(full).select("doc_id", "split").collect()
+        if r["doc_id"] % 2 == 0
+    }
+    on_subset = {
+        r["doc_id"]: r["split"]
+        for r in assign_split(subset).select("doc_id", "split").collect()
+    }
+    assert on_full == on_subset
+    assert len(on_subset) > 0
