@@ -364,3 +364,32 @@ def q_filter_in_like(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_mktsegment").isin("BUILDING", "AUTOMOBILE")
         & F.col("c_name").like("Customer#00000001%")
     ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+@query(
+    "q_subquery_not_in",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                            WHERE o_orderstatus = 'F')
+    """,
+)
+def q_subquery_not_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN subquery (P-family generalization): three-valued-logic
+    anti membership. Catalyst plans this as a NULL-AWARE anti join —
+    semantically distinct from LEFT ANTI (one NULL in the subquery empties
+    the result); here the subquery column is non-null so the answer is the
+    customers without 'F'-status orders (non-vacuous at sf0.01)."""
+    from graph_vulcan_assets_spark.tables import load_table as _lt
+
+    _lt(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    _lt(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name
+        FROM customer
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                                WHERE o_orderstatus = 'F')
+        """
+    )

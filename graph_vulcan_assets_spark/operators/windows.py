@@ -256,3 +256,27 @@ def q_win_topk_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 3)
         .select("user_id", "event_id", "event_type", F.round("value", 2).alias("value"))
     )
+
+
+@query(
+    "q_win_distribution",
+    oracle="""
+    SELECT event_id, event_type,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist()    OVER w, 6) AS cume
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+    """,
+)
+def q_win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution family (W3 completion): percent_rank / cume_dist —
+    the per-partition empirical CDF, same single shuffle as the ranking
+    family."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return e.select(
+        "event_id",
+        "event_type",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
