@@ -102,3 +102,55 @@ def test_timeout_flushes_idle_user_across_batches(spark, tmp_path):
     # also time out when file 3's watermark passes it; user 3 stays open
     assert (1, 2, 3.75) in rows
     assert not any(u == 3 for (u, _, _) in rows)
+
+
+def test_checkpoint_recovery_resumes_state(spark, tmp_path):
+    """Stop the stream after the first file, then restart from the SAME
+    checkpoint with more files present: per-user session state must
+    survive the restart (user 1's two straddling events form ONE session,
+    not two), and the final output must equal an uninterrupted run."""
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    t0 = 1_700_000_000_000_000
+    day = 86_400 * 1_000_000
+    # user 1's session straddles the two files (gap 60 s < 30 min)
+    _write_events_file(str(src / "f1.parquet"), [(1, t0, 1, 1.0)], 1_700_000_000)
+
+    schema = "event_id long, ts timestamp, user_id long, value double"
+    out = str(tmp_path / "out")  # file sink: the recoverable sink kind
+
+    def run_available():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = (
+            stateful.sessionize_stateful(stream)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run_available()  # processes f1, checkpoints, stops
+
+    _write_events_file(str(src / "f2.parquet"), [(2, t0 + 60_000_000, 1, 2.0)], 1_700_000_010)
+    _write_events_file(str(src / "f3.parquet"), [(3, t0 + 10 * day, 2, 0.5)], 1_700_000_020)
+    _write_events_file(str(src / "f4.parquet"), [(4, t0 + 20 * day, 3, 0.5)], 1_700_000_030)
+
+    run_available()  # resumes from the checkpoint, f2..f4
+
+    rows = {
+        (r["user_id"], r["n_events"], r["session_value"])
+        for r in spark.read.parquet(out).collect()
+    }
+    # one MERGED session for user 1 (state survived the restart), closed by
+    # timeout once the watermark passed; two separate sessions would be
+    # (1,1,1.0)+(1,1,2.0)
+    assert (1, 2, 3.0) in rows
+    assert (1, 1, 1.0) not in rows
