@@ -442,3 +442,28 @@ def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
     )
+
+
+@query(
+    "q_agg_filtered",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_all,
+           CAST(count(*) FILTER (WHERE l_quantity > 25) AS BIGINT) AS n_big,
+           CAST(sum(CAST(l_quantity AS BIGINT)) FILTER (WHERE l_discount > 0.05)
+                AS BIGINT) AS qty_discounted
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTER-clause aggregates (A-family completion): per-aggregate
+    predicates in one pass — the idiomatic replacement for N separate
+    filtered scans. One scan, one shuffle, conditional accumulation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_all"),
+        F.count(F.when(F.col("l_quantity") > 25, 1)).alias("n_big"),
+        F.sum(
+            F.when(F.col("l_discount") > 0.05, F.col("l_quantity").cast("long"))
+        ).alias("qty_discounted"),
+    )

@@ -417,3 +417,34 @@ def q_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("s.first_seen"), F.col("u.first_seen")).alias("first_seen"),
         F.coalesce(F.col("u.last_seen"), F.col("s.last_seen")).alias("last_seen"),
     )
+
+
+@query(
+    "q_join_lateral",
+    oracle="""
+    SELECT n.n_name, t.c_custkey, round(t.c_acctbal, 2) AS acctbal
+    FROM nation n,
+    LATERAL (SELECT c_custkey, c_acctbal FROM customer c
+             WHERE c.c_nationkey = n.n_nationkey
+             ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+    """,
+)
+def q_join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL join (J-family completion): per-left-row
+    dependent subquery — here top-2 customers by balance per nation, the
+    'for each key, run this parameterized query' shape. Catalyst
+    decorrelates it; the window/rank form (q_win_topk_group) is the plan
+    you'd write by hand, this is the SQL surface users arrive with."""
+    from graph_vulcan_assets_spark.tables import load_table as _lt
+
+    _lt(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    _lt(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT n.n_name, t.c_custkey, round(t.c_acctbal, 2) AS acctbal
+        FROM nation n,
+        LATERAL (SELECT c_custkey, c_acctbal FROM customer c
+                 WHERE c.c_nationkey = n.n_nationkey
+                 ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+        """
+    )
