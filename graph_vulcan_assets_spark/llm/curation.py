@@ -284,3 +284,79 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("start_tok") / _PACK_BUDGET).cast("long").alias("pack_no"),
         (F.col("start_tok") % _PACK_BUDGET).cast("long").alias("pack_offset"),
     )
+
+
+# Shared PII regexes — restricted to the syntax subset Java regex (Spark)
+# and RE2 (DuckDB) interpret identically: character classes, bounded
+# repetition, alternation. No lookaround, no backreferences.
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_IP_RE = r"([0-9]{1,3}\.){3}[0-9]{1,3}"
+_LONGNUM_RE = r"[0-9]{13,19}"
+
+
+@query(
+    "q_pii_redact",
+    oracle=f"""
+    WITH raw AS (
+      SELECT c_custkey,
+             'contact ' || c_name || ' <' || lower(replace(c_name, '#', '.')) ||
+             '@example.com> ip 10.' || CAST(c_custkey % 240 AS VARCHAR) || '.' ||
+             CAST(c_custkey % 250 AS VARCHAR) || '.' ||
+             CAST(c_custkey % 100 AS VARCHAR) || ' card ' ||
+             CAST(4111111111111000 + c_custkey % 1000 AS VARCHAR) AS t
+      FROM customer)
+    SELECT c_custkey,
+           CAST(len(regexp_extract_all(t, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(t, '{_IP_RE}')) AS BIGINT) AS n_ips,
+           CAST(len(regexp_extract_all(t, '{_LONGNUM_RE}')) AS BIGINT) AS n_longnums,
+           md5(regexp_replace(regexp_replace(regexp_replace(
+               t, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                  '{_IP_RE}', '<IP>', 'g'),
+                  '{_LONGNUM_RE}', '<NUM>', 'g')) AS redacted_md5
+    FROM raw
+    """,
+)
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (curation): regex-scrub emails, IPv4s, long digit runs.
+
+    The documents corpus is synthetic word-soup with no PII, so the input
+    text is synthesized deterministically from customer rows (name-derived
+    email, key-derived IP and card number) — the redaction logic is then
+    genuinely exercised: every row contains all three PII classes, and the
+    md5 of the redacted text proves byte-identical scrubbing across
+    engines. Map-only scan: zero shuffles, redaction happens inside one
+    codegen stage. Redaction order matters (email first — its local part
+    contains digit runs; then IPs; then bare long numbers).
+    """
+    c = load_table(spark, sf_dir, "customer")
+    t = F.concat(
+        F.lit("contact "),
+        F.col("c_name"),
+        F.lit(" <"),
+        F.lower(F.replace(F.col("c_name"), F.lit("#"), F.lit("."))),
+        F.lit("@example.com> ip 10."),
+        (F.col("c_custkey") % 240).cast("string"),
+        F.lit("."),
+        (F.col("c_custkey") % 250).cast("string"),
+        F.lit("."),
+        (F.col("c_custkey") % 100).cast("string"),
+        F.lit(" card "),
+        (F.lit(4111111111111000) + F.col("c_custkey") % 1000).cast("string"),
+    )
+    raw = c.select("c_custkey", t.alias("t"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("t"), _EMAIL_RE, "<EMAIL>"),
+            _IP_RE,
+            "<IP>",
+        ),
+        _LONGNUM_RE,
+        "<NUM>",
+    )
+    return raw.select(
+        "c_custkey",
+        F.size(F.regexp_extract_all("t", F.lit(_EMAIL_RE), F.lit(0))).cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all("t", F.lit(_IP_RE), F.lit(0))).cast("long").alias("n_ips"),
+        F.size(F.regexp_extract_all("t", F.lit(_LONGNUM_RE), F.lit(0))).cast("long").alias("n_longnums"),
+        F.md5(redacted).alias("redacted_md5"),
+    )

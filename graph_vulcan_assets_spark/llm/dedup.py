@@ -263,3 +263,65 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, x: acc + x.cast("long"),
     )
     return votes.select("doc_id", fingerprint.alias("simhash"))
+
+
+@query(
+    "q_dedup_boilerplate",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(len(t) - 4),
+               i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' ||
+                    t[i+4] || ' ' || t[i+5])) AS gs
+      FROM toks WHERE len(t) >= 5),
+    pairs AS (SELECT doc_id, unnest(gs) AS s FROM sh),
+    dfreq AS (SELECT s, count(*) AS df FROM pairs GROUP BY s)
+    SELECT doc_id,
+           count(*) AS n_shingles,
+           CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+           round(CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS boiler_frac
+    FROM pairs JOIN dfreq USING (s)
+    GROUP BY doc_id
+    """,
+)
+def q_dedup_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-shingle (boilerplate) detection (X2 family).
+
+    The line-dedup/boilerplate-removal shape from web-corpus pipelines
+    (CCNet-style), adapted to token 5-gram windows since the synthetic
+    corpus has no line structure: a shingle appearing in ≥2 distinct
+    documents is boilerplate; each document reports its boilerplate
+    fraction. Plan: per-row shingle arrays (map-only) → explode distinct
+    shingles → document-frequency aggregation [shuffle on shingle] →
+    equi-join back [same key, same partitioning] → per-doc aggregation.
+    The shuffles carry shingle strings; at 100 TB swap the string for
+    xxhash64(shingle) — kept as strings here so the DuckDB oracle can
+    mirror the query exactly.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    t = F.split("text", " ")
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(F.col("t"), i + k) for k in range(1, 6)]
+    )
+    grams = F.array_distinct(F.transform(F.sequence(F.lit(0), F.size("t") - 5), gram))
+    pairs = (
+        d.select("doc_id", t.alias("t"))
+        .where(F.size("t") >= 5)
+        .select("doc_id", F.explode(grams).alias("s"))
+    )
+    dfreq = pairs.groupBy("s").agg(F.count("*").alias("df"))
+    is_boiler = F.when(F.col("df") >= 2, 1).otherwise(0)
+    return (
+        pairs.join(dfreq, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(is_boiler).cast("long").alias("n_boiler"),
+            F.round(
+                F.sum(is_boiler).cast("double") / F.count("*"), 6
+            ).alias("boiler_frac"),
+        )
+    )

@@ -1,0 +1,138 @@
+"""Embedding-column operators: scalar quantization and random-projection
+dimensionality reduction.
+
+These are the storage/compute halves of a large-scale ANN pipeline
+(llm/similarity.py): int8 scalar quantization cuts vector storage 4x (the
+difference between an index fitting in cluster memory or not at 100 TB),
+and Johnson-Lindenstrauss random projection cuts the dimensionality the
+distance computations pay for while approximately preserving pairwise
+distances.
+
+No counterpart in the reference (a streaming asset-inventory ETL,
+cmd/graph-vulcan-assets/main.go); these extend the engine toward the
+LLM-pipeline surface the brief calls for (repo:BASELINE.json).
+
+Scale shapes:
+- quantization: posexplode → per-dimension min/max (64 groups — a tiny
+  aggregate) → broadcast join back → map-side quantize. The only shuffle
+  carries (dim, val) pairs for the stats pass; the quantize pass itself is
+  map-only against the broadcast stats.
+- projection: one Arrow-batched `pandas_udf` doing a numpy matmul per
+  batch — the 64x16 projection matrix is regenerated deterministically
+  inside each executor from a fixed seed (no broadcast, no driver state).
+  Per-row Python would be ~100x slower; built-in higher-order functions
+  would evaluate 16 aggregate expressions per row JVM-side but cannot use
+  BLAS — for dense matmul the vectorized Python stage wins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from graph_vulcan_assets_spark.registry import query
+from graph_vulcan_assets_spark.tables import load_table
+
+
+@query(
+    "q_embed_quantize",
+    oracle="""
+    WITH ex AS (
+      SELECT vec_id,
+             unnest(range(len(embedding))) AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS val
+      FROM embeddings),
+    stats AS (SELECT dim, min(val) AS mn, max(val) AS mx FROM ex GROUP BY dim),
+    q AS (
+      SELECT vec_id, val, mn, mx,
+             CAST(round((val - mn) / (mx - mn) * 255, 0) AS INT) AS qv
+      FROM ex JOIN stats USING (dim)
+      WHERE mx > mn),
+    d AS (
+      SELECT vec_id, qv,
+             abs(val - (mn + CAST(qv AS DOUBLE) * (mx - mn) / 255)) AS err
+      FROM q)
+    SELECT vec_id,
+           CAST(sum(qv) AS BIGINT) AS q_sum,
+           CAST(sum(CAST(round(err * 1000000000, 0) AS BIGINT)) AS BIGINT)
+             AS err_sum_nano,
+           round(max(err), 9) AS max_err
+    FROM d GROUP BY vec_id
+    """,
+)
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of the embedding column + reconstruction error.
+
+    Per-dimension min/max (the codebook) → quantize each component to
+    0..255 → dequantize → per-vector quantized checksum and reconstruction
+    error. The error sum uses exact nano-unit integers so it is
+    summation-order independent; max() is order-independent by nature.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    ex = e.select("vec_id", F.posexplode("embedding").alias("dim", "fval")).select(
+        "vec_id", "dim", F.col("fval").cast("double").alias("val")
+    )
+    stats = ex.groupBy("dim").agg(F.min("val").alias("mn"), F.max("val").alias("mx"))
+    j = ex.join(F.broadcast(stats.where(F.col("mx") > F.col("mn"))), "dim")
+    qv = F.round((F.col("val") - F.col("mn")) / (F.col("mx") - F.col("mn")) * 255, 0).cast("int")
+    d = j.select(
+        "vec_id",
+        qv.alias("qv"),
+        F.abs(
+            F.col("val")
+            - (F.col("mn") + qv.cast("double") * (F.col("mx") - F.col("mn")) / 255)
+        ).alias("err"),
+    )
+    return d.groupBy("vec_id").agg(
+        F.sum("qv").cast("long").alias("q_sum"),
+        F.sum(F.round(F.col("err") * 1000000000, 0).cast("long")).alias("err_sum_nano"),
+        F.round(F.max("err"), 9).alias("max_err"),
+    )
+
+
+def project_embeddings(df: DataFrame, in_dim: int = 64, out_dim: int = 16) -> DataFrame:
+    """Random-projection dimensionality reduction (Johnson-Lindenstrauss).
+
+    Appends ``projected: array<double>`` of length ``out_dim``. The
+    Gaussian projection matrix is generated from a fixed seed inside the
+    UDF, so every executor derives the identical matrix with no broadcast
+    and the output is deterministic across runs and cluster layouts.
+
+    The kernel is a self-contained closure (imports inside) so it
+    cloudpickles by value — executors never need this package importable
+    (the driver loads __spark_entry__.py by file path).
+    """
+
+    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    def _project(batch):
+        import numpy as np
+        import pandas as pd
+
+        rng = np.random.RandomState(2024)
+        mat = rng.standard_normal((in_dim, out_dim)) / np.sqrt(out_dim)
+        m = np.vstack(batch.apply(lambda v: np.asarray(v, dtype=np.float64)))
+        out = m @ mat
+        return pd.Series(list(out))
+
+    return df.withColumn("projected", _project(F.col("embedding")))
+
+
+@query("q_embed_project")  # rows-only: float matmul is summation-order sensitive
+def q_embed_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL random projection 64 → 16 dims via one Arrow-batched matmul.
+
+    Rows-only by design: the projected components are dense float dot
+    products whose exact bits depend on BLAS accumulation order, so no
+    cross-engine hash oracle exists; tests/test_embeddings.py proves the
+    JL distance-preservation property and run-to-run determinism instead.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    p = project_embeddings(e)
+    return p.select(
+        "vec_id",
+        F.size("projected").alias("out_dim"),
+        F.round(
+            F.aggregate("projected", F.lit(0.0), lambda a, x: a + x * x), 6
+        ).alias("norm_sq"),
+    )

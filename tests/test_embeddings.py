@@ -1,0 +1,70 @@
+"""Embedding-operator tests: quantization quality, projection determinism,
+and the Johnson-Lindenstrauss distance-preservation property the random
+projection exists for. (Oracle parity for q_embed_quantize runs in
+test_oracle_parity.py; these cover what a SQL oracle can't.)"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from graph_vulcan_assets_spark.llm.embeddings import project_embeddings
+from graph_vulcan_assets_spark.registry import all_queries
+from graph_vulcan_assets_spark.tables import load_table
+
+QUERIES = all_queries()
+
+
+def test_quantization_error_bounded(spark, sf_dir):
+    """Int8 scalar quantization error is at most half a quantization step
+    per component: |err| <= (mx - mn) / (2 * 255) for every dimension."""
+    e = load_table(spark, sf_dir, "embeddings")
+    ex = e.select("vec_id", F.posexplode("embedding").alias("dim", "fval")).select(
+        "dim", F.col("fval").cast("double").alias("val")
+    )
+    spread = (
+        ex.groupBy("dim")
+        .agg((F.max("val") - F.min("val")).alias("spread"))
+        .agg(F.max("spread"))
+        .first()[0]
+    )
+    max_err = (
+        QUERIES["q_embed_quantize"](spark, sf_dir).agg(F.max("max_err")).first()[0]
+    )
+    assert max_err <= spread / (2 * 255) + 1e-9
+
+
+def test_projection_deterministic_across_runs(spark, sf_dir):
+    """Two independent executions produce bit-identical projections (the
+    matrix is re-derived from a fixed seed inside every executor)."""
+    e = load_table(spark, sf_dir, "embeddings").limit(50)
+    a = {r["vec_id"]: r["projected"] for r in project_embeddings(e).collect()}
+    b = {r["vec_id"]: r["projected"] for r in project_embeddings(e).collect()}
+    assert a == b
+
+
+def test_projection_preserves_distances(spark, sf_dir):
+    """JL property: relative pairwise squared distances survive 64→16
+    projection within a loose (1 ± 0.75) band — random projections are
+    unbiased, so gross violations mean the matmul or matrix is wrong."""
+    e = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 40)
+    rows = project_embeddings(e).select("vec_id", "embedding", "projected").collect()
+    rows.sort(key=lambda r: r["vec_id"])
+    checked = 0
+    for i in range(0, len(rows) - 1, 2):
+        a, b = rows[i], rows[i + 1]
+        d_orig = sum((x - y) ** 2 for x, y in zip(a["embedding"], b["embedding"]))
+        d_proj = sum((x - y) ** 2 for x, y in zip(a["projected"], b["projected"]))
+        if d_orig > 1e-12:
+            ratio = d_proj / d_orig
+            assert 0.25 < ratio < 1.75, f"pair ({a['vec_id']},{b['vec_id']}): {ratio}"
+            checked += 1
+    assert checked >= 10
+
+
+def test_projection_output_shape(spark, sf_dir):
+    out = QUERIES["q_embed_project"](spark, sf_dir)
+    row = out.first()
+    assert row["out_dim"] == 16
+    assert row["norm_sq"] is not None and not math.isnan(row["norm_sq"])

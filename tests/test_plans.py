@@ -122,3 +122,25 @@ def test_temporal_replay_has_no_cartesian(spark):
         p = buf.getvalue()
         assert "CartesianProduct" not in p, table
         assert "NestedLoop" not in p, table
+
+
+def test_pii_redact_is_map_only(spark, sf_dir):
+    """Redaction is a pure per-row rewrite: any Exchange in the plan means
+    a refactor introduced a shuffle into what must stay a single scan."""
+    p = plan_of(spark, sf_dir, "q_pii_redact")
+    assert "Exchange" not in p
+
+
+def test_profile_is_single_scan(spark, sf_dir):
+    """The profiler must read lineitem ONCE (stack-unpivot inside the
+    scan's project), not once per profiled column."""
+    p = plan_of(spark, sf_dir, "q_profile_columns")
+    scans = [l for l in p.splitlines() if l.startswith("Location: InMemoryFileIndex")]
+    assert len(scans) == 1, f"expected 1 scan, plan has {len(scans)}"
+
+
+def test_tfidf_df_join_no_cartesian(spark, sf_dir):
+    """The n_docs scalar attaches via a broadcast (1-row) cross join; the
+    tf⋈df join must stay an equi-join on term."""
+    p = plan_of(spark, sf_dir, "q_text_tfidf")
+    assert "CartesianProduct" not in p
