@@ -88,3 +88,30 @@ def test_cluster_key_bands_are_narrow(spark, sf_dir, tmp_path):
     # every file covers a strict sub-band; on average far below the range
     assert max(spans) < global_span
     assert sum(spans) / len(spans) <= global_span / 2
+
+
+def test_dynamic_partition_pruning_on_dim_join(spark, sf_dir, tmp_path):
+    """Joining the partitioned fact with a filtered dimension must prune
+    fact partitions at RUNTIME from the dim side's surviving join keys
+    (dynamicpruningexpression in PartitionFilters) — the star-schema scan
+    killer at 100 TB: only the joined-to partition directories are read."""
+    events = load_table(spark, sf_dir, "events")
+    out = str(tmp_path / "events_dpp")
+    layout.write_clustered(
+        events, out, partition_by=["event_type"], cluster_by=["user_id"]
+    )
+    fact = layout.read_pruned(spark, out)
+    dim = (
+        events.select("event_type")
+        .distinct()
+        .withColumn("is_conversion", F.col("event_type").isin("purchase", "signup"))
+    )
+    q = (
+        fact.join(dim.where(F.col("is_conversion")), "event_type")
+        .groupBy("event_type")
+        .count()
+    )
+    p = _plan(q)
+    assert "dynamicpruningexpression" in p.lower()
+    pf = p.split("PartitionFilters", 1)[1].splitlines()[0]
+    assert "dynamicpruning" in pf
