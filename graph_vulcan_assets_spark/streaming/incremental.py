@@ -1,0 +1,142 @@
+"""Incremental streaming operators beyond the reference's surface:
+materialized-aggregate maintenance, stream-stream joins, and watermarked
+stream deduplication.
+
+The reference maintains entity state only (one row per asset/team/edge,
+cmd/graph-vulcan-assets/main.go:114-364). A warehouse on the same stream
+also needs maintained AGGREGATES — the rollups dashboards read — updated
+per micro-batch without rescanning history. That is what
+``maintain_aggregate`` does: each micro-batch contributes a partial
+aggregate (map-side combine inside the batch), which merges into a
+groups-sized state table. Work per batch is O(batch + |groups|), never
+O(history).
+
+Stream-stream joins and watermarked dedup are the other two Structured
+Streaming primitives a 100 TB event pipeline leans on:
+- ``join_within`` bounds the state store with watermarks + a time-range
+  predicate (unbounded stream joins are a memory leak by construction);
+- ``dedup_within_watermark`` drops at-least-once replays by key while
+  keeping only a watermark-bounded key set in state — the streaming
+  analogue of the batch X1 exact dedup.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# Maintained aggregate: per event_type row counts and exact micro-unit
+# value sums. Micro-units make the merge associative over integers, so
+# batch boundaries can never change the result.
+_AGG_SCHEMA = "event_type string, n bigint, sum_micros bigint"
+
+
+def batch_aggregate(events: DataFrame) -> DataFrame:
+    """The per-batch partial: groupBy inside the micro-batch."""
+    return events.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("value") * 1000000, 0).cast("long")).alias("sum_micros"),
+    )
+
+
+def merge_aggregate_state(spark: SparkSession, state_dir: str, partial: DataFrame) -> None:
+    """Merge one micro-batch's partial aggregate into the state table.
+
+    Full-outer join + coalesce-add on the (tiny) groups table — the same
+    MERGE emulation the entity sink uses (streaming/ingest.py). The state
+    rewrite is |groups|-sized, not history-sized.
+    """
+    cur_path = os.path.join(state_dir, "current")
+    if os.path.isdir(cur_path):
+        cur = spark.read.schema(_AGG_SCHEMA).parquet(cur_path)
+    else:
+        cur = spark.createDataFrame([], _AGG_SCHEMA)
+    p = partial.select(
+        F.col("event_type").alias("p_event_type"),
+        F.col("n").alias("p_n"),
+        F.col("sum_micros").alias("p_sum"),
+    )
+    merged = (
+        cur.join(p, cur.event_type == p.p_event_type, "full_outer")
+        .select(
+            F.coalesce(cur.event_type, p.p_event_type).alias("event_type"),
+            (F.coalesce(cur.n, F.lit(0)) + F.coalesce(p.p_n, F.lit(0))).alias("n"),
+            (F.coalesce(cur.sum_micros, F.lit(0)) + F.coalesce(p.p_sum, F.lit(0))).alias(
+                "sum_micros"
+            ),
+        )
+    )
+    nxt_path = os.path.join(state_dir, "next")
+    merged.write.mode("overwrite").parquet(nxt_path)
+    # atomic-enough swap for local emulation; a real deployment uses Delta
+    # MERGE (jars absent from this image — see NOTES_r1)
+    import shutil
+
+    shutil.rmtree(cur_path, ignore_errors=True)
+    os.replace(nxt_path, cur_path)
+
+
+def maintain_aggregate(
+    stream: DataFrame, state_dir: str, checkpoint_dir: str
+):
+    """Run the incremental maintenance as a streaming query.
+
+    foreachBatch(partial-agg → merge): each micro-batch is reduced
+    map-side to |groups| rows before any state I/O.
+    """
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        merge_aggregate_state(batch_df.sparkSession, state_dir, batch_aggregate(batch_df))
+
+    return (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_aggregate_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    return spark.read.schema(_AGG_SCHEMA).parquet(os.path.join(state_dir, "current"))
+
+
+def join_within(
+    left: DataFrame,
+    right: DataFrame,
+    lower: str = "INTERVAL 0 SECONDS",
+    upper: str = "INTERVAL 1 HOUR",
+) -> DataFrame:
+    """Stream-stream inner join: same user, right event follows left within
+    (lower, upper]. Both sides carry watermarks so the state store evicts
+    rows older than the join window — bounded state by construction.
+    """
+    l = left.withWatermark("ts", "2 hours").select(
+        F.col("user_id").alias("l_user"),
+        F.col("event_type").alias("l_type"),
+        F.col("ts").alias("l_ts"),
+        F.col("event_id").alias("l_id"),
+    )
+    r = right.withWatermark("ts", "2 hours").select(
+        F.col("user_id").alias("r_user"),
+        F.col("event_type").alias("r_type"),
+        F.col("ts").alias("r_ts"),
+        F.col("event_id").alias("r_id"),
+    )
+    cond = (
+        (F.col("l_user") == F.col("r_user"))
+        & (F.col("r_ts") > F.col("l_ts") + F.expr(lower))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(upper))
+        & (F.col("l_type") == "view")
+        & (F.col("r_type") == "purchase")
+    )
+    return l.join(r, cond)
+
+
+def dedup_within_watermark(stream: DataFrame, delay: str = "2 hours") -> DataFrame:
+    """At-least-once → effectively-once: drop replayed event_ids while the
+    watermark keeps the dedup state bounded (keys older than the delay are
+    evicted — a replay arriving later than the delay would pass, which is
+    exactly the documented watermark contract)."""
+    return stream.withWatermark("ts", delay).dropDuplicatesWithinWatermark(["event_id"])
