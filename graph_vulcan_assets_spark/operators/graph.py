@@ -124,3 +124,96 @@ def q_graph_subtree_size(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_descendants"),
         (F.count("*") + 1).cast("long").alias("subtree_size"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PageRank
+# ---------------------------------------------------------------------------
+
+_PR_SCALE = 1_000_000_000_000  # ranks as integer micro-units of this scale
+_PR_ITERS = 5
+
+_PR_EDGES_SQL = """
+      SELECT doc_id AS src, doc_id // 10 AS dst FROM documents WHERE doc_id > 0
+      UNION ALL
+      SELECT doc_id // 10 AS src, doc_id AS dst FROM documents WHERE doc_id > 0
+"""
+
+
+def _pagerank_oracle(iters: int = _PR_ITERS) -> str:
+    """Unrolled fixed-iteration PageRank as chained CTEs (DuckDB has no
+    aggregation inside recursive CTEs, so each iteration is its own CTE)."""
+    sql = f"""
+    WITH nodes AS (SELECT doc_id AS node FROM documents),
+    nn AS (SELECT count(*) AS n FROM nodes),
+    edges AS ({_PR_EDGES_SQL}),
+    deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+    r0 AS (SELECT node, CAST({_PR_SCALE} // n AS BIGINT) AS pr
+           FROM nodes CROSS JOIN nn)"""
+    for i in range(1, iters + 1):
+        sql += f""",
+    inc{i} AS (SELECT e.dst AS node, sum(r.pr // d.outdeg) AS s
+               FROM r{i - 1} r
+               JOIN edges e ON r.node = e.src
+               JOIN deg d ON d.src = e.src
+               GROUP BY e.dst),
+    r{i} AS (SELECT n0.node,
+               CAST((15 * ({_PR_SCALE} // nn.n)) // 100
+                 + (85 * COALESCE(inc{i}.s, 0)) // 100 AS BIGINT) AS pr
+             FROM nodes n0 CROSS JOIN nn
+             LEFT JOIN inc{i} ON inc{i}.node = n0.node)"""
+    sql += f"\n    SELECT node, pr FROM r{iters}"
+    return sql
+
+
+@query("q_graph_pagerank", oracle=_pagerank_oracle())
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank (d=0.85, 5 iterations) over the undirected
+    document tree, with ranks kept as exact integer micro-units.
+
+    All arithmetic is integer (contribution = pr DIV outdeg; damping via
+    integer *85 DIV 100), so the result is independent of summation order
+    and matches the oracle bit-for-bit — the standard trick for making an
+    iterative float algorithm driver-checkable.
+
+    Scale shape: per iteration, one shuffle-partitionable equi-join
+    (ranks ⋈ edges on src) + one hash aggregate on dst — the canonical
+    distributed PageRank dataflow (no cross products, no driver-side
+    state). The edge list with out-degrees is materialized once
+    (``localCheckpoint``) and reused across iterations; per-iteration
+    lineage is truncated the same way as :func:`transitive_ancestors`.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("node")
+    )
+    tree = doc_hierarchy_edges(spark, sf_dir)
+    edges = tree.select(
+        F.col("child").alias("src"), F.col("parent").alias("dst")
+    ).unionByName(tree.select(F.col("parent").alias("src"), F.col("child").alias("dst")))
+    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    edges_deg = edges.join(deg, "src").localCheckpoint(eager=True)
+    nn = docs.agg(F.count("*").alias("n"))
+
+    ranks = docs.crossJoin(F.broadcast(nn)).select(
+        "node", F.expr(f"CAST({_PR_SCALE} DIV n AS BIGINT)").alias("pr")
+    )
+    for _ in range(_PR_ITERS):
+        inc = (
+            ranks.join(edges_deg, ranks.node == edges_deg.src)
+            .select("dst", F.expr("pr DIV outdeg").alias("contrib"))
+            .groupBy("dst")
+            .agg(F.sum("contrib").alias("s"))
+        )
+        ranks = (
+            docs.crossJoin(F.broadcast(nn))
+            .join(inc, docs.node == inc.dst, "left")
+            .select(
+                "node",
+                F.expr(
+                    f"CAST((15 * ({_PR_SCALE} DIV n)) DIV 100"
+                    " + (85 * coalesce(s, 0)) DIV 100 AS BIGINT)"
+                ).alias("pr"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

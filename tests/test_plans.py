@@ -144,3 +144,28 @@ def test_tfidf_df_join_no_cartesian(spark, sf_dir):
     tf⋈df join must stay an equi-join on term."""
     p = plan_of(spark, sf_dir, "q_text_tfidf")
     assert "CartesianProduct" not in p
+
+
+def test_equidepth_cdf_is_partition_parallel(spark, sf_dir):
+    """The equi-depth CDF must be a range-partitioned parallel prefix sum.
+    A single-partition window over the value-level frame is the classic
+    100 TB window scale-killer; the only SinglePartition stages allowed
+    are metadata-scale: the P-row per-range-totals prefix and the 1-row
+    grand-total aggregate."""
+    p = plan_of(spark, sf_dir, "q_hist_equidepth")
+    assert "rangepartitioning" in p
+    assert p.count("Arguments: SinglePartition") <= 2
+    # the data-level local-cumsum window must be keyed by the range id,
+    # never a global (unpartitioned) sort
+    win_lines = [l for l in p.splitlines() if "_local_before" in l and "windowspec" in l.lower()]
+    for l in win_lines:
+        assert "_rid" in l, f"value-level window lost its range partitioning: {l}"
+    scans = [l for l in p.splitlines() if l.startswith("Location: InMemoryFileIndex")]
+    assert len(scans) <= 1, "value aggregate must be materialized once"
+
+
+def test_pagerank_is_equi_join_dataflow(spark, sf_dir):
+    """Each PageRank iteration is ranks ⋈ edges (equi) + hash agg; the only
+    NestedLoop allowed is the 1-row broadcast of the node count."""
+    p = plan_of(spark, sf_dir, "q_graph_pagerank")
+    assert "CartesianProduct" not in p
