@@ -164,6 +164,29 @@ def test_equidepth_cdf_is_partition_parallel(spark, sf_dir):
     assert len(scans) <= 1, "value aggregate must be materialized once"
 
 
+def test_subquery_shapes_decorrelate(spark, sf_dir):
+    """Every correlated subquery shape must rewrite into joins: EXISTS/IN
+    to left-semi, NOT EXISTS to left-anti, correlated scalars to an
+    aggregate + equi-join — never a per-row re-execution and never a
+    CartesianProduct (the 100 TB failure mode of naive correlation)."""
+    expect = {
+        "q_shape_q2": (),
+        "q_shape_q4": ("LeftSemi",),
+        "q_shape_q13": (),
+        "q_shape_q15": (),
+        "q_shape_q17": (),
+        "q_shape_q20": ("LeftSemi",),
+        "q_shape_q21": ("LeftSemi", "LeftAnti"),
+        "q_shape_q22": ("LeftAnti",),
+    }
+    for name, needed in expect.items():
+        p = plan_of(spark, sf_dir, name)
+        assert "CartesianProduct" not in p, name
+        assert "BroadcastNestedLoop" not in p, name
+        for feat in needed:
+            assert feat in p, f"{name}: expected {feat} join in plan"
+
+
 def test_pagerank_is_equi_join_dataflow(spark, sf_dir):
     """Each PageRank iteration is ranks ⋈ edges (equi) + hash agg; the only
     NestedLoop allowed is the 1-row broadcast of the node count."""
