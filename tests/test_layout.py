@@ -115,3 +115,70 @@ def test_dynamic_partition_pruning_on_dim_join(spark, sf_dir, tmp_path):
     assert "dynamicpruningexpression" in p.lower()
     pf = p.split("PartitionFilters", 1)[1].splitlines()[0]
     assert "dynamicpruning" in pf
+
+
+def _file_spans(files: list[str], column: str) -> list[float]:
+    spans = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        idx = next(
+            i for i in range(md.num_columns)
+            if md.row_group(0).column(i).path_in_schema == column
+        )
+        f_lo = min(md.row_group(g).column(idx).statistics.min for g in range(md.num_row_groups))
+        f_hi = max(md.row_group(g).column(idx).statistics.max for g in range(md.num_row_groups))
+        spans.append(f_hi - f_lo)
+    return spans
+
+
+def test_zorder_bands_are_narrow_on_both_dims(spark, sf_dir, tmp_path):
+    """Z-order clustering must give every file a narrow min/max band on
+    BOTH clustered dimensions — that's the whole point of the curve: a
+    linear sort on key A leaves key B full-width in every file (proven
+    here as the control), so only A-predicates skip files; the Z-layout
+    lets parquet statistics skip files for predicates on either key."""
+    import glob
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity"
+    )
+    lo_p, hi_p, lo_s, hi_s = li.agg(
+        F.min("l_partkey"), F.max("l_partkey"),
+        F.min("l_suppkey"), F.max("l_suppkey"),
+    ).collect()[0]
+
+    zdir = str(tmp_path / "li_zorder")
+    layout.write_zordered(
+        li, zdir, dims=[("l_partkey", lo_p, hi_p), ("l_suppkey", lo_s, hi_s)],
+        n_files=16,
+    )
+    zfiles = glob.glob(zdir + "/*.parquet")
+    assert len(zfiles) >= 8
+
+    lindir = str(tmp_path / "li_linear")
+    layout.write_clustered(li, lindir, partition_by=[], cluster_by=["l_partkey"],
+                           n_files_per_partition=16)
+    lfiles = glob.glob(lindir + "/*.parquet")
+
+    span_p, span_s = hi_p - lo_p, hi_s - lo_s
+    z_p = _file_spans(zfiles, "l_partkey")
+    z_s = _file_spans(zfiles, "l_suppkey")
+    lin_s = _file_spans(lfiles, "l_suppkey")
+
+    # 16 files over a 2-d curve: each file covers ~1/4 of each dim
+    assert sum(z_p) / len(z_p) <= span_p / 2
+    assert sum(z_s) / len(z_s) <= span_s / 2
+    # control: linear clustering leaves the secondary dim full-width
+    assert sum(lin_s) / len(lin_s) > span_s * 0.8
+
+
+def test_zorder_key_is_codegen_expression(spark, sf_dir):
+    """The z-key must be a pure JVM expression (no UDF, no Python stage)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    df = li.withColumn(
+        "_zkey", layout.zorder_key([("l_partkey", 0, 199), ("l_suppkey", 0, 9)])
+    )
+    p = _plan(df)
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    # formatted plans mark codegen stages with a leading '*'
+    assert "* Project" in p
