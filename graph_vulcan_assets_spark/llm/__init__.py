@@ -8,3 +8,4 @@ import graph_vulcan_assets_spark.llm.clustering  # noqa: F401
 import graph_vulcan_assets_spark.llm.curation  # noqa: F401
 import graph_vulcan_assets_spark.llm.multimodal  # noqa: F401
 import graph_vulcan_assets_spark.llm.embeddings  # noqa: F401
+import graph_vulcan_assets_spark.llm.kmeans  # noqa: F401

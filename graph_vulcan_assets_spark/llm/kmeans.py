@@ -1,0 +1,118 @@
+"""Fixed-point Lloyd k-means over the embeddings table — deterministic,
+oracle-checked clustering for corpus organization (topic bucketing,
+stratified curation, IVF coarse quantizers).
+
+The reference has no clustering surface (its "grouping" is the stream
+state rollup, stream/entity.go); this is the k-means the IVF ANN index in
+``llm/similarity.py`` would train its coarse quantizer with, made
+driver-checkable with the same trick as PageRank (operators/graph.py):
+ALL arithmetic is integer, so results are independent of summation order
+and match the DuckDB oracle bit-for-bit —
+
+* components quantize to exact integer micro-units
+  (``CAST(round(CAST(e AS DOUBLE) * 1e6, 0) AS BIGINT)``);
+* squared-L2 distances are BIGINT sums (≤ 64 · (2e6)² ≈ 2.6e14, far from
+  overflow);
+* centroid updates use truncated integer means
+  ``(sum - sum % cnt) / cnt`` — written that way (not ``DIV`` / ``//``)
+  because Spark and DuckDB agree on truncated ``%`` but differ on
+  integer-division flavor;
+* argmin ties break on the lowest centroid id via ``row_number`` ordered
+  by (distance, cid).
+
+Scale shape: the embedding array is exploded ONCE into (vec_id, pos, q)
+and materialized; each Lloyd iteration is then two shuffle-partitionable
+relational ops — a (vecs ⋈ centroids ON pos) + per-(vec, cid) aggregate
+for assignment (centroids are k·d rows, broadcast), and a per-(cid, pos)
+aggregate for the update. No driver-side state, no UDFs; per-iteration
+lineage is truncated with ``localCheckpoint`` exactly like
+:func:`operators.graph.q_graph_pagerank`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from graph_vulcan_assets_spark.registry import query
+from graph_vulcan_assets_spark.tables import load_table
+
+K = 8
+ITERS = 3
+_SCALE = 1_000_000
+
+_VECS_SQL = """
+      SELECT vec_id,
+             unnest(range(len(embedding))) AS pos,
+             CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000, 0) AS BIGINT) AS q
+      FROM embeddings
+"""
+
+
+def _kmeans_oracle(k: int = K, iters: int = ITERS) -> str:
+    """Unrolled Lloyd iterations as chained CTEs (same pattern as the
+    PageRank oracle — DuckDB can't aggregate inside recursive CTEs)."""
+    sql = f"""
+    WITH vecs AS ({_VECS_SQL}),
+    c0 AS (SELECT vec_id AS cid, pos, q AS c FROM vecs WHERE vec_id < {k})"""
+    for i in range(1, iters + 1):
+        sql += f""",
+    d{i} AS (SELECT v.vec_id, c.cid, sum((v.q - c.c) * (v.q - c.c)) AS d
+             FROM vecs v JOIN c{i - 1} c ON v.pos = c.pos
+             GROUP BY v.vec_id, c.cid),
+    a{i} AS (SELECT vec_id, cid, CAST(d AS BIGINT) AS d FROM (
+               SELECT vec_id, cid, d,
+                      row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+               FROM d{i}) WHERE rn = 1),
+    c{i} AS (SELECT a.cid, v.pos,
+                    CAST((sum(v.q) - (sum(v.q) % count(*))) / count(*) AS BIGINT) AS c
+             FROM a{i} a JOIN vecs v ON v.vec_id = a.vec_id
+             GROUP BY a.cid, v.pos)"""
+    sql += f"""
+    SELECT vec_id, cid, d AS dist_sq FROM a{iters}"""
+    return sql
+
+
+@query("q_kmeans_assign", oracle=_kmeans_oracle())
+def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k=8 fixed-point Lloyd k-means, 3 iterations, seeded from the first
+    k vectors; returns every vector's final (cluster, exact squared
+    distance). See module docstring for the exactness contract."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = (
+        emb.select("vec_id", F.posexplode("embedding").alias("pos", "e"))
+        .select(
+            "vec_id",
+            F.col("pos").cast("long").alias("pos"),
+            F.round(F.col("e").cast("double") * _SCALE, 0).cast("long").alias("q"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    cent = vecs.where(F.col("vec_id") < K).select(
+        F.col("vec_id").alias("cid"), "pos", F.col("q").alias("c")
+    )
+    assign = None
+    for _ in range(ITERS):
+        d = (
+            vecs.join(F.broadcast(cent), "pos")
+            .groupBy("vec_id", "cid")
+            .agg(F.sum((F.col("q") - F.col("c")) * (F.col("q") - F.col("c"))).alias("d"))
+        )
+        w = Window.partitionBy("vec_id").orderBy("d", "cid")
+        assign = (
+            d.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("vec_id", "cid", "d")
+            .localCheckpoint(eager=True)
+        )
+        cent = (
+            assign.join(vecs, "vec_id")
+            .groupBy("cid", "pos")
+            .agg(
+                ((F.sum("q") - F.sum("q") % F.count("*")) / F.count("*"))
+                .cast("long")
+                .alias("c")
+            )
+        )
+    assert assign is not None
+    return assign.select("vec_id", "cid", F.col("d").cast("long").alias("dist_sq"))
