@@ -71,3 +71,71 @@ def q_agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("__n").alias("n"),
         (F.sum("__s") / 1000000.0).alias("sum_value"),
     )
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    salt_buckets: int = 16,
+    fact_salt_col: str | None = None,
+) -> DataFrame:
+    """Skew-safe equi-join for when BOTH sides are too big to broadcast.
+
+    The fact side gets a deterministic salt (hash of ``fact_salt_col``, a
+    high-cardinality column); the dim side is exploded ``salt_buckets``×
+    so every (key, salt) bucket finds its dim row. The join key becomes
+    (key, salt), so a hot key's rows spread over ``salt_buckets``
+    reducers instead of one. Result is row-identical to ``fact.join(dim,
+    key)``; cost is the dim-side blowup — use only when the dim is
+    modest (≪ fact / salt_buckets) yet above the broadcast threshold.
+    AQE's skew-join split is the first line of defense (enabled in
+    session.py); this is the logical-plan fix for when AQE can't help,
+    e.g. a skewed key feeding a downstream bucketed write.
+    """
+    salt_src = fact_salt_col or key
+    salted_fact = fact.withColumn(
+        "__salt", F.pmod(F.xxhash64(salt_src), F.lit(salt_buckets))
+    )
+    exploded_dim = dim.withColumn(
+        "__salt", F.explode(F.array([F.lit(i) for i in range(salt_buckets)]))
+    )
+    return (
+        salted_fact.hint("merge")
+        .join(exploded_dim, [key, "__salt"])
+        .drop("__salt")
+    )
+
+
+@query(
+    "q_join_salted",
+    oracle="""
+    WITH dim AS (SELECT DISTINCT event_type,
+                        event_type IN ('purchase', 'signup') AS is_conversion
+                 FROM events)
+    SELECT is_conversion, CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events JOIN dim USING (event_type)
+    GROUP BY is_conversion
+    """,
+)
+def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted join on the maximally skewed key (5 event types over the
+    whole fact table). Every fact row carries a salt from its unique
+    event_id, the 5-row dim is exploded 16×, and the shuffle join runs on
+    (event_type, __salt) — 80 balanced buckets instead of 5 hot ones.
+    Row-identical to the plain join (the oracle); the merge hint keeps
+    the demonstration honest by blocking the broadcast fast path a 5-row
+    dim would otherwise take.
+    """
+    e = load_table(spark, sf_dir, "events")
+    dim = (
+        e.select("event_type")
+        .distinct()
+        .withColumn("is_conversion", F.col("event_type").isin("purchase", "signup"))
+    )
+    joined = salted_join(e, dim, "event_type", fact_salt_col="event_id")
+    return joined.groupBy("is_conversion").agg(
+        F.count("*").cast("long").alias("n"),
+        F.count_distinct("user_id").cast("long").alias("n_users"),
+    )

@@ -187,6 +187,17 @@ def test_subquery_shapes_decorrelate(spark, sf_dir):
             assert feat in p, f"{name}: expected {feat} join in plan"
 
 
+def test_salted_join_spreads_hot_keys(spark, sf_dir):
+    """The salted join must actually join on (key, __salt) through a
+    shuffle join — if the optimizer broadcast the dim, the demonstration
+    would be vacuous (broadcast is the fix for SMALL dims; salting is the
+    fix when neither side broadcasts)."""
+    p = plan_of(spark, sf_dir, "q_join_salted")
+    assert "SortMergeJoin" in p
+    left_keys = [l for l in p.splitlines() if l.startswith("Left keys")]
+    assert left_keys and "__salt" in left_keys[0]
+
+
 def test_pagerank_is_equi_join_dataflow(spark, sf_dir):
     """Each PageRank iteration is ranks ⋈ edges (equi) + hash agg; the only
     NestedLoop allowed is the 1-row broadcast of the node count."""
