@@ -345,3 +345,95 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         nd.cast("long").alias("n_distinct"),
         F.round(1.0 - nd.cast("double") / n, 6).alias("rep_ratio"),
     )
+
+
+@query(
+    "q_text_lm_score",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(len(t) - 1),
+               i -> t[i+1] || chr(31) || t[i+2])) AS bigram
+      FROM toks WHERE len(t) >= 2),
+    c12 AS (SELECT bigram, count(*) AS c12 FROM bg GROUP BY bigram),
+    c1 AS (
+      SELECT string_split(bigram, chr(31))[1] AS w1, sum(c12) AS c1
+      FROM c12 GROUP BY w1),
+    model AS (
+      SELECT bigram,
+             CAST(round(CAST(c12 AS DOUBLE) / c1 * 1000000, 0) AS BIGINT)
+               AS p_micros
+      FROM c12 JOIN c1 ON string_split(bigram, chr(31))[1] = w1)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(round(CAST(sum(p_micros) AS DOUBLE) / count(*), 0) AS BIGINT)
+             AS lm_score_micros
+    FROM bg JOIN model USING (bigram)
+    GROUP BY doc_id
+    """,
+)
+def q_text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram LM fluency score per document (X4 family).
+
+    The KenLM-style quality signal from pre-training pipelines (CCNet et
+    al.), restated in exact integer arithmetic: train bigram conditional
+    probabilities P(w2|w1) = c(w1,w2)/c(w1,*) on the corpus itself, then
+    score each document by its mean conditional probability. Low scores
+    flag disfluent / gibberish / boilerplate text.
+
+    Determinism: each probability is one double division of two exact
+    integer counts (IEEE-identical in both engines), quantized to integer
+    micros BEFORE the per-document sum — so the aggregate is an exact
+    BIGINT sum, order-independent — and the mean is emitted as INTEGER
+    micros (one division + round-to-integer). No float column in the
+    output at all: round(x, 6) on a double diverges between engines at
+    representational half-boundaries (Java BigDecimal.valueOf shortest
+    repr vs exact-binary rounding — observed at sf0.01), round(x, 0)
+    does not.
+
+    Scale shape: the model table is vocabulary-pair-sized (≪ corpus, the
+    shuffle carries (bigram, count) pairs, 8-byte counts); scoring is one
+    equi-join of exploded doc bigrams against the model on the bigram
+    string, then a per-doc aggregate — both shuffles key on high-cardinality
+    uniform keys. The corpus never moves: only bigram tokens do.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    SEP = "\x1f"
+    t = F.split("text", " ")
+    bigrams = F.transform(
+        F.sequence(F.lit(0), F.size(F.col("t")) - 2),
+        lambda i: F.concat_ws(SEP, F.element_at(F.col("t"), i + 1), F.element_at(F.col("t"), i + 2)),
+    )
+    bg = (
+        d.select("doc_id", t.alias("t"))
+        .where(F.size(F.col("t")) >= 2)
+        .select("doc_id", F.explode(bigrams).alias("bigram"))
+    )
+    c12 = bg.groupBy("bigram").agg(F.count("*").alias("c12"))
+    c1 = (
+        c12.withColumn("w1", F.split("bigram", SEP)[0])
+        .groupBy("w1")
+        .agg(F.sum("c12").alias("c1"))
+    )
+    model = (
+        c12.withColumn("w1", F.split("bigram", SEP)[0])
+        .join(c1, "w1")
+        .select(
+            "bigram",
+            F.round(F.col("c12").cast("double") / F.col("c1") * 1000000, 0)
+            .cast("long")
+            .alias("p_micros"),
+        )
+    )
+    return (
+        bg.join(model, "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.round(F.sum("p_micros").cast("double") / F.count("*"), 0)
+            .cast("long")
+            .alias("lm_score_micros"),
+        )
+    )

@@ -31,12 +31,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
-        # events.ts is TIMESTAMP(NANOS) parquet, which Spark's reader rejects;
-        # read it as a long and truncate to microseconds — the same truncation
-        # DuckDB applies, so oracle comparisons stay exact.
+        # events.ts has shipped as either TIMESTAMP(NANOS) parquet (which
+        # Spark's reader rejects without the legacy long fallback) or plain
+        # TIMESTAMP(MICROS), depending on the generator version. Handle both:
+        # when the nanos fallback kicks in, ts reads as a long and we truncate
+        # to microseconds — the same truncation DuckDB applies, so oracle
+        # comparisons stay exact; when it's already a timestamp, pass through.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        if dict(df.dtypes)["ts"] in ("bigint", "long"):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        else:
+            # TIMESTAMP(MICROS) parquet reads as TIMESTAMP_NTZ; normalize to
+            # TimestampType (LTZ) — streaming event-time/watermarks require
+            # it, and it reproduces the nanos-era semantics exactly (session
+            # timezone is UTC, so the wall clock IS the epoch instant).
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 

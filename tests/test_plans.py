@@ -203,3 +203,27 @@ def test_pagerank_is_equi_join_dataflow(spark, sf_dir):
     NestedLoop allowed is the 1-row broadcast of the node count."""
     p = plan_of(spark, sf_dir, "q_graph_pagerank")
     assert "CartesianProduct" not in p
+
+
+def test_q6_predicates_fully_pushed(spark, sf_dir):
+    """Q6 is the fully-pushed-down query: all three range predicates must
+    reach the parquet scan so only overlapping row groups are read."""
+    p = plan_of(spark, sf_dir, "q_shape_q6")
+    pushed = [l for l in p.splitlines() if "PushedFilters" in l][0]
+    assert "l_shipdate" in pushed
+    assert "GreaterThanOrEqual(l_discount,0.05)" in pushed
+    assert "LessThan(l_quantity,24" in pushed
+
+
+def test_q19_disjunction_factors_into_both_sides(spark, sf_dir):
+    """The OR-of-ANDs filter must CNF-factor per-side conjuncts out of the
+    disjunction: the part scan reads only the three brands and lineitem
+    pre-filters the quantity band union — BEFORE the join. Without this,
+    every part row joins at 100 TB."""
+    p = plan_of(spark, sf_dir, "q_shape_q19")
+    pushed = [l for l in p.splitlines() if "PushedFilters" in l]
+    part_side = [l for l in pushed if "p_brand" in l]
+    li_side = [l for l in pushed if "l_quantity" in l]
+    assert part_side, "brand disjunction did not reach the part scan"
+    assert li_side, "quantity band union did not reach the lineitem scan"
+    assert "CartesianProduct" not in p and "NestedLoop" not in p
