@@ -58,12 +58,13 @@ def main() -> None:
     for name in HEADLINE:
         run_to_completion(queries[name](spark, warm_dir if os.path.isdir(warm_dir) else sf_dir))
 
-    # min of 2 timed runs per query: absorbs scheduler/GC noise so the
-    # reported number reflects steady-state plan cost
+    # min of 3 timed runs per query: absorbs scheduler/GC/page-cache noise
+    # so the reported number reflects steady-state plan cost (the host is
+    # shared — single-run numbers swing ±30% with co-tenant load)
     timings: dict[str, float] = {}
     for name in HEADLINE:
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             start = time.perf_counter()
             run_to_completion(queries[name](spark, sf_dir))
             best = min(best, time.perf_counter() - start)

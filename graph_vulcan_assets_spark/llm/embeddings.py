@@ -136,3 +136,66 @@ def q_embed_project(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.aggregate("projected", F.lit(0.0), lambda a, x: a + x * x), 6
         ).alias("norm_sq"),
     )
+
+
+@query(
+    "q_embed_centroid",
+    oracle="""
+    WITH ex AS (
+      SELECT label,
+             unnest(range(len(embedding))) AS dim,
+             CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000, 0)
+                  AS BIGINT) AS comp_micros
+      FROM embeddings),
+    per_dim AS (
+      SELECT label, dim, sum(comp_micros) AS s
+      FROM ex GROUP BY label, dim),
+    n AS (SELECT label, count(*) AS n_vectors FROM embeddings GROUP BY label)
+    SELECT label, n_vectors,
+           (SELECT list(CAST(s AS BIGINT) ORDER BY dim)
+            FROM per_dim p WHERE p.label = n.label) AS centroid_sum_micros
+    FROM n
+    """,
+)
+def q_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid via grouped-map `applyInPandas` —
+    the UDAF shape of the §2.10 surface (pandas_udf / mapInPandas /
+    applyInPandasWithState cover the other three).
+
+    Each group's vectors arrive as ONE pandas DataFrame; the kernel stacks
+    them into a numpy matrix and emits the per-dimension component sum in
+    exact integer micros plus the vector count (the caller divides — the
+    output stays integer-exact, so the DuckDB oracle hash-matches).
+    Quantization is half-away-from-zero to match both engines' round().
+
+    Scale shape: the shuffle carries each vector once, keyed by label;
+    per-group memory is one group's vectors (bounded: labels are a
+    classifier's output space, vectors/label ≈ corpus/|labels|). For
+    hot labels, pre-reduce with the two-level salted-aggregation pattern
+    (operators/skew.py) before this stage.
+
+    The kernel is a self-contained closure (imports inside) so it
+    cloudpickles by value — executors never need this package importable
+    (the driver loads __spark_entry__.py by file path).
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+
+    def _centroid(pdf):
+        import numpy as np
+        import pandas as pd
+
+        m = np.vstack(pdf["embedding"].apply(lambda v: np.asarray(v, dtype=np.float64)))
+        scaled = m * 1000000.0
+        micros = (np.sign(scaled) * np.floor(np.abs(scaled) + 0.5)).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "label": [int(pdf["label"].iloc[0])],
+                "n_vectors": [len(pdf)],
+                "centroid_sum_micros": [micros.sum(axis=0).tolist()],
+            }
+        )
+
+    return e.groupBy("label").applyInPandas(
+        _centroid,
+        schema="label int, n_vectors long, centroid_sum_micros array<long>",
+    )
