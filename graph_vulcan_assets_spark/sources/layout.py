@@ -121,3 +121,51 @@ def write_zordered(
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(path)
+
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    out_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_by: list[str] | None = None,
+) -> int:
+    """Compact a small-file parquet directory into ~target-sized files.
+
+    The small-file problem is the slow death of streaming lake sinks: every
+    micro-batch writes a file per task, and a year later the table is a
+    million 100 KB files whose open/footer costs dwarf the scan. Compaction
+    rewrites the data as ceil(bytes / target) files — file count derives
+    from DATA SIZE, not from the input's partitioning or the cluster's core
+    count (a bare ``coalesce(1)``-style rewrite would serialize the write
+    through one task; ``repartition(cores)`` would re-fragment a small
+    table across 32 files).
+
+    Returns the number of files written. ``sort_by`` re-sorts rows within
+    each output file so row-group min/max bands stay narrow after
+    compaction (compaction that interleaves rows destroys the clustering
+    the layout writer established).
+
+    At cluster scale this runs per partition-directory with the same
+    arithmetic; the one-shuffle rewrite is the whole cost, which is why
+    real lake formats gate it on a small-file-count threshold rather than
+    running it every batch.
+    """
+    import math
+    import os
+
+    size = sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(size / target_file_bytes))
+    df = spark.read.parquet(path)
+    if sort_by:
+        out = df.repartitionByRange(n_files, *[F.col(c) for c in sort_by])
+        out = out.sortWithinPartitions(*sort_by)
+    else:
+        out = df.repartition(n_files)
+    out.write.mode("overwrite").parquet(out_path)
+    return n_files

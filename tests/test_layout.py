@@ -182,3 +182,53 @@ def test_zorder_key_is_codegen_expression(spark, sf_dir):
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     # formatted plans mark codegen stages with a leading '*'
     assert "* Project" in p
+
+
+def test_compaction_merges_small_files(spark, sf_dir, tmp_path):
+    """Compaction must (1) size file count from data bytes, not input
+    fragmentation or core count, (2) lose nothing, (3) restore narrow
+    min/max bands when re-sorted."""
+    import glob
+
+    events = load_table(spark, sf_dir, "events")
+    frag = str(tmp_path / "fragmented")
+    events.repartition(64).write.parquet(frag)
+    assert len(glob.glob(f"{frag}/*.parquet")) == 64
+
+    out = str(tmp_path / "compacted")
+    n = layout.compact(spark, frag, out, target_file_bytes=10**9, sort_by=["user_id"])
+    files = glob.glob(f"{out}/*.parquet")
+    assert n == 1 and len(files) == 1  # tiny table → one file, not 64, not 32
+
+    back = spark.read.parquet(out)
+    assert back.count() == events.count()
+    assert (
+        back.agg(F.sum("event_id")).collect()[0][0]
+        == events.agg(F.sum("event_id")).collect()[0][0]
+    )
+
+    # multi-file path: force several files and check disjoint user_id bands
+    import os
+
+    total = sum(
+        os.path.getsize(os.path.join(frag, f))
+        for f in os.listdir(frag)
+        if f.endswith(".parquet")
+    )
+    out2 = str(tmp_path / "compacted4")
+    n2 = layout.compact(spark, frag, out2, target_file_bytes=total // 3, sort_by=["user_id"])
+    files2 = sorted(glob.glob(f"{out2}/*.parquet"))
+    assert n2 == len(files2) > 1
+    bands = []
+    for f in files2:
+        md = pq.ParquetFile(f).metadata
+        names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        st = md.row_group(0).column(names["user_id"]).statistics
+        mn, mx = st.min, st.max
+        for rg in range(1, md.num_row_groups):
+            s = md.row_group(rg).column(names["user_id"]).statistics
+            mn, mx = min(mn, s.min), max(mx, s.max)
+        bands.append((mn, mx))
+    bands.sort()
+    for (_, hi), (lo, _) in zip(bands, bands[1:]):
+        assert hi <= lo  # range-partitioned: consecutive files don't interleave
