@@ -360,3 +360,130 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.regexp_extract_all("t", F.lit(_LONGNUM_RE), F.lit(0))).cast("long").alias("n_longnums"),
         F.md5(redacted).alias("redacted_md5"),
     )
+
+
+@query(
+    "q_chunk_documents",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    chunks AS (
+      SELECT doc_id,
+             i // 50 AS chunk_idx,
+             t[i + 1 : i + 60] AS chunk
+      FROM toks, unnest(range(0, len(t), 50)) AS u(i))
+    SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+           CAST(len(chunk) AS BIGINT) AS n_chunk_tokens,
+           md5(array_to_string(chunk, ' ')) AS chunk_md5
+    FROM chunks
+    """,
+)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget document chunking with overlap: 60-token windows every
+    50 tokens (10-token overlap) — the pretraining/RAG preprocessing step
+    between cleaning and packing.
+
+    Map-only: chunk starts come from `sequence(0, n-1, 50)` exploded
+    JVM-side, each chunk is an array slice of the already-split token
+    column — the text is tokenized ONCE per document, not per chunk, and
+    nothing shuffles (plan has no Exchange; chunking at 100 TB is
+    embarrassingly parallel). Chunks surface as md5 so the oracle compares
+    fixed-width digests, not chunk text.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.col("t")
+    out = (
+        d.select("doc_id", F.split("text", " ").alias("t"))
+        .select(
+            "doc_id",
+            toks.alias("t"),
+            F.explode(F.sequence(F.lit(0), F.size(toks) - 1, F.lit(50))).alias("start"),
+        )
+        .select(
+            "doc_id",
+            (F.col("start") / 50).cast("long").alias("chunk_idx"),
+            F.slice(toks, F.col("start") + 1, 60).alias("chunk"),
+        )
+    )
+    return out.select(
+        "doc_id",
+        "chunk_idx",
+        F.size("chunk").cast("long").alias("n_chunk_tokens"),
+        F.md5(F.concat_ws(" ", F.col("chunk"))).alias("chunk_md5"),
+    )
+
+
+@query(
+    "q_split_leakage_safe",
+    oracle="""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE doc_id < 200),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(len(t) - 2),
+               i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS shingles
+      FROM toks WHERE len(t) >= 3),
+    pairs AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+            / (len(a.shingles) + len(b.shingles)
+               - len(list_intersect(a.shingles, b.shingles))) >= 0.5),
+    edges AS (
+      SELECT a_id AS u, b_id AS v FROM pairs
+      UNION SELECT b_id, a_id FROM pairs),
+    reach AS (
+      SELECT u AS node, u AS lbl FROM edges
+      UNION
+      SELECT e.u AS node, r.lbl
+      FROM reach r JOIN edges e ON e.v = r.node),
+    comp AS (SELECT node AS doc_id, min(lbl) AS component FROM reach GROUP BY node),
+    keyed AS (
+      SELECT d.doc_id,
+             CAST(coalesce(c.component, d.doc_id) AS BIGINT) AS group_key
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id)
+    SELECT doc_id, group_key,
+           CASE WHEN md5(CAST(group_key AS VARCHAR)) < 'e6' THEN 'train'
+                WHEN md5(CAST(group_key AS VARCHAR)) < 'f6' THEN 'validation'
+                ELSE 'test' END AS split
+    FROM keyed
+    """,
+)
+def q_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/test split: near-duplicate GROUPS, not documents,
+    are the unit of assignment — two near-identical documents can never
+    straddle train and test (the contamination mode a plain per-doc hash
+    split cannot prevent, and the reason eval numbers inflate silently).
+
+    Composition: exact-Jaccard near-dup edges (bounded pairset, as in
+    q_dedup_clusters) → connected components → each document keyed by its
+    component's min doc_id (singletons key as themselves) → the SAME
+    hash-threshold assignment as q_split_train_test, applied to the group
+    key. Scale: the component labels are a doc_id-keyed table (≪ corpus);
+    everything else is the map-only hash split. The oracle recomputes the
+    components with a recursive CTE and must land every doc in the same
+    split — group-atomicity is the tested property.
+    """
+    from graph_vulcan_assets_spark.llm.clustering import connected_components
+    from graph_vulcan_assets_spark.llm.dedup import q_dedup_ngram
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = (
+        q_dedup_ngram(spark, sf_dir).where(F.col("jaccard") >= 0.5).select("a_id", "b_id")
+    )
+    comps = connected_components(pairs).select(
+        F.col("node").alias("doc_id"), "component"
+    )
+    keyed = (
+        d.select("doc_id")
+        .join(comps, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("doc_id")).cast("long").alias("group_key"),
+        )
+    )
+    fp = _fingerprint(F.col("group_key"))
+    return keyed.withColumn(
+        "split",
+        F.when(fp < "e6", "train").when(fp < "f6", "validation").otherwise("test"),
+    )

@@ -448,3 +448,61 @@ def q_join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
                  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
         """
     )
+
+
+@query(
+    "q_join_asof_tolerance",
+    oracle="""
+    SELECT event_id, user_id, o_orderkey, o_orderdate
+    FROM (
+      SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate,
+             row_number() OVER (
+               PARTITION BY e.event_id
+               ORDER BY o.o_orderdate ASC NULLS LAST,
+                        o.o_orderkey ASC NULLS LAST) AS rn
+      FROM events e
+      LEFT JOIN orders o
+        ON e.user_id = o.o_custkey
+       AND o.o_orderdate >= e.ts
+       AND o.o_orderdate <= e.ts + INTERVAL 30 DAY)
+    WHERE rn = 1
+    """,
+)
+def q_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join, forward direction with tolerance (J7 completion —
+    pandas merge_asof's direction='forward', tolerance=30d shape): each
+    event matched to the EARLIEST order at-or-after it, but only within
+    30 days; beyond tolerance the event keeps NULL.
+
+    Same scale shape as q_join_asof (equi-join shuffle + map-side
+    min_by partial aggregate, no per-key sort) with one improvement the
+    backward form can't have: the tolerance BOUNDS the temporal band, so
+    a time-bucketed storage layout (sources/layout.py) prunes the probe
+    side to a 30-day slice per event instead of all history — tolerance
+    is what makes as-of joins tractable on unbounded history.
+    """
+    e = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate"
+    )
+    j = e.join(
+        o,
+        (e.user_id == o.o_custkey)
+        & (o.o_orderdate >= e.ts)
+        & (o.o_orderdate <= F.col("ts") + F.expr("INTERVAL 30 DAY")),
+        "left",
+    )
+    best = F.min_by(
+        F.struct(F.col("o_orderkey"), F.col("o_orderdate")),
+        F.struct(F.col("o_orderdate"), F.col("o_orderkey")),
+    )
+    return (
+        j.groupBy("event_id")
+        .agg(F.first("user_id").alias("user_id"), best.alias("best"))
+        .select(
+            "event_id",
+            "user_id",
+            F.col("best.o_orderkey").alias("o_orderkey"),
+            F.col("best.o_orderdate").alias("o_orderdate"),
+        )
+    )

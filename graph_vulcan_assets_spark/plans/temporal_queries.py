@@ -114,3 +114,53 @@ def q_time_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+@query(
+    "q_time_sliding",
+    oracle="""
+    WITH ex AS (
+      SELECT event_type,
+             CAST(round(value * 1000000, 0) AS BIGINT) AS v_micros,
+             (epoch_us(ts) // 1000 // 1800000 - i) * 1800000 AS start_ms
+      FROM events, unnest(range(4)) AS t(i)),
+    k AS (SELECT * FROM ex WHERE start_ms >= 0)
+    SELECT make_timestamp(start_ms * 1000) AS window_start, event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           sum(v_micros) / 1000000.0 AS sum_value
+    FROM k GROUP BY window_start, event_type
+    """,
+)
+def q_time_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) event-time windows, batch form (T4 completion):
+    2-hour windows every 30 minutes — each event lands in 4 overlapping
+    windows.
+
+    Spark's `window(ts, '2 hours', '30 minutes')` compiles to a JVM-side
+    explode of the 4 window instances per row before the aggregate — the
+    shuffle carries (window, type) keyed partial aggregates, so the 4x
+    row expansion is collapsed map-side. The oracle reproduces Spark's
+    epoch-aligned window arithmetic exactly: instance i's start is
+    (floor(epoch_ms / slide) - i) * slide for i in 0..3. Value sums are
+    exact integer micros, so the hash matches despite the 4-way overlap
+    multiplying float additions.
+
+    In streaming mode the same expression runs with a watermark
+    (streaming/windows.py); this is the batch-equivalent proof.
+    """
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "2 hours", "30 minutes").alias("w"), "event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            (F.sum(F.round(F.col("value") * 1000000, 0).cast("long")) / 1000000.0).alias(
+                "sum_value"
+            ),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )

@@ -128,3 +128,19 @@ def test_split_assignment_invariant_under_corpus_growth(spark):
     }
     assert on_full == on_subset
     assert len(on_subset) > 0
+
+
+def test_leakage_safe_split_is_group_atomic(spark, sf_dir):
+    """Every near-dup group must land entirely in ONE split — the property
+    the operator exists for (per-doc hash splits leak near-dups across
+    train/test)."""
+    from graph_vulcan_assets_spark.registry import all_queries
+
+    out = all_queries()["q_split_leakage_safe"](spark, sf_dir)
+    multi = (
+        out.groupBy("group_key")
+        .agg(F.countDistinct("split").alias("n_splits"), F.count("*").alias("n_docs"))
+    )
+    assert multi.where(F.col("n_splits") > 1).count() == 0
+    # non-vacuous: at least one real group with >1 doc exists at every sf
+    assert multi.where(F.col("n_docs") > 1).count() > 0
