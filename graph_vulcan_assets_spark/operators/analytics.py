@@ -1,0 +1,153 @@
+"""Event-sequence analytics: funnels and cohort retention.
+
+The classic product-analytics operators over an event stream — ordered
+multi-step funnels and first-touch cohort retention. The reference's
+events are asset lifecycle messages (stream/stream.go) and its only
+"analytics" is final-state readback; these generalize the same per-key
+temporal ordering machinery (T2/W1) into the aggregate shapes every
+event warehouse runs.
+
+Scale shapes: every stage is a per-user min() — a hash aggregate with a
+map-side partial phase keyed on user_id — and the stage-to-stage
+"happened after" constraints are equi-joins on user_id carrying one row
+per user. Nothing ever materializes per-event pairs; the event table is
+touched once per funnel step with the step filter pushed to the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from graph_vulcan_assets_spark.registry import query
+from graph_vulcan_assets_spark.tables import load_table
+
+
+@query(
+    "q_funnel",
+    oracle="""
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    v AS (
+      SELECT user_id, min(ts) AS first_view
+      FROM events WHERE event_type = 'view' GROUP BY user_id),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS first_click
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.first_view
+      GROUP BY e.user_id),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS first_purchase
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.first_click
+      GROUP BY e.user_id)
+    SELECT u.user_id, v.first_view, c.first_click, p.first_purchase,
+           CAST(CASE WHEN p.user_id IS NOT NULL THEN 3
+                     WHEN c.user_id IS NOT NULL THEN 2
+                     WHEN v.user_id IS NOT NULL THEN 1
+                     ELSE 0 END AS BIGINT) AS stage
+    FROM u
+    LEFT JOIN v ON u.user_id = v.user_id
+    LEFT JOIN c ON u.user_id = c.user_id
+    LEFT JOIN p ON u.user_id = p.user_id
+    """,
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view → click → purchase: per user, the first view,
+    the first click strictly AFTER that view, the first purchase strictly
+    after that click, and the funnel stage reached (0–3).
+
+    Each step is one filtered scan + per-user min (map-side partial), and
+    each ordering constraint is an equi-join against the previous step's
+    one-row-per-user frame — never an event-pair join. Step filters push
+    to the parquet scan; at 100 TB each funnel stage reads one
+    event-type's row groups, not the stream.
+    """
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    u = e.select("user_id").distinct()
+    v = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    c = (
+        e.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("first_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_click"))
+    )
+    p = (
+        e.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") > F.col("first_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    return (
+        u.join(v, "user_id", "left")
+        .join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            "first_view",
+            "first_click",
+            "first_purchase",
+            F.when(F.col("first_purchase").isNotNull(), 3)
+            .when(F.col("first_click").isNotNull(), 2)
+            .when(F.col("first_view").isNotNull(), 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("stage"),
+        )
+    )
+
+
+@query(
+    "q_retention_cohorts",
+    oracle="""
+    WITH first_touch AS (
+      SELECT user_id,
+             CAST(date_trunc('week', min(ts)) AS TIMESTAMP) AS cohort_week
+      FROM events GROUP BY user_id),
+    activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_week,
+             date_diff('day', f.cohort_week, date_trunc('week', e.ts)) // 7
+               AS week_n
+      FROM events e JOIN first_touch f ON e.user_id = f.user_id)
+    SELECT cohort_week, CAST(week_n AS BIGINT) AS week_n,
+           CAST(count(*) AS BIGINT) AS n_active_users
+    FROM activity GROUP BY cohort_week, week_n
+    """,
+)
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch cohort retention: users grouped by the week they first
+    appeared, counted in every subsequent week they were active — the
+    retention-matrix query behind every growth dashboard.
+
+    Two shuffles, both on user_id (first-touch min, then the distinct
+    user-week de-dup); the final cohort×week aggregate is
+    cardinality-bounded by weeks², not events. Week arithmetic is whole
+    days of epoch-aligned Monday truncations in both engines, so the
+    integer week offsets hash-match exactly.
+    """
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    first_touch = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = (
+        e.join(first_touch, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week"))
+                / 7
+            )
+            .cast("long")
+            .alias("week_n"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_week", "week_n").agg(
+        F.count("*").cast("long").alias("n_active_users")
+    )
