@@ -151,3 +151,58 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return activity.groupBy("cohort_week", "week_n").agg(
         F.count("*").cast("long").alias("n_active_users")
     )
+
+
+@query(
+    "q_time_weighted_avg",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id,
+             CAST(round(value * 1000, 0) AS BIGINT) AS value_milli,
+             (lead(epoch_us(ts)) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id)
+              - epoch_us(ts)) // 1000 AS dt_ms
+      FROM events),
+    k AS (SELECT * FROM seq WHERE dt_ms IS NOT NULL)
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_intervals,
+           CAST(sum(dt_ms) AS BIGINT) AS total_ms,
+           CAST(round(CAST(sum(value_milli * dt_ms) AS DOUBLE) / sum(dt_ms), 0)
+                AS BIGINT) AS twap_milli
+    FROM k GROUP BY user_id
+    """,
+)
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user (TWAP): each event's value is
+    held until the user's next event and weighted by that holding time —
+    the right average for irregularly-sampled state (prices, gauges,
+    sensor readings), where the plain mean over-weights busy periods.
+
+    One window pass (lead of the event time, partitioned by user — the
+    same per-key ordering primitive as W4) then a per-user aggregate.
+    Exactness: value quantized to integer millis, interval to integer ms;
+    their products and sums stay in BIGINT (≤1.5e17 at this scale), so
+    the weighted sum is summation-order independent and the final ratio
+    is one double division + round-to-integer — hash-identical in both
+    engines.
+    """
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        F.round(F.col("value") * 1000, 0).cast("long").alias("value_milli"),
+        ((F.lead(F.unix_micros("ts")).over(w) - F.unix_micros("ts")) / 1000)
+        .cast("long")
+        .alias("dt_ms"),
+    ).where(F.col("dt_ms").isNotNull())
+    return seq.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_intervals"),
+        F.sum("dt_ms").cast("long").alias("total_ms"),
+        F.round(
+            F.sum(F.col("value_milli") * F.col("dt_ms")).cast("double") / F.sum("dt_ms"), 0
+        )
+        .cast("long")
+        .alias("twap_milli"),
+    )
