@@ -76,30 +76,24 @@ def main() -> None:
     from graph_vulcan_assets_spark.plans.fixtures import random_messages
     from graph_vulcan_assets_spark.plans.temporal import (
         RAW_SCHEMA,
-        batch_shuffle_partitions,
         replay_raw,
         tag_union_state,
+        tuned_for_batch,
     )
 
     msgs = random_messages(99, n=20000)
     raw = spark.createDataFrame(msgs, schema=RAW_SCHEMA)
     n_rows = raw.count()  # materialize input outside the timing
     # replay runs under the micro-batch configuration the streaming sink
-    # uses: batch-size-scaled initial shuffle partitions + fused
-    # tagged-union materialization of all four state tables in one job
-    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set(
-        "spark.sql.shuffle.partitions",
-        str(batch_shuffle_partitions(n_rows, int(prev_shuffle))),
-    )
-    try:
+    # uses: batch-size-scaled initial shuffle partitions, AQE off for the
+    # small batch, fused tagged-union materialization of all four state
+    # tables in one job
+    with tuned_for_batch(spark, n_rows):
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             start = time.perf_counter()
             run_to_completion(tag_union_state(replay_raw(raw)))
             best = min(best, time.perf_counter() - start)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
     timings["temporal_replay_20k_events"] = round(best, 3)
 
     total = round(sum(timings.values()), 3)

@@ -34,6 +34,8 @@ stand-in), never wall-clock.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -575,6 +577,35 @@ def batch_shuffle_partitions(
     default, and AQE takes over — this only trims the small-batch floor.
     """
     return max(4, min(default, n_rows // rows_per_partition))
+
+
+@contextmanager
+def tuned_for_batch(spark, n_rows: int):
+    """Configure the session for a small-batch replay, restoring after.
+
+    Two knobs, same rationale (fixed per-stage cost dominates small
+    batches):
+    - initial shuffle partitions scaled to the batch (see
+      `batch_shuffle_partitions`);
+    - AQE off WHEN the batch is small: AQE submits a separate job per
+      query stage to re-plan at runtime, and with the shuffle already
+      right-sized there is nothing left for it to improve — measured
+      ~2.9 s → ~2.3 s on the 20k-event replay (A/B in one process).
+      Large batches keep AQE (partitions saturate at the session default
+      and runtime re-planning pays again).
+    """
+    conf = spark.conf
+    prev_shuffle = conf.get("spark.sql.shuffle.partitions")
+    prev_aqe = conf.get("spark.sql.adaptive.enabled")
+    parts = batch_shuffle_partitions(n_rows, int(prev_shuffle))
+    conf.set("spark.sql.shuffle.partitions", str(parts))
+    if parts < int(prev_shuffle):
+        conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        yield
+    finally:
+        conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+        conf.set("spark.sql.adaptive.enabled", prev_aqe)
 
 
 def replay(decoded: DataFrame) -> dict[str, DataFrame]:

@@ -51,6 +51,7 @@ from graph_vulcan_assets_spark.plans.temporal import (
     replay_from_events,
     split_tagged_state,
     tag_union_state,
+    tuned_for_batch,
 )
 
 STATE_TABLES = ("assets", "teams", "owns", "parent_of")
@@ -188,19 +189,12 @@ class TemporalGraphStream:
             _log.info("batch %d already applied, skipping (idempotent replay)", batch_id)
             return
 
-        # scale initial shuffle partitions to the micro-batch size: the
-        # replay is many small shuffles, and per-partition fixed cost
-        # dominates tiny batches (see temporal.batch_shuffle_partitions)
-        conf = self.spark.conf
-        prev_shuffle = conf.get("spark.sql.shuffle.partitions")
-        conf.set(
-            "spark.sql.shuffle.partitions",
-            str(batch_shuffle_partitions(raw_batch.count(), int(prev_shuffle))),
-        )
-        try:
+        # scale initial shuffle partitions to the micro-batch size and drop
+        # AQE for small batches: the replay is many small shuffles, and
+        # per-partition + per-stage fixed cost dominates tiny batches (see
+        # temporal.tuned_for_batch)
+        with tuned_for_batch(self.spark, raw_batch.count()):
             self._apply_batch_inner(raw_batch, batch_id)
-        finally:
-            conf.set("spark.sql.shuffle.partitions", prev_shuffle)
 
     def _apply_batch_inner(self, raw_batch: DataFrame, batch_id: int) -> None:
         if self.annotation_key is not None:
