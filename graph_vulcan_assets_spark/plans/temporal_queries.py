@@ -164,3 +164,57 @@ def q_time_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+@query(
+    "q_rollup_cascade",
+    oracle="""
+    WITH minute AS (
+      SELECT date_trunc('minute', ts) AS m, event_type,
+             count(*) AS n,
+             sum(CAST(round(value * 1000000, 0) AS BIGINT)) AS v_micros
+      FROM events GROUP BY 1, 2),
+    hour AS (
+      SELECT date_trunc('hour', m) AS h, event_type,
+             sum(n) AS n, sum(v_micros) AS v_micros
+      FROM minute GROUP BY 1, 2),
+    day AS (
+      SELECT CAST(date_trunc('day', h) AS TIMESTAMP) AS d, event_type,
+             sum(n) AS n, sum(v_micros) AS v_micros
+      FROM hour GROUP BY 1, 2)
+    SELECT d, event_type, CAST(n AS BIGINT) AS n,
+           CAST(v_micros AS BIGINT) AS v_micros
+    FROM day
+    """,
+)
+def q_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution rollup cascade (hypertable continuous-aggregate
+    shape): events → per-minute → per-hour → per-day, where EACH LEVEL
+    aggregates the PREVIOUS level's output, never the raw stream.
+
+    The point at 100 TB: the raw table is touched exactly once (the
+    minute level); the hour level reads minutes (~1440× smaller), the day
+    level reads hours — so maintaining a full resolution pyramid costs
+    barely more than the finest level alone. This requires every
+    aggregate to be ALGEBRAIC (count/sum re-aggregate losslessly;
+    avg/percentile must be carried as sum+count / sketches). The oracle
+    computes the same cascade; the sums are exact integer micros, so
+    re-aggregation associativity is exact, not approximate.
+    """
+    e = load_table(spark, sf_dir, "events")
+    minute = e.groupBy(
+        F.date_trunc("minute", "ts").alias("m"), "event_type"
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("value") * 1000000, 0).cast("long")).alias("v_micros"),
+    )
+    hour = minute.groupBy(
+        F.date_trunc("hour", "m").alias("h"), "event_type"
+    ).agg(F.sum("n").alias("n"), F.sum("v_micros").alias("v_micros"))
+    day = hour.groupBy(
+        F.date_trunc("day", "h").alias("d"), "event_type"
+    ).agg(
+        F.sum("n").cast("long").alias("n"),
+        F.sum("v_micros").cast("long").alias("v_micros"),
+    )
+    return day
