@@ -487,3 +487,112 @@ def q_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "split",
         F.when(fp < "e6", "train").when(fp < "f6", "validation").otherwise("test"),
     )
+
+
+def _shingle5(d: DataFrame) -> DataFrame:
+    """Distinct 5-gram shingles per document — shared by the exact and
+    Bloom decontamination paths so both flag the same shingle universe."""
+    toks = F.col("t")
+    shingle = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(toks, i + j) for j in range(1, 6)]
+    )
+    return (
+        d.select("doc_id", F.split("text", " ").alias("t"))
+        .where(F.size(toks) >= 5)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.transform(F.sequence(F.lit(0), F.size(toks) - 5), shingle)
+                )
+            ).alias("s"),
+        )
+    )
+
+
+# Bloom geometry: 2^18 bits (4096 longs) / 5 hash functions. For the eval
+# shingle cardinalities here (thousands) the theoretical false-positive
+# rate is < 1e-4; the filter table is 32 KiB — broadcastable at any scale.
+_BLOOM_BITS = 1 << 18
+_BLOOM_HASHES = 5
+
+
+def bloom_build(keys: DataFrame, key_col: str = "s") -> DataFrame:
+    """Aggregate a string-key set into a Bloom filter as (word_idx, word)
+    rows: k hashed bit positions per key, OR-ed into 64-bit words.
+
+    Pure DataFrame ops (xxhash64 → pmod → shiftleft → bit_or): the filter
+    IS a tiny table, so 'broadcast the eval set' becomes 'broadcast 4096
+    longs' no matter how many keys went in — the decontamination scale
+    path when the eval corpus itself outgrows broadcast.
+    """
+    pos = F.explode(
+        F.array(
+            *[
+                F.pmod(F.xxhash64(F.col(key_col), F.lit(i)), F.lit(_BLOOM_BITS))
+                for i in range(_BLOOM_HASHES)
+            ]
+        )
+    ).alias("pos")
+    positions = keys.select(pos)
+    return (
+        positions.select(
+            (F.col("pos") / 64).cast("long").alias("word_idx"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").alias("mask"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("mask").alias("word"))
+    )
+
+
+def bloom_probe(probes: DataFrame, bloom: DataFrame, key_col: str = "s") -> DataFrame:
+    """Keep probe rows whose key tests positive in the filter (all k bits
+    set). Superset of the true members — no false negatives by
+    construction; false-positive rate set by the filter geometry."""
+    with_pos = probes.withColumn(
+        "__pos",
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(F.xxhash64(F.col(key_col), F.lit(i)), F.lit(_BLOOM_BITS))
+                    for i in range(_BLOOM_HASHES)
+                ]
+            )
+        ),
+    ).select(
+        *probes.columns,
+        (F.col("__pos") / 64).cast("long").alias("word_idx"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(__pos % 64 AS INT))").alias("mask"),
+    )
+    joined = with_pos.join(F.broadcast(bloom), "word_idx", "left")
+    hit = (F.col("word").isNotNull() & (F.col("word").bitwiseAND(F.col("mask")) != 0)).cast("int")
+    return (
+        joined.groupBy(*probes.columns)
+        .agg(F.sum(hit).alias("__hits"))
+        .where(F.col("__hits") == _BLOOM_HASHES)
+        .select(*probes.columns)
+    )
+
+
+@query("q_decontaminate_bloom")  # rows-only: xxhash64 has no DuckDB twin
+def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination (the scale path of q_decontaminate):
+    the eval set is represented by a 32 KiB bit table instead of its
+    shingle set, so membership testing never shuffles or broadcasts eval
+    text — only the filter.
+
+    Candidates are a SUPERSET of the exact answer (Bloom filters have no
+    false negatives; tests/test_curation.py proves containment and that
+    the false-positive inflation stays under 1% on the real corpus). In a
+    production pipeline the candidates then confirm against the exact
+    shingle set — a join that now touches only the candidate sliver.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    sh = _shingle5(d)
+    ev = sh.where(F.col("doc_id") % 19 == 0).select("s").distinct()
+    tr = sh.where(F.col("doc_id") % 19 != 0)
+    bloom = bloom_build(ev)
+    flagged = bloom_probe(tr, bloom)
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_candidate_overlap")
+    )

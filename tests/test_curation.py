@@ -144,3 +144,27 @@ def test_leakage_safe_split_is_group_atomic(spark, sf_dir):
     assert multi.where(F.col("n_splits") > 1).count() == 0
     # non-vacuous: at least one real group with >1 doc exists at every sf
     assert multi.where(F.col("n_docs") > 1).count() > 0
+
+
+def test_bloom_decontaminate_superset_and_tight(spark, sf_dir):
+    """Bloom candidates must contain every exact contamination hit (no
+    false negatives — the Bloom guarantee) and stay close to it (the
+    geometry bounds false positives)."""
+    from graph_vulcan_assets_spark.registry import all_queries
+
+    qs = all_queries()
+    exact = {
+        r["doc_id"]: r["n_overlap"]
+        for r in (x.asDict() for x in qs["q_decontaminate"](spark, sf_dir).collect())
+    }
+    bloom = {
+        r["doc_id"]: r["n_candidate_overlap"]
+        for r in (x.asDict() for x in qs["q_decontaminate_bloom"](spark, sf_dir).collect())
+    }
+    for doc_id, n in exact.items():
+        assert doc_id in bloom and bloom[doc_id] >= n, (doc_id, n, bloom.get(doc_id))
+    inflation = sum(bloom.values()) - sum(exact.values())
+    assert inflation <= max(1, 0.01 * sum(exact.values())), (
+        f"false-positive inflation too high: bloom={sum(bloom.values())} "
+        f"exact={sum(exact.values())}"
+    )
