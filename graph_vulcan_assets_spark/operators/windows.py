@@ -280,3 +280,54 @@ def q_win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cume"),
     )
+
+
+@query(
+    "q_win_ratio_to_report",
+    oracle="""
+    WITH rev AS (
+      SELECT n_regionkey, n_name,
+             sum(CAST(round(o_totalprice * 1000000, 0) AS BIGINT)) AS rev_micros
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      GROUP BY n_regionkey, n_name)
+    SELECT n_name, CAST(rev_micros AS BIGINT) AS rev_micros,
+           CAST(round(CAST(rev_micros AS DOUBLE)
+                      / sum(rev_micros) OVER (PARTITION BY n_regionkey)
+                      * 1000000, 0) AS BIGINT) AS share_ppm
+    FROM rev
+    """,
+)
+def q_win_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total (ratio_to_report): each nation's share of its
+    region's order revenue — a window over an ALREADY-AGGREGATED relation,
+    the share-of-parent rollup every report ends with.
+
+    The window input is nation-cardinality (25 rows), not the fact table:
+    aggregate first, window the summary. Ordering: at 100 TB the orders
+    scan pays one partial+final aggregate; the share window shuffles 25
+    rows. Share is emitted in integer parts-per-million (exact BIGINT
+    sums, one double division, round-to-integer — no float column).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    rev = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_regionkey", "n_name")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 1000000, 0).cast("long")).alias(
+                "rev_micros"
+            )
+        )
+    )
+    w = Window.partitionBy("n_regionkey")
+    return rev.select(
+        "n_name",
+        F.col("rev_micros").cast("long").alias("rev_micros"),
+        F.round(F.col("rev_micros").cast("double") / F.sum("rev_micros").over(w) * 1000000, 0)
+        .cast("long")
+        .alias("share_ppm"),
+    )

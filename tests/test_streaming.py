@@ -69,7 +69,7 @@ def test_stream_matches_batch_replay(spark, tmp_path, msgs_fn):
     write_chunks(msgs, input_dir)
     stream = TemporalGraphStream(spark, str(tmp_path / "state"))
     q = stream.run_file_stream(input_dir, str(tmp_path / "ckpt"))
-    q.awaitTermination(120)
+    assert q.awaitTermination(420), "stream did not terminate in time"
 
     assert len(stream._applied_batches()) >= 2  # genuinely incremental
     assert read_final_state(spark, stream) == state_from_interpreter(msgs)
@@ -101,7 +101,7 @@ def test_reapplied_batch_is_noop(spark, tmp_path):
     write_chunks(msgs, input_dir)
     stream = TemporalGraphStream(spark, str(tmp_path / "state"))
     q = stream.run_file_stream(input_dir, str(tmp_path / "ckpt"))
-    q.awaitTermination(120)
+    assert q.awaitTermination(420), "stream did not terminate in time"
 
     before = read_final_state(spark, stream)
     last_batch = stream._applied_batches()[-1]
@@ -255,12 +255,12 @@ def test_restart_resumes_from_checkpoint(spark, tmp_path):
     write_chunks(msgs, input_dir)
     stream = TemporalGraphStream(spark, str(tmp_path / "state"))
     q = stream.run_file_stream(input_dir, str(tmp_path / "ckpt"))
-    q.awaitTermination(120)
+    assert q.awaitTermination(420), "stream did not terminate in time"
     n_applied = len(stream._applied_batches())
 
     # restart with the same checkpoint: no new batches, state unchanged
     before = read_final_state(spark, stream)
     q2 = stream.run_file_stream(input_dir, str(tmp_path / "ckpt"))
-    q2.awaitTermination(120)
+    assert q2.awaitTermination(420), "stream did not terminate in time"
     assert len(stream._applied_batches()) == n_applied
     assert read_final_state(spark, stream) == before
