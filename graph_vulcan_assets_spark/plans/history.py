@@ -63,3 +63,39 @@ def assets_as_of(history: DataFrame, t: datetime.datetime) -> DataFrame:
         (F.col("valid_from") <= F.lit(t))
         & (F.col("valid_to").isNull() | (F.col("valid_to") > F.lit(t)))
     ).select("type", "identifier", "first_seen", "last_seen", "expiration", "expired")
+
+
+def snapshot_diff(
+    history: DataFrame, t1: datetime.datetime, t2: datetime.datetime
+) -> DataFrame:
+    """What changed between two instants: each asset key tagged `added`,
+    `removed`, or `changed` (state differs), comparing the t1 and t2
+    snapshots. Unchanged keys are omitted.
+
+    The audit/incremental-export primitive SCD2 history exists for:
+    "what do I need to re-sync since the last export" without replaying
+    events. One full-outer equi-join of two key-deduped snapshots —
+    shuffles on the asset key, output bounded by churn, not history.
+    """
+    a = assets_as_of(history, t1).alias("a")
+    b = assets_as_of(history, t2).alias("b")
+    on = (F.col("a.type") == F.col("b.type")) & (
+        F.col("a.identifier") == F.col("b.identifier")
+    )
+    joined = a.join(b, on, "full_outer")
+    state_cols = ["last_seen", "expiration", "expired"]
+    differs = None
+    for c in state_cols:
+        ne = ~F.col(f"a.{c}").eqNullSafe(F.col(f"b.{c}"))
+        differs = ne if differs is None else (differs | ne)
+    return (
+        joined.select(
+            F.coalesce(F.col("a.type"), F.col("b.type")).alias("type"),
+            F.coalesce(F.col("a.identifier"), F.col("b.identifier")).alias("identifier"),
+            F.when(F.col("a.identifier").isNull(), "added")
+            .when(F.col("b.identifier").isNull(), "removed")
+            .when(differs, "changed")
+            .alias("change"),
+        )
+        .where(F.col("change").isNotNull())
+    )

@@ -81,3 +81,31 @@ def test_history_current_versions_match_replay(spark):
         for r in replay_raw(raw)["assets"].collect()
     }
     assert current == replayed
+
+
+def test_snapshot_diff_between_instants(spark):
+    """diff(t1, t2) must tag exactly the churn: the golden fixture stream
+    creates, expires, and resurrects assets across its timeline, so a diff
+    across the whole span reports adds; a diff across an expiry reports
+    the change; identical instants report nothing."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from graph_vulcan_assets_spark.plans.history import snapshot_diff
+
+    decoded = decode_events(
+        spark.createDataFrame(fixtures.golden_messages(), schema=RAW_SCHEMA)
+    )
+    h = asset_history(decoded).cache()
+    ts = [r[0] for r in decoded.select("ts").orderBy("ts").collect()]
+    t0 = ts[0] - datetime.timedelta(seconds=1)
+    t_end = ts[-1] + datetime.timedelta(seconds=1)
+
+    d_all = snapshot_diff(h, t0, t_end)
+    assert d_all.where(F.col("change") == "added").count() > 0
+    # self-diff is empty
+    assert snapshot_diff(h, t_end, t_end).count() == 0
+    # every row is one of the three tags
+    tags = {r[0] for r in d_all.select("change").distinct().collect()}
+    assert tags <= {"added", "removed", "changed"}
