@@ -467,3 +467,25 @@ def q_agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("l_discount") > 0.05, F.col("l_quantity").cast("long"))
         ).alias("qty_discounted"),
     )
+
+
+@query("q_agg_approx_percentile")
+def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles (A9 scale path, rows-only): the
+    quantile-sketch counterpart of q_agg_approx_distinct's HLL.
+
+    `approx_percentile` builds a mergeable KLL-style sketch per partition
+    and merges map-side — one pass, bounded memory per group, no per-group
+    sort. At 100 TB this replaces q_agg_percentile's exact form whenever a
+    rank error of 1/accuracy is acceptable (here accuracy=10000 → ≤0.01%
+    rank error, verified against the exact percentile in
+    tests/test_oracle_parity.py::test_approx_percentile_accuracy).
+    Sketches are engine-specific, so no cross-engine hash oracle exists —
+    rows-only by design, like every sketch in this inventory.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("approx_percentile(l_quantity, 0.5, 10000)").alias("approx_median_qty"),
+        F.expr("approx_percentile(l_quantity, 0.9, 10000)").alias("approx_p90_qty"),
+        F.expr("approx_percentile(l_extendedprice, 0.99, 10000)").alias("approx_p99_price"),
+    )

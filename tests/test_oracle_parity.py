@@ -158,3 +158,19 @@ def test_rows_only_queries_run(spark, sf_dir, name):
     df = QUERIES[name](spark, sf_dir)
     assert df.count() >= 0
     assert len(df.columns) > 0
+
+
+def test_approx_percentile_accuracy(spark, sf_dir):
+    """The sketch must land within its advertised rank error of the exact
+    percentile (accuracy=10000 → negligible at test scale)."""
+    from pyspark.sql import functions as F
+
+    from graph_vulcan_assets_spark.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    both = li.groupBy("l_returnflag").agg(
+        F.expr("approx_percentile(l_quantity, 0.9, 10000)").alias("approx"),
+        F.expr("percentile(l_quantity, 0.9)").alias("exact"),
+    )
+    for r in both.collect():
+        assert abs(r["approx"] - r["exact"]) <= max(1.0, 0.01 * r["exact"]), r
