@@ -140,3 +140,24 @@ def dedup_within_watermark(stream: DataFrame, delay: str = "2 hours") -> DataFra
     evicted — a replay arriving later than the delay would pass, which is
     exactly the documented watermark contract)."""
     return stream.withWatermark("ts", delay).dropDuplicatesWithinWatermark(["event_id"])
+
+
+def enrich_with_dim(stream: DataFrame, dim: DataFrame, stream_key: str = "user_id",
+                    dim_key: str = "c_custkey") -> DataFrame:
+    """Stream-static join: enrich each event with dimension attributes.
+
+    The third join shape beside stream-stream (join_within) and the
+    foreachBatch upsert (ingest): the static side is NOT stateful — Spark
+    re-evaluates it against each micro-batch, so a dim table backed by a
+    lake path picks up slowly-changing updates between batches without
+    any state store. Broadcast keeps it map-side: per micro-batch the
+    stream shuffles nothing.
+    """
+    d = F.broadcast(
+        dim.select(
+            F.col(dim_key).alias("__dk"),
+            F.col("c_mktsegment").alias("segment"),
+            F.col("c_nationkey").alias("nationkey"),
+        )
+    )
+    return stream.join(d, stream[stream_key] == d["__dk"], "left").drop("__dk")

@@ -132,3 +132,39 @@ def test_dedup_within_watermark_drops_replays(spark, sf_dir, tmp_path):
     q.awaitTermination(120)
     ids = [r["event_id"] for r in spark.sql("SELECT event_id FROM dedup_wm").collect()]
     assert len(ids) == len(set(ids)) == events.count()
+
+
+def test_stream_static_enrichment_matches_batch(spark, sf_dir, tmp_path):
+    """Stream-static join: every micro-batch row is enriched with the dim
+    attributes exactly as the batch join computes them (the static side
+    needs no state store and stays broadcast)."""
+    from graph_vulcan_assets_spark.tables import load_table as lt
+
+    events = load_table(spark, sf_dir, "events")
+    customer = lt(spark, sf_dir, "customer")
+    src = str(tmp_path / "src")
+    _write_batches(events, src, n_batches=2)
+
+    want = {
+        (r["event_id"], r["segment"])
+        for r in incremental.enrich_with_dim(events, customer)
+        .select("event_id", "segment")
+        .collect()
+    }
+
+    stream = _stream_from(spark, events, src + "/b*")
+    q = (
+        incremental.enrich_with_dim(stream, customer)
+        .select("event_id", "segment")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ss_enrich")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300), "stream did not terminate in time"
+    got = {
+        (r["event_id"], r["segment"])
+        for r in spark.sql("SELECT event_id, segment FROM ss_enrich").collect()
+    }
+    assert got == want and len(got) > 0
