@@ -548,7 +548,13 @@ def bloom_build(keys: DataFrame, key_col: str = "s") -> DataFrame:
 def bloom_probe(probes: DataFrame, bloom: DataFrame, key_col: str = "s") -> DataFrame:
     """Keep probe rows whose key tests positive in the filter (all k bits
     set). Superset of the true members — no false negatives by
-    construction; false-positive rate set by the filter geometry."""
+    construction; false-positive rate set by the filter geometry.
+
+    Bag semantics: duplicate probe rows are preserved (each carries a
+    per-row surrogate id through the explode/group, so two identical
+    input rows yield two identical output rows).
+    """
+    probes = probes.withColumn("__probe_id", F.monotonically_increasing_id())
     with_pos = probes.withColumn(
         "__pos",
         F.explode(
@@ -566,11 +572,12 @@ def bloom_probe(probes: DataFrame, bloom: DataFrame, key_col: str = "s") -> Data
     )
     joined = with_pos.join(F.broadcast(bloom), "word_idx", "left")
     hit = (F.col("word").isNotNull() & (F.col("word").bitwiseAND(F.col("mask")) != 0)).cast("int")
+    out_cols = [c for c in probes.columns if c != "__probe_id"]
     return (
         joined.groupBy(*probes.columns)
         .agg(F.sum(hit).alias("__hits"))
         .where(F.col("__hits") == _BLOOM_HASHES)
-        .select(*probes.columns)
+        .select(*out_cols)
     )
 
 

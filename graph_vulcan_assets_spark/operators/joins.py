@@ -453,48 +453,61 @@ def q_join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_join_asof_tolerance",
     oracle="""
-    SELECT event_id, user_id, o_orderkey, o_orderdate
+    SELECT event_id, user_id, purchase_id, purchase_ts
     FROM (
-      SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate,
+      SELECT c.event_id, c.user_id, p.event_id AS purchase_id,
+             p.ts AS purchase_ts,
              row_number() OVER (
-               PARTITION BY e.event_id
-               ORDER BY o.o_orderdate ASC NULLS LAST,
-                        o.o_orderkey ASC NULLS LAST) AS rn
-      FROM events e
-      LEFT JOIN orders o
-        ON e.user_id = o.o_custkey
-       AND o.o_orderdate >= e.ts
-       AND o.o_orderdate <= e.ts + INTERVAL 30 DAY)
+               PARTITION BY c.event_id
+               ORDER BY p.ts ASC NULLS LAST,
+                        p.event_id ASC NULLS LAST) AS rn
+      FROM (SELECT * FROM events WHERE event_type = 'click') c
+      LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        ON c.user_id = p.user_id
+       AND p.ts >= c.ts
+       AND p.ts <= c.ts + INTERVAL 3 DAY)
     WHERE rn = 1
     """,
 )
 def q_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join, forward direction with tolerance (J7 completion —
-    pandas merge_asof's direction='forward', tolerance=30d shape): each
-    event matched to the EARLIEST order at-or-after it, but only within
-    30 days; beyond tolerance the event keeps NULL.
+    pandas merge_asof's direction='forward', tolerance=3d shape): each
+    click attributed to the EARLIEST purchase by the same user
+    at-or-after it, but only within 3 days; beyond tolerance the click
+    keeps NULL. Both relations are time-compatible slices of ``events``
+    (same Jan-2024 range), so both the matched path (earliest-within-band
+    min_by + tie-break) and the NULL tolerance-miss path are genuinely
+    exercised on the shipped testdata — roughly 3/4 of clicks match and
+    the rest fall outside the band.
 
-    Same scale shape as q_join_asof (equi-join shuffle + map-side
-    min_by partial aggregate, no per-key sort) with one improvement the
-    backward form can't have: the tolerance BOUNDS the temporal band, so
-    a time-bucketed storage layout (sources/layout.py) prunes the probe
-    side to a 30-day slice per event instead of all history — tolerance
-    is what makes as-of joins tractable on unbounded history.
+    Same scale shape as q_join_asof (equi-join shuffle on user_id +
+    map-side min_by partial aggregate, no per-key sort) with one
+    improvement the backward form can't have: the tolerance BOUNDS the
+    temporal band, so a time-bucketed storage layout (sources/layout.py)
+    prunes the probe side to a 3-day slice per event instead of all
+    history — tolerance is what makes as-of joins tractable on unbounded
+    history.
     """
-    e = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id")
-    o = load_table(spark, sf_dir, "orders").select(
-        "o_custkey", "o_orderkey", "o_orderdate"
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.where(F.col("event_type") == "click").select("event_id", "ts", "user_id")
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("p_event_id"),
+            F.col("ts").alias("p_ts"),
+            F.col("user_id").alias("p_user_id"),
+        )
     )
-    j = e.join(
-        o,
-        (e.user_id == o.o_custkey)
-        & (o.o_orderdate >= e.ts)
-        & (o.o_orderdate <= F.col("ts") + F.expr("INTERVAL 30 DAY")),
+    j = c.join(
+        p,
+        (c.user_id == p.p_user_id)
+        & (p.p_ts >= c.ts)
+        & (p.p_ts <= F.col("ts") + F.expr("INTERVAL 3 DAY")),
         "left",
     )
     best = F.min_by(
-        F.struct(F.col("o_orderkey"), F.col("o_orderdate")),
-        F.struct(F.col("o_orderdate"), F.col("o_orderkey")),
+        F.struct(F.col("p_event_id"), F.col("p_ts")),
+        F.struct(F.col("p_ts"), F.col("p_event_id")),
     )
     return (
         j.groupBy("event_id")
@@ -502,7 +515,7 @@ def q_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_id",
             "user_id",
-            F.col("best.o_orderkey").alias("o_orderkey"),
-            F.col("best.o_orderdate").alias("o_orderdate"),
+            F.col("best.p_event_id").alias("purchase_id"),
+            F.col("best.p_ts").alias("purchase_ts"),
         )
     )

@@ -123,12 +123,11 @@ def q_time_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type,
              CAST(round(value * 1000000, 0) AS BIGINT) AS v_micros,
              (epoch_us(ts) // 1000 // 1800000 - i) * 1800000 AS start_ms
-      FROM events, unnest(range(4)) AS t(i)),
-    k AS (SELECT * FROM ex WHERE start_ms >= 0)
+      FROM events, unnest(range(4)) AS t(i))
     SELECT make_timestamp(start_ms * 1000) AS window_start, event_type,
            CAST(count(*) AS BIGINT) AS n,
            sum(v_micros) / 1000000.0 AS sum_value
-    FROM k GROUP BY window_start, event_type
+    FROM ex GROUP BY window_start, event_type
     """,
 )
 def q_time_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:

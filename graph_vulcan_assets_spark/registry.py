@@ -48,16 +48,110 @@ def load_all() -> None:
 
 
 # Exposure order for ``queries()`` / ``oracle_sql()``. The driver runs its
-# correctness budget over queries in iteration order, so every SURVEY §2
-# [DECLARE] key is exposed before the §2.12 extensions. Within the declared
-# set: first the keys with no round-1 driver row (set ops, scalar-function
-# families, temporal batch queries, LLM extensions), then the keys whose
-# round-1 row needs refreshing (q_sessionize oracle type fix; de-vacuated
-# q_explode_filter / q_join_anti), then the remaining declared inventory.
-# The tail of the declared block (window/sort generalizations) already has
-# green round-1 rows, so it loses the least if a fixed-size budget cuts off.
+# 50-entry correctness budget over queries in iteration order, so each round
+# rotates never-driver-checked oracle queries to the front (round-2 verdict
+# item #1: budget rotation, not code). Round-3 order: first the 8 declared
+# window/sort keys whose only driver evidence is round 1 (the recorded
+# round-2 budget spill), then the 42 highest-value never-checked extension
+# oracles (TPC-H shapes + correlated subqueries, the curation suite,
+# analytics, graph, asof-tolerance/sliding-window/kmeans/UDTF/centroid).
+# Everything with a green round-2 row moves behind the rotation — it loses
+# nothing if the fixed-size budget cuts off. Still never checked after this
+# round (recorded trim, next rotation): q_agg_grouping_sets, q_agg_filtered,
+# q_win_distribution, q_win_ratio_to_report, q_except_all, q_intersect_all,
+# q_agg_salted, q_join_salted, q_join_part_supplier, the text-analysis
+# family (q_text_quality/lang_dist/lang_id/token_count/fingerprint/tfidf/
+# repetition/lm_score), the dedup-oracle family (q_dedup_ngram/embed/
+# boilerplate/incremental/clusters), q_embed_quantize, q_source_csv/jsonl/
+# orc, q_stream_sessionize.
 PRIORITY: tuple[str, ...] = (
-    # -- declared, no driver row in round 1 (SURVEY §2.7/2.8/2.9/2.11)
+    # -- declared window/sort keys: round-1 rows only (r2 budget spill)
+    "q_win_first_seen",
+    "q_win_rank",
+    "q_win_lag_lead",
+    "q_win_running_sum",
+    "q_win_range_frame",
+    "q_win_topk_group",
+    "q_sort_multi",
+    "q_topk",
+    # -- TPC-H query shapes (never driver-checked)
+    "q_shape_q2",
+    "q_shape_q3",
+    "q_shape_q4",
+    "q_shape_q5",
+    "q_shape_q6",
+    "q_shape_q7",
+    "q_shape_q8",
+    "q_shape_q10",
+    "q_shape_q13",
+    "q_shape_q14",
+    "q_shape_q15",
+    "q_shape_q17",
+    "q_shape_q18",
+    "q_shape_q19",
+    "q_shape_q20",
+    "q_shape_q21",
+    "q_shape_q22",
+    "q_subquery_not_in",
+    "q_join_lateral",
+    # -- curation suite (never driver-checked)
+    "q_split_train_test",
+    "q_sample_stratified",
+    "q_corpus_mix",
+    "q_decontaminate",
+    "q_pack_sequences",
+    "q_pii_redact",
+    "q_chunk_documents",
+    "q_split_leakage_safe",
+    # -- analytics (never driver-checked)
+    "q_funnel",
+    "q_retention_cohorts",
+    "q_time_weighted_avg",
+    "q_profile_columns",
+    "q_hist_equiwidth",
+    "q_hist_equidepth",
+    "q_rollup_cascade",
+    # -- graph (never driver-checked)
+    "q_graph_ancestors",
+    "q_graph_subtree_size",
+    "q_graph_pagerank",
+    # -- remaining high-value extensions (never driver-checked)
+    "q_join_asof_tolerance",
+    "q_time_sliding",
+    "q_kmeans_assign",
+    "q_udtf_sentences",
+    "q_embed_centroid",
+    # ---- 50-entry budget line ----
+    # next rotation candidates (see trim note above), then the round-2
+    # green inventory in its round-2 order
+    "q_agg_grouping_sets",
+    "q_agg_filtered",
+    "q_win_distribution",
+    "q_win_ratio_to_report",
+    "q_except_all",
+    "q_intersect_all",
+    "q_agg_salted",
+    "q_join_salted",
+    "q_join_part_supplier",
+    "q_text_quality",
+    "q_text_lang_dist",
+    "q_lang_id",
+    "q_token_count",
+    "q_text_fingerprint",
+    "q_text_tfidf",
+    "q_text_repetition",
+    "q_text_lm_score",
+    "q_dedup_ngram",
+    "q_dedup_embed",
+    "q_dedup_boilerplate",
+    "q_dedup_incremental",
+    "q_dedup_clusters",
+    "q_embed_quantize",
+    "q_source_csv",
+    "q_source_jsonl",
+    "q_source_orc",
+    "q_stream_sessionize",
+    # -- round-2 green inventory
     "q_union_all",
     "q_union_distinct",
     "q_intersect",
@@ -76,11 +170,9 @@ PRIORITY: tuple[str, ...] = (
     "q_sim_topk",
     "q_text_stats",
     "q_text_search",
-    # -- fixed this round, need fresh rows
     "q_sessionize",
     "q_explode_filter",
     "q_join_anti",
-    # -- remaining declared inventory (green round-1 rows)
     "q_agg_groupby",
     "q_scan_events",
     "q_scan_pruned",
@@ -110,14 +202,6 @@ PRIORITY: tuple[str, ...] = (
     "q_agg_having",
     "q_agg_stats",
     "q_win_last_event",
-    "q_win_first_seen",
-    "q_win_rank",
-    "q_win_lag_lead",
-    "q_win_running_sum",
-    "q_win_range_frame",
-    "q_win_topk_group",
-    "q_sort_multi",
-    "q_topk",
 )
 
 

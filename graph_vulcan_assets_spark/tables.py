@@ -30,6 +30,12 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    # Pin the session timezone at first table load: epoch-based event-time
+    # arithmetic (unix_micros, epoch-aligned windows) and the NTZ→LTZ cast
+    # below assume UTC, but the driver may hand us a vanilla SparkSession
+    # whose tz follows the host JVM. Runtime-settable, idempotent.
+    if spark.conf.get("spark.sql.session.timeZone") != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # events.ts has shipped as either TIMESTAMP(NANOS) parquet (which
         # Spark's reader rejects without the legacy long fallback) or plain

@@ -168,3 +168,24 @@ def test_bloom_decontaminate_superset_and_tight(spark, sf_dir):
         f"false-positive inflation too high: bloom={sum(bloom.values())} "
         f"exact={sum(exact.values())}"
     )
+
+
+def test_bloom_probe_bag_semantics(spark):
+    """Duplicate probe rows must survive bloom_probe (round-2 advice: the
+    old groupBy over probe columns silently deduplicated identical rows —
+    set semantics where callers expect bag semantics)."""
+    from pyspark.sql import functions as F
+
+    from graph_vulcan_assets_spark.llm.curation import bloom_build, bloom_probe
+
+    keys = spark.createDataFrame([("alpha",), ("beta",)], ["s"])
+    bloom = bloom_build(keys)
+    # two identical member rows + one non-member
+    probes = spark.createDataFrame(
+        [("alpha",), ("alpha",), ("gamma-not-a-member",)], ["s"]
+    )
+    out = bloom_probe(probes, bloom)
+    hits = out.groupBy("s").agg(F.count("*").alias("n")).collect()
+    by_key = {r["s"]: r["n"] for r in hits}
+    assert by_key.get("alpha") == 2, by_key  # bag: both duplicates kept
+    assert "__probe_id" not in out.columns

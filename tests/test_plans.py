@@ -72,6 +72,25 @@ def test_asof_join_is_partial_aggregate(spark, sf_dir):
     assert "NestedLoop" not in p
 
 
+def test_asof_tolerance_not_vacuous(spark, sf_dir):
+    """Round-2 advice: the old orders-based form matched zero rows (events
+    are 2024, orders 1995-2001), so the min_by/tie-break logic shipped
+    unexercised. The click→purchase self-as-of must produce BOTH matched
+    rows (earliest-within-band path) and NULL rows (tolerance-miss path)
+    on the shipped testdata."""
+    from graph_vulcan_assets_spark.registry import all_queries
+
+    df = all_queries()["q_join_asof_tolerance"](spark, sf_dir)
+    from pyspark.sql import functions as F
+
+    counts = df.agg(
+        F.count("*").alias("n"),
+        F.count("purchase_id").alias("matched"),
+    ).first()
+    assert counts.n > 0
+    assert 0 < counts.matched < counts.n  # both branches exercised
+
+
 def test_multi_distinct_avoids_expand(spark, sf_dir):
     """q_agg_distinct uses the two-level pre-aggregation rewrite: no
     Expand node (Catalyst's multi-distinct Expand multiplies every input
