@@ -14,16 +14,25 @@ Reference behavior re-expressed (SURVEY.md §2.9):
   micro-batch's decoded events are unioned with seed events derived from
   the persisted state and run through plans.temporal.replay_from_events.
 
-Scale notes: incremental compute is O(micro-batch), not O(state) — each
-batch seeds ONLY the state rows whose entity keys the batch touches
-(broadcast semi-join on the batch's key set), replays that bounded subset,
-and unions the untouched remainder through unchanged (a pure columnar
-copy, no shuffle). State tables are parquet snapshots written per batch
-(content-addressed by batch id; superseded snapshots pruned, keeping the
-last two acknowledged for crash recovery). On a real deployment these
-become Delta tables with MERGE — then the untouched pass-through copy
-disappears too and the write side is also O(batch); the seed/replay logic
-is unchanged, only the state I/O swaps. All state transforms are
+Scale notes: incremental compute AND state I/O are O(micro-batch), not
+O(state). Each state table is hash-bucketed by its natural key
+(``pmod(xxhash64(key), N_BUCKETS)``); a micro-batch
+- reads ONLY the buckets its touched keys hash into,
+- seeds ONLY the state rows whose entity keys the batch touches
+  (broadcast semi-join on the batch's key set), replays that bounded
+  subset, unions the same-bucket remainder back (a pure columnar copy),
+- and rewrites ONLY those buckets, as ``batch=N/bucket=B`` version dirs.
+Untouched buckets are never read, never rewritten — their files stay
+byte-identical across batches (test-pinned). The live view of a table is,
+per bucket, the newest ACKNOWLEDGED version; the commit marker is written
+last, so a crash mid-write leaves only ignored orphan versions and the
+redelivered batch re-applies against the previous acknowledged view
+(at-least-once → idempotent, matching kafka.go:98-104). The one O(state)
+touch left is a column-pruned key scan of ``parent_of`` to locate buckets
+holding edges whose PARENT endpoint is touched (edges are bucketed by
+child; a key-only columnar scan, not a rewrite). On a real deployment the
+versioned buckets become a Delta/Iceberg MERGE — the seed/replay logic is
+unchanged, only the state I/O swaps. All state transforms are
 joins/windows on entity keys; state size is O(live entities), not
 O(event history).
 
@@ -35,11 +44,14 @@ decode→seed→replay→write path.
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
+from collections import defaultdict
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
 
 from graph_vulcan_assets_spark.log import get_logger
 from graph_vulcan_assets_spark.plans.temporal import (
@@ -56,7 +68,22 @@ from graph_vulcan_assets_spark.plans.temporal import (
 
 STATE_TABLES = ("assets", "teams", "owns", "parent_of")
 
+# Natural key of each state table — the hash-bucketing key. parent_of is
+# bucketed by its CHILD endpoint (a row must map to exactly one bucket);
+# parent-side touches are located with a key-only scan (see module doc).
+BUCKET_KEYS: dict[str, tuple[str, ...]] = {
+    "assets": ("type", "identifier"),
+    "teams": ("identifier",),
+    "owns": ("type", "asset_identifier"),
+    "parent_of": ("child_type", "child_identifier"),
+}
+
 _log = get_logger("streaming.ingest")
+
+
+def bucket_of(cols: tuple[str, ...], n_buckets: int) -> Column:
+    """Deterministic bucket id for a state row: pmod(xxhash64(key), N)."""
+    return F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(n_buckets)).cast("int")
 
 
 def kafka_reader(
@@ -119,68 +146,170 @@ class TemporalGraphStream:
         state_dir: str,
         annotation_key: str | None = None,
         fault=None,
+        n_buckets: int | None = None,
     ):
         self.spark = spark
         self.state_dir = state_dir
         self.annotation_key = annotation_key
         self.fault = fault
         os.makedirs(os.path.join(state_dir, "_applied"), exist_ok=True)
+        meta = self._load_meta()
+        if meta is not None:
+            # bucket count is a storage-layout property: once written it
+            # must stay fixed across restarts or rows change buckets
+            self.n_buckets = int(meta["n_buckets"])
+            self._schemas = {
+                t: StructType.fromJson(json.loads(s)) for t, s in meta["schemas"].items()
+            }
+        else:
+            self.n_buckets = n_buckets or int(
+                os.environ.get("SPARK_GRAFT_STATE_BUCKETS", "32")
+            )
+            self._schemas = {}
 
     # ---- state I/O ------------------------------------------------------
+    def _meta_path(self) -> str:
+        return os.path.join(self.state_dir, "_meta.json")
+
+    def _load_meta(self) -> dict | None:
+        try:
+            with open(self._meta_path()) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return None
+
+    def _save_meta(self) -> None:
+        tmp = self._meta_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(
+                {
+                    "n_buckets": self.n_buckets,
+                    "schemas": {t: s.json() for t, s in self._schemas.items()},
+                },
+                f,
+            )
+        os.replace(tmp, self._meta_path())
+
     def _applied_batches(self) -> list[int]:
         d = os.path.join(self.state_dir, "_applied")
         return sorted(int(f) for f in os.listdir(d) if f.isdigit())
 
+    def _bucket_versions(self, table: str) -> dict[int, int]:
+        """bucket id → newest ACKNOWLEDGED batch that wrote it. Orphan
+        versions from crashed (unacknowledged) attempts are invisible."""
+        base = os.path.join(self.state_dir, table)
+        acked = set(self._applied_batches())
+        out: dict[int, int] = {}
+        if not os.path.isdir(base):
+            return out
+        for d in os.listdir(base):
+            if not d.startswith("batch="):
+                continue
+            bid = int(d.split("=", 1)[1])
+            if bid not in acked:
+                continue
+            for bd in os.listdir(os.path.join(base, d)):
+                if bd.startswith("bucket="):
+                    b = int(bd.split("=", 1)[1])
+                    if b not in out or bid > out[b]:
+                        out[b] = bid
+        return out
+
+    def _read_buckets(self, table: str, bucket_ids: set[int] | None) -> DataFrame:
+        """Assemble a state table from its live bucket versions; with
+        ``bucket_ids`` given, read ONLY those buckets (the O(batch) read
+        path — untouched buckets are never opened)."""
+        versions = self._bucket_versions(table)
+        if bucket_ids is not None:
+            versions = {b: v for b, v in versions.items() if b in bucket_ids}
+        paths = [
+            os.path.join(self.state_dir, table, f"batch={v}", f"bucket={b}")
+            for b, v in sorted(versions.items())
+        ]
+        if not paths:
+            return self.spark.createDataFrame([], self._schemas[table])
+        return self.spark.read.schema(self._schemas[table]).parquet(*paths)
+
     def read_state(self) -> dict[str, DataFrame] | None:
-        applied = self._applied_batches()
-        if not applied:
+        if not self._applied_batches():
             return None
-        latest = applied[-1]
-        return {
-            t: self.spark.read.parquet(
-                os.path.join(self.state_dir, t, f"batch={latest}")
-            )
-            for t in STATE_TABLES
-        }
+        return {t: self._read_buckets(t, None) for t in STATE_TABLES}
 
     def _write_state(self, state: dict[str, DataFrame], batch_id: int) -> None:
+        """Write each table's (touched-bucket) content as a new
+        ``batch=N/bucket=B`` version per present bucket — O(touched
+        buckets), never O(state). The live view resolves per bucket to the
+        newest acknowledged version, so buckets absent from this batch
+        keep serving their prior files untouched."""
         for t in STATE_TABLES:
-            state[t].write.mode("overwrite").parquet(
-                os.path.join(self.state_dir, t, f"batch={batch_id}")
+            df = state[t]
+            if t not in self._schemas:
+                self._schemas[t] = df.schema
+            (
+                df.withColumn("bucket", bucket_of(BUCKET_KEYS[t], self.n_buckets))
+                .write.partitionBy("bucket")
+                .mode("overwrite")
+                .parquet(os.path.join(self.state_dir, t, f"batch={batch_id}"))
             )
+        self._save_meta()
         # marker written last: a crash mid-write leaves the batch
-        # unacknowledged and it is re-applied on restart (at-least-once →
-        # idempotent, matching kafka.go:98-104's commit-after-process)
+        # unacknowledged — its bucket versions are orphans the read side
+        # ignores — and it is re-applied on restart against the previous
+        # acknowledged view (at-least-once → idempotent, matching
+        # kafka.go:98-104's commit-after-process)
         with open(os.path.join(self.state_dir, "_applied", str(batch_id)), "w") as f:
             f.write("ok")
         self._prune_snapshots()
 
     def _prune_snapshots(self) -> None:
-        """Remove superseded batch=N snapshot dirs.
-
-        Keeps the last TWO acknowledged snapshots: a crash between the
-        state write of batch N and its marker leaves N unacknowledged, and
-        the redelivered batch must still find N−1 intact to re-apply
-        against. Dirs older than that (and orphans from crashed attempts)
-        are dead weight — without pruning, snapshot storage grows
-        O(batches × state), the one unbounded resource in the design.
-        """
+        """Remove superseded bucket versions: per bucket, keep the newest
+        TWO acknowledged versions. Why two: a crash between batch N's
+        state write and its marker leaves N unacknowledged, and the
+        redelivered batch must still find every bucket's previous
+        acknowledged version intact to re-apply against. Older versions
+        (and crashed-attempt orphans superseded by a newer acknowledged
+        batch) are dead weight — without pruning, storage grows
+        O(batches × state), the one unbounded resource in the design."""
         applied = self._applied_batches()
-        keep = set(applied[-2:])
-        if not keep:
+        if not applied:
             return
-        newest = max(keep)
+        acked = set(applied)
+        newest = applied[-1]
         for t in STATE_TABLES:
             base = os.path.join(self.state_dir, t)
             if not os.path.isdir(base):
                 continue
+            per_bucket: dict[int, list[int]] = defaultdict(list)
             for d in os.listdir(base):
                 if not d.startswith("batch="):
                     continue
                 bid = int(d.split("=", 1)[1])
-                if bid not in keep and bid < newest:
-                    _log.debug("pruning superseded snapshot %s/%s", t, d)
-                    shutil.rmtree(os.path.join(base, d), ignore_errors=True)
+                if bid not in acked:
+                    if bid < newest:
+                        # crashed attempt superseded by a newer ack
+                        _log.debug("pruning orphan snapshot %s/%s", t, d)
+                        shutil.rmtree(os.path.join(base, d), ignore_errors=True)
+                    continue
+                for bd in os.listdir(os.path.join(base, d)):
+                    if bd.startswith("bucket="):
+                        per_bucket[int(bd.split("=", 1)[1])].append(bid)
+            for b, bids in per_bucket.items():
+                for bid in sorted(bids)[:-2]:
+                    _log.debug("pruning superseded %s/batch=%d/bucket=%d", t, bid, b)
+                    shutil.rmtree(
+                        os.path.join(base, f"batch={bid}", f"bucket={b}"),
+                        ignore_errors=True,
+                    )
+            # drop acknowledged batch dirs left with no bucket versions
+            for d in os.listdir(base):
+                if not d.startswith("batch="):
+                    continue
+                bid = int(d.split("=", 1)[1])
+                full = os.path.join(base, d)
+                if bid < newest and not any(
+                    x.startswith("bucket=") for x in os.listdir(full)
+                ):
+                    shutil.rmtree(full, ignore_errors=True)
 
     # ---- incremental application ---------------------------------------
     def apply_batch(self, raw_batch: DataFrame, batch_id: int) -> None:
@@ -196,23 +325,69 @@ class TemporalGraphStream:
         with tuned_for_batch(self.spark, raw_batch.count()):
             self._apply_batch_inner(raw_batch, batch_id)
 
+    def _touched_buckets(self, touched_assets: DataFrame, touched_teams: DataFrame) -> dict[str, set[int]]:
+        """Bucket ids each state table must read+rewrite for this batch.
+
+        assets/owns share the asset-key bucket function; teams use the
+        team id. parent_of rows are bucketed by child endpoint, so
+        child-side touches map directly; parent-side touches are located
+        with a key-only column-pruned scan of the live edge set (the rows
+        themselves are NOT rewritten unless their bucket is touched).
+        The collects are bounded by n_buckets — scalar-sized, like the
+        batch-count the tuner already takes.
+        """
+        nb = self.n_buckets
+        ab = {
+            r[0]
+            for r in touched_assets.select(
+                F.pmod(F.xxhash64("asset_type", "identifier"), F.lit(nb)).cast("int")
+            ).distinct().collect()
+        }
+        tb = {
+            r[0]
+            for r in touched_teams.select(
+                F.pmod(F.xxhash64("team_id"), F.lit(nb)).cast("int")
+            ).distinct().collect()
+        }
+        eb = set(ab)
+        edges = self._read_buckets("parent_of", None).select(
+            "child_type", "child_identifier", "parent_type", "parent_identifier"
+        )
+        p_keys = F.broadcast(
+            touched_assets.select(
+                F.col("asset_type").alias("parent_type"),
+                F.col("identifier").alias("parent_identifier"),
+            )
+        )
+        eb |= {
+            r[0]
+            for r in edges.join(p_keys, ["parent_type", "parent_identifier"], "left_semi")
+            .select(bucket_of(BUCKET_KEYS["parent_of"], nb))
+            .distinct()
+            .collect()
+        }
+        return {"assets": ab, "teams": tb, "owns": ab, "parent_of": eb}
+
     def _apply_batch_inner(self, raw_batch: DataFrame, batch_id: int) -> None:
         if self.annotation_key is not None:
             decoded = decode_events(raw_batch, self.annotation_key)
         else:
             decoded = decode_events(raw_batch)
         ev = events_from_decoded(decoded)
-        state = self.read_state()
-        if state is None:
+        if not self._applied_batches():
             new_state = replay_from_events(ev)
         else:
-            # O(batch) incremental step: seed ONLY the state rows whose
-            # entity keys this micro-batch touches; everything else passes
-            # through untouched (no join, no window, no shuffle — a
-            # straight columnar copy into the next snapshot).
+            # O(batch) incremental step: read ONLY the buckets this
+            # micro-batch's keys hash into, seed ONLY the state rows whose
+            # entity keys the batch touches; same-bucket bystander rows
+            # pass through into the rewritten bucket version (a straight
+            # columnar copy), and every other bucket is neither read nor
+            # written.
             touched_assets, touched_teams = touched_keys(ev)
             touched_assets = touched_assets.localCheckpoint(eager=True)
             touched_teams = touched_teams.localCheckpoint(eager=True)
+            buckets = self._touched_buckets(touched_assets, touched_teams)
+            state = {t: self._read_buckets(t, buckets[t]) for t in STATE_TABLES}
             seeded, untouched = split_state_by_touched(
                 state, touched_assets, touched_teams
             )
