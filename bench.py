@@ -12,6 +12,7 @@ JVM/codegen startup so numbers reflect steady-state throughput.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -39,6 +40,16 @@ HEADLINE = [
     "q_sim_topk",
     "q_text_stats",
     "q_time_tumbling",
+    # round-3 additions: the curation/analytics/graph/TPC-H-shape layers
+    # had no timing history, so a regression there was invisible
+    "q_shape_q5",
+    "q_decontaminate",
+    "q_pack_sequences",
+    "q_funnel",
+    "q_retention_cohorts",
+    "q_graph_ancestors",
+    "q_text_tfidf",
+    "q_kmeans_assign",
 ]
 
 
@@ -69,6 +80,11 @@ def main() -> None:
             run_to_completion(queries[name](spark, sf_dir))
             best = min(best, time.perf_counter() - start)
         timings[name] = round(best, 3)
+        # drop py4j references so the ContextCleaner can release this
+        # query's broadcast vars and localCheckpoint blocks — the iterative
+        # entries (kmeans, graph) otherwise accumulate persisted RDDs
+        # across the sweep and the residue taxes every later entry
+        gc.collect()
 
     # temporal-graph replay throughput: 20k-message random stream through
     # the full decode → replay dataflow (the engine's answer to the
@@ -80,6 +96,14 @@ def main() -> None:
         tag_union_state,
         tuned_for_batch,
     )
+
+    # settle the session before the replay measurement: let the cleaner
+    # finish releasing the sweep's broadcast/checkpoint blocks so the
+    # many-small-stage replay isn't taxed by residue from 24 queries
+    gc.collect()
+    spark.catalog.clearCache()
+    spark._jvm.System.gc()
+    time.sleep(5)
 
     msgs = random_messages(99, n=20000)
     raw = spark.createDataFrame(msgs, schema=RAW_SCHEMA)
