@@ -159,3 +159,31 @@ def random_messages(seed: int, n: int = 120) -> list[dict]:
         else:
             msgs.append(tombstone_msg(seq, minutes, team, atype, ident))
     return msgs
+
+
+def skewed_messages(seed: int, n: int = 8000, n_assets: int = 200, hot_frac: float = 0.5) -> list[dict]:
+    """Hot-key stream: ONE asset receives ``hot_frac`` of all events
+    (realistic for a popular host being re-scanned constantly); the rest
+    spread uniformly over ``n_assets - 1`` identifiers. Pair with
+    ``uniform_messages`` at equal n/n_assets for skew stress comparisons."""
+    rng = random.Random(seed)
+    idents = [f"h{i}.example.com" for i in range(n_assets)]
+    teams = [f"t{i}" for i in range(8)]
+    msgs: list[dict] = []
+    for seq in range(1, n + 1):
+        ident = idents[0] if rng.random() < hot_frac else rng.choice(idents[1:])
+        team = rng.choice(teams)
+        if rng.random() < 0.8:
+            anns = [(AWS_ANNOTATION_KEY, "000000000001")] if rng.random() < 0.3 else []
+            msgs.append(
+                refresh_msg(seq, seq, team, f"Team {team}", "Hostname", ident, anns, "v0.1.0")
+            )
+        else:
+            msgs.append(tombstone_msg(seq, seq, team, "Hostname", ident))
+    return msgs
+
+
+def uniform_messages(seed: int, n: int = 8000, n_assets: int = 200) -> list[dict]:
+    """Control stream for skew stress: same event mix as
+    ``skewed_messages`` but keys uniform over all ``n_assets``."""
+    return skewed_messages(seed, n=n, n_assets=n_assets, hot_frac=0.0)
