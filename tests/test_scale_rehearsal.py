@@ -1,0 +1,143 @@
+"""Scale rehearsal (round-2 verdict item #5): a ~10x local blowup of the
+driver testdata, re-keyed so it is new data rather than a cache hit, run
+through the most expensive queries. Catches plans that only look right at
+sf0.1:
+
+- plan invariants must hold at 10x (no CartesianProduct, no nested-loop
+  join, no single-partition window, dimension broadcasts stay broadcast);
+- wall-time must scale sub-quadratically (10x data on the same cores must
+  cost far less than 100x the 1x time — a quadratic pair-blowup or a
+  collapsed-to-one-partition stage fails the ratio bound).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import os
+import time
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from graph_vulcan_assets_spark.registry import all_queries
+
+QUERIES = all_queries()
+BLOWUP = 10
+# rehearse from sf0.01 when available (blown = sf0.1-equivalent volume);
+# the suite-wide sf0.001 is too overhead-dominated to separate scaling
+# regimes
+_PREFERRED = "/root/testdata/sf0.01"
+BASE_SF = (
+    _PREFERRED
+    if os.path.isdir(_PREFERRED)
+    else os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+)
+# the five most expensive bench entries that exercise distinct shapes:
+# bucketed range join, as-of partial-agg join, MinHash band join, a
+# six-table TPC-H shape, and the iterative centroid loop
+REHEARSAL = ["q_join_range", "q_join_asof", "q_dedup_near", "q_shape_q5", "q_kmeans_assign"]
+
+
+def _replicate(df, i: int):
+    return df.withColumn("__i", F.lit(i))
+
+
+@pytest.fixture(scope="module")
+def blown_dir(spark, tmp_path_factory) -> str:
+    """sf table dir with events/orders/lineitem/documents/embeddings
+    multiplied 10x (re-keyed copies), everything else symlinked."""
+    out = str(tmp_path_factory.mktemp("blown"))
+    mult = spark.range(BLOWUP).select(F.col("id").cast("int").alias("__i"))
+
+    def blow(name: str, rekey):
+        src = spark.read.parquet(os.path.join(BASE_SF, f"{name}.parquet"))
+        big = rekey(src.crossJoin(F.broadcast(mult))).drop("__i")
+        big.write.mode("overwrite").parquet(os.path.join(out, f"{name}.parquet"))
+
+    blow(
+        "events",
+        lambda df: df.withColumn("event_id", F.col("event_id") * BLOWUP + F.col("__i"))
+        .withColumn("ts", F.col("ts") + F.make_interval(secs=F.col("__i"))),
+    )
+    blow(
+        "orders",
+        lambda df: df.withColumn("o_orderkey", F.col("o_orderkey") * BLOWUP + F.col("__i")),
+    )
+    blow(
+        "lineitem",
+        lambda df: df.withColumn("l_orderkey", F.col("l_orderkey") * BLOWUP + F.col("__i")),
+    )
+    blow(
+        "documents",
+        lambda df: df.withColumn("doc_id", F.col("doc_id") * BLOWUP + F.col("__i"))
+        # perturb the text so copies are new documents, not near-dups —
+        # this isolates scan/shuffle scaling from genuine dup discovery
+        .withColumn("text", F.concat(F.col("__i").cast("string"), F.lit(" "), F.col("text"))),
+    )
+    blow(
+        "embeddings",
+        lambda df: df.withColumn("vec_id", F.col("vec_id") * BLOWUP + F.col("__i"))
+        .withColumn(
+            "embedding",
+            F.transform("embedding", lambda x, j: x + (F.col("__i") * 0.001) * (j == 0).cast("float")),
+        ),
+    )
+    for name in ("region", "nation", "customer", "supplier", "part"):
+        os.symlink(
+            os.path.join(BASE_SF, f"{name}.parquet"),
+            os.path.join(out, f"{name}.parquet"),
+        )
+    return out
+
+
+def _plan(spark, sf_dir, name) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        QUERIES[name](spark, sf_dir).explain("formatted")
+    return buf.getvalue()
+
+
+def _seconds(spark, sf_dir, name, runs=2) -> float:
+    best = float("inf")
+    for _ in range(runs):
+        start = time.perf_counter()
+        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        best = min(best, time.perf_counter() - start)
+    return best
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", REHEARSAL)
+def test_plan_invariants_hold_at_10x(spark, blown_dir, name):
+    p = _plan(spark, blown_dir, name)
+    assert "CartesianProduct" not in p, f"{name} degrades to cartesian at 10x"
+    assert "NestedLoop" not in p, f"{name} degrades to nested-loop at 10x"
+    # a window running on a single partition means the whole table
+    # funnels through one task — the classic silent scale-killer
+    for i, line in enumerate(p.splitlines()):
+        if "Exchange SinglePartition" in line:
+            ctx = "\n".join(p.splitlines()[max(0, i - 3) : i + 4])
+            assert "Window" not in ctx, f"{name}: single-partition window at 10x:\n{ctx}"
+
+
+@pytest.mark.slow
+def test_dimension_broadcast_survives_10x(spark, blown_dir):
+    """q_shape_q5's dimension joins (region/nation/customer/supplier)
+    must still broadcast when the fact side is 10x — losing the broadcast
+    turns them into full shuffles of the fact table."""
+    assert "BroadcastHashJoin" in _plan(spark, blown_dir, "q_shape_q5")
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", REHEARSAL)
+def test_wall_time_scales_subquadratically(spark, blown_dir, name):
+    _seconds(spark, BASE_SF, name, runs=1)  # codegen warmup
+    t1 = _seconds(spark, BASE_SF, name)
+    t10 = _seconds(spark, blown_dir, name)
+    # 10x data: linear scaling lands well under 10x wall-time on 8 cores
+    # with fixed overheads; quadratic lands near 100x. The bound is loose
+    # (shared host) but cleanly separates the two regimes.
+    limit = max(25.0 * t1, 10.0)  # floor absorbs fixed-overhead-dominated bases
+    assert t10 <= limit, f"{name}: {t1:.2f}s -> {t10:.2f}s at 10x (limit {limit:.1f}s)"
