@@ -187,3 +187,36 @@ def uniform_messages(seed: int, n: int = 8000, n_assets: int = 200) -> list[dict
     """Control stream for skew stress: same event mix as
     ``skewed_messages`` but keys uniform over all ``n_assets``."""
     return skewed_messages(seed, n=n, n_assets=n_assets, hot_frac=0.0)
+
+
+def adversarial_messages(seed: int, n: int = 40) -> list[dict]:
+    """Property-test streams beyond ``random_messages``' mix: a tiny key
+    pool with heavy tombstone weight produces LONG resurrection chains
+    (expire→recreate→expire...), multiple teams owning the same asset with
+    interleaved expiries, and — via a clock that only advances about half
+    the time — runs of distinct events sharing one timestamp, so ordering
+    must come from ``seq`` alone (same-ts seq ties)."""
+    rng = random.Random(seed)
+    idents = ["r0.example.com", "r1.example.com", "r2.example.com"]
+    teams = ["tA", "tB", "tC"]
+    accounts = ["000000000001", "arn:aws:iam::000000000002:root"]
+    msgs: list[dict] = []
+    minutes = 0
+    for seq in range(1, n + 1):
+        if rng.random() < 0.5:
+            minutes += 1  # else: tie with the previous event's timestamp
+        ident = rng.choice(idents)
+        team = rng.choice(teams)
+        atype = rng.choice(["Hostname", "DockerImage"])
+        if rng.random() < 0.55:
+            anns = (
+                [(AWS_ANNOTATION_KEY, rng.choice(accounts))]
+                if rng.random() < 0.5
+                else []
+            )
+            msgs.append(
+                refresh_msg(seq, minutes, team, f"Team {team}", atype, ident, anns, "v0.1.0")
+            )
+        else:
+            msgs.append(tombstone_msg(seq, minutes, team, atype, ident))
+    return msgs

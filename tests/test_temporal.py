@@ -122,3 +122,20 @@ def test_golden_matches_interpreter(spark):
 def test_random_equivalence(spark, seed):
     msgs = fixtures.random_messages(seed)
     assert state_from_replay(spark, msgs) == state_from_interpreter(msgs)
+
+
+@pytest.mark.slow
+def test_adversarial_equivalence_100_streams(spark):
+    """Round-2 verdict item #6: the replay ≡ interpreter property over
+    ≥100 generated streams featuring long resurrection chains,
+    interleaved multi-owner expiry, and same-timestamp seq ties (the
+    fixed golden fixture covers each pattern once; these cover their
+    interleavings)."""
+    from graph_vulcan_assets_spark.plans.temporal import tuned_for_batch
+
+    for seed in range(100, 200):
+        msgs = fixtures.adversarial_messages(seed, n=40)
+        with tuned_for_batch(spark, len(msgs)):
+            got = state_from_replay(spark, msgs)
+        want = state_from_interpreter(msgs)
+        assert got == want, f"replay diverges from interpreter at seed={seed}"
