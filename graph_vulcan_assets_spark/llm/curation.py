@@ -603,3 +603,190 @@ def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flagged.groupBy("doc_id").agg(
         F.count("*").cast("long").alias("n_candidate_overlap")
     )
+
+
+# -- round-3 additions: training-order assembly ------------------------------
+#
+# The steps after mixing/packing that an actual pre-training data build
+# needs: a deterministic global shuffle into shards (training order), a
+# temperature-resampled language mixture (UniMax-style upsampling), and
+# length-bucketed batch assembly (padding efficiency). All arithmetic is
+# integer or IEEE-exact (sqrt, division), so assignments are bit-identical
+# across engines and cluster runs.
+
+_KNUTH = 2654435761  # Knuth multiplicative hash constant (2^32 / phi)
+_SHARDS = 16
+
+
+@query(
+    "q_corpus_shuffle",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, lang, (doc_id * {_KNUTH}) % 4294967296 AS h
+      FROM documents)
+    SELECT doc_id, lang,
+           CAST(h // 268435456 AS BIGINT) AS shard,
+           CAST(row_number() OVER (
+                  PARTITION BY h // 268435456 ORDER BY h, doc_id)
+                AS BIGINT) AS pos
+    FROM h
+    """,
+)
+def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus shuffle + sharding for training order.
+
+    Multiplicative hashing (Knuth constant, TOP 4 bits — the low bits of
+    a*x mod 2^32 just stripe sequential ids) scatters documents into 16
+    shards, each internally ordered by hash: the 'shuffle once, then read
+    shards sequentially' layout every pre-training run starts from.
+
+    Scale shape: shard assignment is map-only; the per-shard position is
+    ONE window partitioned by shard — 16 balanced partitions, each sorted
+    independently (range-partition sort at 100 TB, no single-task
+    funnel). Reproducible: same corpus → same order, no RNG state.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    h = (F.col("doc_id") * F.lit(_KNUTH)) % F.lit(4294967296)
+    shard = F.floor(h / F.lit(268435456)).cast("long")
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    return (
+        d.select("doc_id", "lang", h.alias("h"))
+        .withColumn("shard", shard)
+        .select(
+            "doc_id",
+            "lang",
+            "shard",
+            F.row_number().over(w).cast("long").alias("pos"),
+        )
+    )
+
+
+@query(
+    "q_mix_temperature",
+    oracle=f"""
+    WITH counts AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_lang FROM documents GROUP BY lang),
+    rates AS (
+      SELECT lang, n_lang,
+             sqrt(CAST((SELECT max(n_lang) FROM counts) AS DOUBLE) / n_lang) AS rate
+      FROM counts),
+    perdoc AS (
+      SELECT d.doc_id, d.lang, r.rate,
+             CAST(floor(r.rate) AS BIGINT) AS base_copies,
+             (d.doc_id * {_KNUTH}) % 65536 AS u,
+             CAST(floor((r.rate - floor(r.rate)) * 65536) AS BIGINT) AS t
+      FROM documents d JOIN rates r USING (lang))
+    SELECT doc_id, lang,
+           base_copies + CASE WHEN u < t THEN 1 ELSE 0 END AS n_copies
+    FROM perdoc
+    WHERE base_copies + CASE WHEN u < t THEN 1 ELSE 0 END > 0
+    """,
+)
+def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-resampled language mixture (τ = 0.5, UniMax-style):
+    upsample low-resource languages toward the largest one by
+    sqrt(N_max / N_lang) expected copies per document.
+
+    Determinism across engines: sqrt and the long→double division are
+    IEEE-exact operations (unlike pow, whose libm results differ by ulps
+    between JVM and C++), and the fractional copy is decided by an
+    integer Knuth hash of doc_id against floor(frac·65536) — no float
+    comparison ever crosses an engine boundary.
+
+    Scale shape: the per-language rate table is lang-cardinality-sized
+    and broadcast; the per-doc step is map-only. Materializing the copies
+    is a posexplode over n_copies downstream; this operator emits the
+    assignment (the thing worth checking), not the blown-up corpus.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count("*").cast("long").alias("n_lang"))
+    n_max = counts.agg(F.max("n_lang").alias("n_max"))
+    rates = counts.crossJoin(F.broadcast(n_max)).select(
+        "lang",
+        F.sqrt(F.col("n_max").cast("double") / F.col("n_lang")).alias("rate"),
+    )
+    base = F.floor("rate").cast("long")
+    u = (F.col("doc_id") * F.lit(_KNUTH)) % F.lit(65536)
+    t = F.floor((F.col("rate") - F.floor("rate")) * 65536).cast("long")
+    out = (
+        d.join(F.broadcast(rates), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            (base + F.when(u < t, 1).otherwise(0)).alias("n_copies"),
+        )
+        .where(F.col("n_copies") > 0)
+    )
+    return out
+
+
+@query(
+    "q_length_buckets",
+    oracle="""
+    WITH lens AS (
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents),
+    ranked AS (
+      SELECT doc_id, n_tokens,
+             row_number() OVER (ORDER BY n_tokens, doc_id) AS rn,
+             count(*) OVER () AS n
+      FROM lens),
+    bucketed AS (
+      SELECT doc_id, n_tokens, rn, n,
+             CAST(((rn - 1) * 8) // n AS BIGINT) AS bucket
+      FROM ranked)
+    SELECT doc_id, n_tokens, bucket,
+           CAST((rn - 1 - (bucket * n + 7) // 8) // 32 AS BIGINT) AS batch_no
+    FROM bucketed
+    """,
+)
+def q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batch assembly: rank documents by token count into
+    8 equal-depth buckets, then cut each bucket into 32-document batches —
+    the padding-efficiency step before packing (similar-length documents
+    batch together, so pad-to-longest wastes the least).
+
+    The global rank is computed as a COUNTING RANK, not a total-order
+    window (which collapses to one partition): documents rank within
+    their own length value (window partitioned by n_tokens — distributed,
+    one task per length), and a tiny per-length histogram provides each
+    length's cumulative offset via broadcast. rank = offset + intra-rank
+    reproduces ORDER BY (n_tokens, doc_id) exactly. The only serial
+    window runs over the length histogram (thousands of rows at any
+    scale); bucket and batch numbers are then pure arithmetic on the
+    rank (bucket b starts at rank ceil(b·n/8) + 1), no further shuffle.
+    Worst case is a single dominant length value serializing its
+    intra-rank — the inherent skew of equal-depth bucketing.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    lens = d.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    )
+    hist = lens.groupBy("n_tokens").agg(F.count("*").alias("cnt"))
+    wh = Window.orderBy("n_tokens").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = hist.select(
+        "n_tokens",
+        F.coalesce(F.sum("cnt").over(wh), F.lit(0)).alias("offset"),
+        F.sum("cnt").over(
+            Window.orderBy("n_tokens").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
+    )
+    wi = Window.partitionBy("n_tokens").orderBy("doc_id")
+    ranked = lens.join(F.broadcast(offsets), "n_tokens").select(
+        "doc_id",
+        "n_tokens",
+        (F.col("offset") + F.row_number().over(wi)).alias("rn"),
+        "n",
+    )
+    bucketed = ranked.withColumn(
+        "bucket", F.floor(((F.col("rn") - 1) * 8) / F.col("n")).cast("long")
+    )
+    bucket_start = F.floor((F.col("bucket") * F.col("n") + 7) / 8)  # ceil(b*n/8)
+    return bucketed.select(
+        "doc_id",
+        "n_tokens",
+        "bucket",
+        F.floor((F.col("rn") - 1 - bucket_start) / 32).cast("long").alias("batch_no"),
+    )

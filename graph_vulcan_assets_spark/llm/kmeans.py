@@ -92,7 +92,7 @@ def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("cid"), "pos", F.col("q").alias("c")
     )
     assign = None
-    for _ in range(ITERS):
+    for i in range(ITERS):
         d = (
             vecs.join(F.broadcast(cent), "pos")
             .groupBy("vec_id", "cid")
@@ -103,16 +103,22 @@ def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             d.withColumn("rn", F.row_number().over(w))
             .where(F.col("rn") == 1)
             .select("vec_id", "cid", "d")
-            .localCheckpoint(eager=True)
         )
-        cent = (
-            assign.join(vecs, "vec_id")
-            .groupBy("cid", "pos")
-            .agg(
-                ((F.sum("q") - F.sum("q") % F.count("*")) / F.count("*"))
-                .cast("long")
-                .alias("c")
+        if i < ITERS - 1:
+            # truncate lineage at the CENTROID table (k·d rows — the tiny
+            # relation each next iteration broadcasts), not the full
+            # assignment: one small materialization per iteration and the
+            # final assignment executes as a single job from the last
+            # checkpointed centroids
+            cent = (
+                assign.join(vecs, "vec_id")
+                .groupBy("cid", "pos")
+                .agg(
+                    ((F.sum("q") - F.sum("q") % F.count("*")) / F.count("*"))
+                    .cast("long")
+                    .alias("c")
+                )
+                .localCheckpoint(eager=True)
             )
-        )
     assert assign is not None
     return assign.select("vec_id", "cid", F.col("d").cast("long").alias("dist_sq"))

@@ -437,3 +437,38 @@ def q_text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("lm_score_micros"),
         )
     )
+
+
+@query(
+    "q_vocab_topn",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+      FROM documents)
+    SELECT token, CAST(count(*) AS BIGINT) AS df
+    FROM tok GROUP BY token
+    ORDER BY df DESC, token
+    LIMIT 50
+    """,
+)
+def q_vocab_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary construction (X4 completion): top-50 tokens by DOCUMENT
+    frequency with deterministic ties (df desc, token asc) — the
+    stopword/vocab-seed discovery step a tokenizer build starts from.
+
+    Scale shape: per-document distinct-token explode (array_distinct runs
+    inside codegen before the explode, so a token repeated 1000x in one
+    doc contributes one row), partial-aggregated count per token, then a
+    global top-50 via TakeOrderedAndProject — per-partition top-k pruning,
+    never a single-partition sort of the full vocabulary.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        F.explode(F.array_distinct(F.split("text", " "))).alias("token")
+    )
+    return (
+        tok.groupBy("token")
+        .agg(F.count("*").cast("long").alias("df"))
+        .orderBy(F.col("df").desc(), F.col("token"))
+        .limit(50)
+    )
