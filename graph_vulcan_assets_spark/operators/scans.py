@@ -68,3 +68,35 @@ def q_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
         .offset(40)
         .limit(20)
     )
+
+
+@query(
+    "q_keyset_page",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders WHERE o_orderkey > 2500
+    ORDER BY o_orderkey LIMIT 20
+    """,
+)
+def q_keyset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset (cursor) pagination (S7 completion): the page AFTER cursor
+    o_orderkey=2500.
+
+    OFFSET pagination re-scans and discards every earlier page (the
+    reference's page/size API, inventory.go:149-163, and q_limit_offset);
+    the keyset form pushes the cursor down as a range filter —
+    PushedFilters: [GreaterThan(o_orderkey,2500)] reaches the parquet
+    reader and row groups below the cursor are never read — then takes
+    top-k. Page 10,000 costs the same as page 1; plan-guarded in
+    tests/test_plans.py.
+    """
+    from graph_vulcan_assets_spark.plans.api import keyset_page
+
+    return keyset_page(
+        load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        ),
+        ["o_orderkey"],
+        after=(2500,),
+        size=20,
+    )

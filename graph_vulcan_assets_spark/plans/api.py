@@ -90,6 +90,33 @@ def _paginate(df: DataFrame, order_cols: list[str], page: int | None, size: int 
     return out
 
 
+def keyset_page(df: DataFrame, order_cols: list[str], after: tuple | None, size: int) -> DataFrame:
+    """Cursor (keyset) pagination: the scale-correct alternative to
+    page/size. OFFSET N scans and discards N rows every page — O(pages²)
+    total over a full listing; a keyset cursor turns each page into a
+    pushed-down range filter (PushedFilters on the first order column) +
+    top-k, so page 10,000 costs the same as page 1.
+
+    ``after`` is the last row of the previous page as a tuple matching
+    ``order_cols`` (None for the first page). The filter is the
+    lexicographic row-value predicate (a, b) > (x, y) expanded to
+    a > x OR (a = x AND b > y) — the leading strict inequality is what
+    reaches the parquet reader as a pushed filter.
+    """
+    out = df
+    if after is not None:
+        if len(after) != len(order_cols):
+            raise ValueError("cursor arity must match order columns")
+        pred = None
+        for i in range(len(order_cols)):
+            clause = F.col(order_cols[i]) > F.lit(after[i])
+            for j in range(i):
+                clause = (F.col(order_cols[j]) == F.lit(after[j])) & clause
+            pred = clause if pred is None else (pred | clause)
+        out = out.where(pred)
+    return out.orderBy(*order_cols).limit(size)
+
+
 class InventoryAPI:
     def __init__(self, state: dict[str, DataFrame]):
         self.state = with_surrogate_ids(state)

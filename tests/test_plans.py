@@ -246,3 +246,33 @@ def test_q19_disjunction_factors_into_both_sides(spark, sf_dir):
     assert part_side, "brand disjunction did not reach the part scan"
     assert li_side, "quantity band union did not reach the lineitem scan"
     assert "CartesianProduct" not in p and "NestedLoop" not in p
+
+
+def test_keyset_page_pushes_cursor_to_scan(spark, sf_dir):
+    """The keyset cursor must reach the parquet reader as a pushed range
+    filter (that is its whole point vs OFFSET), and the page must be a
+    TakeOrderedAndProject, not a full sort."""
+    p = plan_of(spark, sf_dir, "q_keyset_page")
+    pushed = [l for l in p.splitlines() if "PushedFilters" in l][0]
+    assert "GreaterThan(o_orderkey,2500)" in pushed
+    assert "TakeOrderedAndProject" in p
+
+
+def test_keyset_page_multi_column_cursor(spark, sf_dir):
+    """Lexicographic two-column cursor: rows strictly after the cursor in
+    (event_type, event_id) order, equal to the offset-computed page."""
+    from graph_vulcan_assets_spark.plans.api import keyset_page
+    from graph_vulcan_assets_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "event_id")
+    ordered = ev.orderBy("event_type", "event_id").collect()
+    cursor_row = ordered[99]
+    want = [(r["event_type"], r["event_id"]) for r in ordered[100:120]]
+    got = [
+        (r["event_type"], r["event_id"])
+        for r in keyset_page(
+            ev, ["event_type", "event_id"],
+            after=(cursor_row["event_type"], cursor_row["event_id"]), size=20,
+        ).collect()
+    ]
+    assert got == want
