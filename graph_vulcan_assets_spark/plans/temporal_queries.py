@@ -217,3 +217,64 @@ def q_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("v_micros").cast("long").alias("v_micros"),
     )
     return day
+
+
+@query(
+    "q_session_window",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+                  THEN 1 ELSE 0 END AS ns
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sessioned AS (
+      SELECT user_id, ts, value,
+             sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sno
+      FROM marked)
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(CAST(round(value * 1000000, 0) AS BIGINT)) / 1000000.0, 2)
+             AS sum_value
+    FROM sessioned GROUP BY user_id, sno
+    """,
+)
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session windows, batch form (T4 completion): Spark's
+    ``session_window(ts, '30 minutes')`` aggregate — the idiomatic
+    engine-managed form of what q_sessionize builds by hand with
+    lag + cumulative markers.
+
+    Semantics pinned by the oracle: session_window merges events whose
+    gap is STRICTLY LESS than 30 min (an event exactly at prev + gap
+    starts a new session — ``>=`` in the oracle's lag test, unlike the
+    lag-sessionizers' ``>`` on floor-seconds), and the emitted window end
+    is last_event + gap, not last_event. Value sums quantize to integer
+    micros so the 2-decimal rounding is summation-order-independent.
+
+    Scale shape: compiles to a partial/final session-merge aggregate pair
+    shuffled once on user_id (explain shows UpdatingSessionsIterator /
+    MergingSessionsIterator) — no window function, no per-key sort job.
+    The same expression runs streaming with a watermark
+    (streaming/windows.session_counts).
+    """
+    e = load_table(spark, sf_dir, "events")
+    micros = F.round(F.col("value") * 1_000_000, 0).cast("long")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(micros).alias("v_micros"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n",
+            F.round(F.col("v_micros") / 1_000_000.0, 2).alias("sum_value"),
+        )
+    )
