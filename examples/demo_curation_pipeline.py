@@ -86,6 +86,22 @@ def main() -> None:
     ).collect()[0]
     print(f"train packing: {stats['n_packs']} packs, {stats['total_tokens']} tokens")
 
+    # 6. temperature-resampled language mixture of the clean train set
+    mix = qs["q_mix_temperature"](spark, sf_dir).join(
+        split.where(F.col("split") == "train").select("doc_id"), "doc_id"
+    )
+    by_lang = {
+        r["lang"]: r["copies"]
+        for r in mix.groupBy("lang").agg(F.sum("n_copies").alias("copies")).collect()
+    }
+    print(f"temperature mix (tau=0.5) copies by lang: {by_lang}")
+
+    # 7. deterministic shuffle into training-order shards
+    order = qs["q_corpus_shuffle"](spark, sf_dir).join(mix.select("doc_id"), "doc_id")
+    shards = order.groupBy("shard").agg(F.count("*").alias("n")).orderBy("shard")
+    sizes = [r["n"] for r in shards.collect()]
+    print(f"training order: {len(sizes)} shards, sizes {min(sizes)}..{max(sizes)}")
+
 
 if __name__ == "__main__":
     main()
