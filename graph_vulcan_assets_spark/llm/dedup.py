@@ -380,3 +380,90 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .select("doc_id", "lang", "source")
     )
+
+
+@query(
+    "q_dedup_containment",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(len(t) - 2),
+               i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))) AS s
+      FROM toks WHERE len(t) >= 3),
+    kept AS (
+      SELECT s FROM sh GROUP BY s HAVING count(*) <= 50),
+    posts AS (SELECT doc_id, s FROM sh JOIN kept USING (s)),
+    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM posts GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             CAST(count(*) AS BIGINT) AS n_common
+      FROM posts a JOIN posts b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id)
+    SELECT c.a_id, c.b_id,
+           round(CAST(c.n_common AS DOUBLE) / least(sa.n_sh, sb.n_sh), 6)
+             AS containment
+    FROM common c
+    JOIN sizes sa ON sa.doc_id = c.a_id
+    JOIN sizes sb ON sb.doc_id = c.b_id
+    WHERE CAST(c.n_common AS DOUBLE) / least(sa.n_sh, sb.n_sh) >= 0.5
+    """,
+)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment dedup (X2 completion): flag pairs where the SMALLER
+    document's 3-gram shingle set is ≥50% contained in the other —
+    catches doc-inside-doc duplication (quotes, mirrors, boilerplate
+    expansions) that symmetric Jaccard under-scores when sizes differ.
+
+    Scale shape — this is the exact-scoring pass that runs AFTER LSH
+    candidate generation, built so it also stands alone: shingles become
+    postings (shingle → doc), STOP-SHINGLES with document frequency > 50
+    are dropped (a shingle shared by thousands of docs contributes
+    quadratic pairs and zero dedup signal — the df-cap is the standard
+    postings guard), and pairs emerge from the postings SELF-EQUI-JOIN on
+    the shingle — shuffle-partitionable by shingle hash, never a cross
+    join. Per-pair common counts then join two broadcastable size tables.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    posts = (
+        d.select("doc_id", toks.alias("t"))
+        .where(F.size("t") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(0), F.size("t") - 3),
+                        lambda i: F.concat_ws(
+                            " ",
+                            F.element_at("t", i + 1),
+                            F.element_at("t", i + 2),
+                            F.element_at("t", i + 3),
+                        ),
+                    )
+                )
+            ).alias("s"),
+        )
+    )
+    kept = posts.groupBy("s").agg(F.count("*").alias("df")).where(F.col("df") <= 50)
+    posts = posts.join(kept.select("s"), "s")
+    sizes = posts.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_sh"))
+    a = posts.select(F.col("doc_id").alias("a_id"), "s")
+    b = posts.select(F.col("doc_id").alias("b_id"), "s")
+    common = (
+        a.join(b, "s")
+        .where(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").cast("long").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a_id"), F.col("n_sh").alias("a_n"))
+    sb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n_sh").alias("b_n"))
+    cont = F.col("n_common").cast("double") / F.least("a_n", "b_n")
+    return (
+        common.join(sa, "a_id")
+        .join(sb, "b_id")
+        .where(cont >= 0.5)
+        .select("a_id", "b_id", F.round(cont, 6).alias("containment"))
+    )

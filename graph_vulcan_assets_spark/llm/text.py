@@ -472,3 +472,43 @@ def q_vocab_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("df").desc(), F.col("token"))
         .limit(50)
     )
+
+
+@query(
+    "q_text_search_indexed",
+    oracle="""
+    WITH posts AS (
+      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+      FROM documents)
+    SELECT doc_id, CAST(3 AS BIGINT) AS n_terms_matched
+    FROM posts WHERE token IN ('dup', 'merge', 'scan')
+    GROUP BY doc_id HAVING count(*) = 3
+    """,
+)
+def q_text_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index AND search (X5 completion): documents containing ALL
+    of {dup, merge, scan}, answered from token POSTINGS instead of a
+    regex scan over raw text.
+
+    q_text_search is the scan form (rlike over every byte of every
+    document — at 100 TB a full-corpus read per query). The indexed form
+    is the scale path: distinct (token, doc) postings are built once,
+    pushed-down token IN-filter touches only the three query terms'
+    postings, and the AND is count(matched terms) = 3 — one partial-
+    aggregated shuffle on doc_id. In production the postings table is the
+    materialized, token-bucketed artifact; this query is the build + probe
+    fused, with the filter before the explode-aggregate so the scan
+    reads only the text column.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    posts = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split("text", " "))).alias("token"),
+    )
+    return (
+        posts.where(F.col("token").isin("dup", "merge", "scan"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("k"))
+        .where(F.col("k") == 3)
+        .select("doc_id", F.lit(3).cast("long").alias("n_terms_matched"))
+    )
