@@ -38,6 +38,16 @@ def main() -> None:
         "q_pack_sequences",
         "q_graph_ancestors",
         "q_multimodal_features",
+        # round-3 additions
+        "q_corpus_shuffle",
+        "q_mix_temperature",
+        "q_length_buckets",
+        "q_vocab_topn",
+        "q_keyset_page",
+        "q_session_window",
+        "q_dedup_containment",
+        "q_text_search_indexed",
+        "q_join_asof_tolerance",
     ]
     for name in HEADLINE + [x for x in extra if x in qs]:
         buf = io.StringIO()
