@@ -141,6 +141,22 @@ class InventoryAPI:
             )
         return _paginate(df, ["type", "identifier"], page, size)
 
+    def assets_after(
+        self,
+        cursor: tuple[str, str] | None,
+        size: int = 100,
+        asset_type: str | None = None,
+    ) -> DataFrame:
+        """Keyset-paginated asset listing: the page strictly after
+        ``cursor`` = (type, identifier) of the previous page's last row
+        (None = first page). The scale form of ``assets(page=, size=)``:
+        the cursor becomes a pushed-down range predicate instead of an
+        OFFSET that rescans every earlier page."""
+        df = self.state["assets"]
+        if asset_type:
+            df = df.where(F.col("type") == asset_type)
+        return keyset_page(df, ["type", "identifier"], cursor, size)
+
     def teams(
         self,
         identifier: str | None = None,

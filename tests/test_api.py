@@ -123,3 +123,27 @@ def test_pagination(spark):
     assert paged == sorted(all_assets)
     # size=0 disables pagination (inventory.go:149-163)
     assert api.assets(page=5, size=0).count() == len(all_assets)
+
+
+def test_assets_after_keyset_walk(spark):
+    """Walking the full asset listing by keyset cursor visits exactly the
+    offset-paginated sequence, page by page."""
+    msgs = fixtures.golden_messages()
+    state = replay_raw(spark.createDataFrame(msgs, schema=RAW_SCHEMA))
+    api = InventoryAPI(state)
+
+    want = [
+        (r["type"], r["identifier"])
+        for r in api.assets().orderBy("type", "identifier").collect()
+    ]
+    got, cursor = [], None
+    while True:
+        page = [
+            (r["type"], r["identifier"])
+            for r in api.assets_after(cursor, size=3).collect()
+        ]
+        if not page:
+            break
+        got.extend(page)
+        cursor = page[-1]
+    assert got == want and len(got) > 3  # multiple pages actually walked
