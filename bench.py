@@ -121,6 +121,16 @@ def main() -> None:
     timings["temporal_replay_20k_events"] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
+    # the r1/r2 bench carried 17 entries; round 3 added 8 more, so the
+    # grand total is not comparable across rounds — r1_set_total is the
+    # like-for-like subtotal over the original entry set
+    r1_set = [
+        "q_agg_groupby", "q_shape_q3", "q_shape_q10", "q_join_multiway",
+        "q_join_asof", "q_join_range", "q_agg_distinct", "q_win_last_event",
+        "q_win_topk_group", "q_upsert_merge", "q_cascade_expire",
+        "q_dedup_exact", "q_dedup_near", "q_sim_topk", "q_text_stats",
+        "q_time_tumbling", "temporal_replay_20k_events",
+    ]
     print(
         json.dumps(
             {
@@ -129,6 +139,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "r1_set_total": round(sum(timings[n] for n in r1_set), 3),
             }
         )
     )

@@ -27,10 +27,12 @@ byte-identical across batches (test-pinned). The live view of a table is,
 per bucket, the newest ACKNOWLEDGED version; the commit marker is written
 last, so a crash mid-write leaves only ignored orphan versions and the
 redelivered batch re-applies against the previous acknowledged view
-(at-least-once → idempotent, matching kafka.go:98-104). The one O(state)
-touch left is a column-pruned key scan of ``parent_of`` to locate buckets
-holding edges whose PARENT endpoint is touched (edges are bucketed by
-child; a key-only columnar scan, not a rewrite). On a real deployment the
+(at-least-once → idempotent, matching kafka.go:98-104). Edges are
+bucketed by their CHILD endpoint; buckets holding edges whose PARENT
+endpoint is touched are located through ``PARENT_IDX``, an append-only
+(parent key → child bucket) pointer table bucketed by parent key — so
+the lookup is also O(batch), and nothing in the micro-batch path reads
+state proportional to total state size. On a real deployment the
 versioned buckets become a Delta/Iceberg MERGE — the seed/replay logic is
 unchanged, only the state I/O swaps. All state transforms are
 joins/windows on entity keys; state size is O(live entities), not
@@ -70,13 +72,23 @@ STATE_TABLES = ("assets", "teams", "owns", "parent_of")
 
 # Natural key of each state table — the hash-bucketing key. parent_of is
 # bucketed by its CHILD endpoint (a row must map to exactly one bucket);
-# parent-side touches are located with a key-only scan (see module doc).
+# parent-side touches are located through PARENT_IDX (below).
 BUCKET_KEYS: dict[str, tuple[str, ...]] = {
     "assets": ("type", "identifier"),
     "teams": ("identifier",),
     "owns": ("type", "asset_identifier"),
     "parent_of": ("child_type", "child_identifier"),
 }
+
+# Secondary index: distinct (parent key → child-side bucket) pairs, itself
+# bucketed by the PARENT key (same hash as assets, so a touched asset's
+# index bucket is already in the touched set). Lets a micro-batch locate
+# every edge bucket reachable from a touched PARENT endpoint by reading
+# O(batch) index buckets instead of key-scanning all of parent_of.
+# Entries are append-only (edge rows are never deleted, only expired, so a
+# pointer can never go stale) and merged per touched index bucket on write.
+PARENT_IDX = "parent_idx"
+BUCKET_KEYS[PARENT_IDX] = ("parent_type", "parent_identifier")
 
 _log = get_logger("streaming.ingest")
 
@@ -235,6 +247,14 @@ class TemporalGraphStream:
             return None
         return {t: self._read_buckets(t, None) for t in STATE_TABLES}
 
+    def _index_pairs(self, parent_of: DataFrame) -> DataFrame:
+        """Distinct (parent key → child bucket) pointers for edge rows."""
+        return parent_of.select(
+            "parent_type",
+            "parent_identifier",
+            bucket_of(BUCKET_KEYS["parent_of"], self.n_buckets).alias("child_bucket"),
+        ).distinct()
+
     def _write_state(self, state: dict[str, DataFrame], batch_id: int) -> None:
         """Write each table's (touched-bucket) content as a new
         ``batch=N/bucket=B`` version per present bucket — O(touched
@@ -251,6 +271,45 @@ class TemporalGraphStream:
                 .mode("overwrite")
                 .parquet(os.path.join(self.state_dir, t, f"batch={batch_id}"))
             )
+        # maintain PARENT_IDX: every edge row written this batch must have
+        # its (parent → child-bucket) pointer indexed. Pointers from the
+        # new edge content are merged (union + distinct) with the prior
+        # content of exactly the index buckets those pointers hash into —
+        # bounded by the batch's edge content, never all of parent_of.
+        new_pairs = self._index_pairs(state["parent_of"])
+        if PARENT_IDX in self._schemas:
+            idx_buckets = {
+                r[0]
+                for r in new_pairs.select(
+                    bucket_of(BUCKET_KEYS[PARENT_IDX], self.n_buckets)
+                ).distinct().collect()
+            }
+            merged = (
+                self._read_buckets(PARENT_IDX, idx_buckets)
+                .unionByName(new_pairs)
+                .distinct()
+            )
+        elif self._applied_batches():
+            # state predates the index (pre-index layout): one-time
+            # backfill from the full live edge set, merged with this
+            # batch's content
+            merged = (
+                self._index_pairs(self._read_buckets("parent_of", None))
+                .unionByName(new_pairs)
+                .distinct()
+            )
+            self._schemas[PARENT_IDX] = new_pairs.schema
+        else:
+            merged = new_pairs
+            self._schemas[PARENT_IDX] = new_pairs.schema
+        (
+            merged.withColumn(
+                "bucket", bucket_of(BUCKET_KEYS[PARENT_IDX], self.n_buckets)
+            )
+            .write.partitionBy("bucket")
+            .mode("overwrite")
+            .parquet(os.path.join(self.state_dir, PARENT_IDX, f"batch={batch_id}"))
+        )
         self._save_meta()
         # marker written last: a crash mid-write leaves the batch
         # unacknowledged — its bucket versions are orphans the read side
@@ -275,7 +334,7 @@ class TemporalGraphStream:
             return
         acked = set(applied)
         newest = applied[-1]
-        for t in STATE_TABLES:
+        for t in (*STATE_TABLES, PARENT_IDX):
             base = os.path.join(self.state_dir, t)
             if not os.path.isdir(base):
                 continue
@@ -330,11 +389,14 @@ class TemporalGraphStream:
 
         assets/owns share the asset-key bucket function; teams use the
         team id. parent_of rows are bucketed by child endpoint, so
-        child-side touches map directly; parent-side touches are located
-        with a key-only column-pruned scan of the live edge set (the rows
-        themselves are NOT rewritten unless their bucket is touched).
-        The collects are bounded by n_buckets — scalar-sized, like the
-        batch-count the tuner already takes.
+        child-side touches map directly; parent-side touches resolve
+        through PARENT_IDX — a touched parent's index bucket is its asset
+        bucket (same key, same hash), so the lookup reads O(batch) index
+        buckets, and the pointed-to child buckets join the edge set. With
+        no index (state written by the pre-index layout) the legacy
+        key-only scan of parent_of is the fallback; the next write
+        backfills the index. The collects are bounded by n_buckets —
+        scalar-sized, like the batch-count the tuner already takes.
         """
         nb = self.n_buckets
         ab = {
@@ -350,22 +412,36 @@ class TemporalGraphStream:
             ).distinct().collect()
         }
         eb = set(ab)
-        edges = self._read_buckets("parent_of", None).select(
-            "child_type", "child_identifier", "parent_type", "parent_identifier"
-        )
         p_keys = F.broadcast(
             touched_assets.select(
                 F.col("asset_type").alias("parent_type"),
                 F.col("identifier").alias("parent_identifier"),
             )
         )
-        eb |= {
-            r[0]
-            for r in edges.join(p_keys, ["parent_type", "parent_identifier"], "left_semi")
-            .select(bucket_of(BUCKET_KEYS["parent_of"], nb))
-            .distinct()
-            .collect()
-        }
+        if PARENT_IDX in self._schemas:
+            idx = self._read_buckets(PARENT_IDX, ab)
+            eb |= {
+                r[0]
+                for r in idx.join(
+                    p_keys, ["parent_type", "parent_identifier"], "left_semi"
+                )
+                .select("child_bucket")
+                .distinct()
+                .collect()
+            }
+        else:
+            edges = self._read_buckets("parent_of", None).select(
+                "child_type", "child_identifier", "parent_type", "parent_identifier"
+            )
+            eb |= {
+                r[0]
+                for r in edges.join(
+                    p_keys, ["parent_type", "parent_identifier"], "left_semi"
+                )
+                .select(bucket_of(BUCKET_KEYS["parent_of"], nb))
+                .distinct()
+                .collect()
+            }
         return {"assets": ab, "teams": tb, "owns": ab, "parent_of": eb}
 
     def _apply_batch_inner(self, raw_batch: DataFrame, batch_id: int) -> None:

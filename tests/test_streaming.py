@@ -323,3 +323,38 @@ def test_restart_resumes_from_checkpoint(spark, tmp_path):
     assert q2.awaitTermination(420), "stream did not terminate in time"
     assert len(stream._applied_batches()) == n_applied
     assert read_final_state(spark, stream) == before
+
+
+def test_parent_index_covers_every_edge_bucket(spark, tmp_path):
+    """PARENT_IDX invariant: for every edge row in any bucket, the
+    (parent key → child bucket) pointer exists in the index — so a
+    parent-side touch can never miss an edge bucket. Checked after a
+    multi-batch run including tombstone cascades."""
+    from graph_vulcan_assets_spark.plans.temporal import RAW_SCHEMA as RS
+    from graph_vulcan_assets_spark.streaming.ingest import (
+        BUCKET_KEYS,
+        PARENT_IDX,
+        bucket_of,
+    )
+
+    msgs = fixtures.random_messages(17, n=120)
+    chunks = [msgs[:40], msgs[40:80], msgs[80:]]
+    stream = TemporalGraphStream(spark, str(tmp_path / "state"))
+    for bid, chunk in enumerate(chunks):
+        stream.apply_batch(spark.createDataFrame(chunk, schema=RS), bid)
+
+    edges = stream.read_state()["parent_of"]
+    want = {
+        (r["parent_type"], r["parent_identifier"], r["b"])
+        for r in edges.select(
+            "parent_type",
+            "parent_identifier",
+            bucket_of(BUCKET_KEYS["parent_of"], stream.n_buckets).alias("b"),
+        ).collect()
+    }
+    assert want, "fixture produced no edges — test is vacuous"
+    have = {
+        (r["parent_type"], r["parent_identifier"], r["child_bucket"])
+        for r in stream._read_buckets(PARENT_IDX, None).collect()
+    }
+    assert want <= have, f"index missing pointers: {want - have}"
