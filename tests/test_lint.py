@@ -1,0 +1,69 @@
+"""Plan-lint utility: each anti-pattern detector must fire on a minimal
+offending plan and stay silent on the clean equivalent."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from graph_vulcan_assets_spark.plans.lint import assert_scales, lint
+from graph_vulcan_assets_spark.tables import load_table
+
+
+def codes(df):
+    return {f.code for f in lint(df)}
+
+
+def test_cartesian_detected(spark):
+    a = spark.range(100)
+    b = spark.range(100).withColumnRenamed("id", "id2")
+    assert "cartesian" in codes(a.crossJoin(b))
+
+
+def test_equi_join_clean(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    assert "cartesian" not in codes(o.join(c, o.o_custkey == c.c_custkey))
+
+
+def test_global_window_detected(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    w = Window.orderBy("ts")  # no partitionBy → SinglePartition
+    assert "global-window" in codes(e.withColumn("rn", F.row_number().over(w)))
+
+
+def test_partitioned_window_clean(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    assert "global-window" not in codes(e.withColumn("rn", F.row_number().over(w)))
+
+
+def test_topk_sort_clean(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    assert "global-sort-no-limit" not in codes(e.orderBy("ts").limit(10))
+
+
+def test_pushdown_clean(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    assert "no-pushdown" not in codes(e.where(F.col("user_id") == 7))
+
+
+def test_assert_scales_raises_and_allows(spark):
+    a = spark.range(50)
+    b = spark.range(50).withColumnRenamed("id", "id2")
+    bad = a.crossJoin(b)
+    with pytest.raises(AssertionError, match="cartesian"):
+        assert_scales(bad)
+    assert_scales(bad, allow={"cartesian"})  # reviewed & accepted
+
+
+@pytest.mark.parametrize(
+    "name", ["q_agg_groupby", "q_join_range", "q_dedup_near", "q_corpus_shuffle"]
+)
+def test_registered_queries_pass_lint(spark, sf_dir, name):
+    """Spot-check: core registered queries carry no unreviewed findings."""
+    from graph_vulcan_assets_spark.registry import all_queries
+
+    assert_scales(all_queries()[name](spark, sf_dir))
