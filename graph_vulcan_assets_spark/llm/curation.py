@@ -790,3 +790,118 @@ def q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket",
         F.floor((F.col("rn") - 1 - bucket_start) / 32).cast("long").alias("batch_no"),
     )
+
+
+@query(
+    "q_quantile_filter",
+    oracle="""
+    WITH lens AS (
+      SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents),
+    ranked AS (
+      SELECT doc_id, lang, n_tokens,
+             row_number() OVER (ORDER BY n_tokens, doc_id) AS rn,
+             count(*) OVER () AS n
+      FROM lens)
+    SELECT doc_id, lang, n_tokens
+    FROM ranked
+    WHERE rn > n * 5 // 100 AND rn <= n * 95 // 100
+    """,
+)
+def q_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile-band quality filter: drop the shortest 5% and longest 5%
+    of documents by token count — the standard outlier trim before
+    training (truncated pages and concatenation accidents live in the
+    tails).
+
+    Exact rank-based percentiles (not approx sketches) with the same
+    distributed counting rank as q_length_buckets: per-length intra-rank
+    windows + broadcast cumulative offsets — no single-partition window,
+    and the band edges are integer arithmetic on the rank, identical in
+    both engines (no float percentile interpolation to diverge on).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    lens = d.select(
+        "doc_id", "lang", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    )
+    hist = lens.groupBy("n_tokens").agg(F.count("*").alias("cnt"))
+    wh = Window.orderBy("n_tokens").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = hist.select(
+        "n_tokens",
+        F.coalesce(F.sum("cnt").over(wh), F.lit(0)).alias("offset"),
+        F.sum("cnt").over(
+            Window.orderBy("n_tokens").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
+    )
+    wi = Window.partitionBy("n_tokens").orderBy("doc_id")
+    ranked = lens.join(F.broadcast(offsets), "n_tokens").select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        (F.col("offset") + F.row_number().over(wi)).alias("rn"),
+        "n",
+    )
+    lo = F.floor(F.col("n") * 5 / 100)
+    hi = F.floor(F.col("n") * 95 / 100)
+    return ranked.where((F.col("rn") > lo) & (F.col("rn") <= hi)).select(
+        "doc_id", "lang", "n_tokens"
+    )
+
+
+@query(
+    "q_mix_materialize",
+    oracle=f"""
+    WITH counts AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_lang FROM documents GROUP BY lang),
+    rates AS (
+      SELECT lang,
+             sqrt(CAST((SELECT max(n_lang) FROM counts) AS DOUBLE) / n_lang) AS rate
+      FROM counts),
+    perdoc AS (
+      SELECT d.doc_id, d.lang,
+             CAST(floor(r.rate) AS BIGINT)
+               + CASE WHEN (d.doc_id * {_KNUTH}) % 65536
+                           < CAST(floor((r.rate - floor(r.rate)) * 65536) AS BIGINT)
+                      THEN 1 ELSE 0 END AS n_copies
+      FROM documents d JOIN rates r USING (lang))
+    SELECT doc_id, lang, CAST(u.i AS BIGINT) AS copy_idx
+    FROM perdoc, unnest(range(n_copies)) AS u(i)
+    WHERE n_copies > 0
+    """,
+)
+def q_mix_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized temperature mixture (the explode step after
+    q_mix_temperature): one output row per (document, copy) — the
+    physical epoch-construction form where an upsampled document really
+    appears n_copies times in the training stream.
+
+    JVM-side `sequence` explode of the per-doc copy count — the blowup
+    happens inside codegen after the broadcast rate join, so the pipeline
+    is still map-only per input row; output volume equals the resampled
+    corpus size by construction.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count("*").cast("long").alias("n_lang"))
+    n_max = counts.agg(F.max("n_lang").alias("n_max"))
+    rates = counts.crossJoin(F.broadcast(n_max)).select(
+        "lang",
+        F.sqrt(F.col("n_max").cast("double") / F.col("n_lang")).alias("rate"),
+    )
+    base = F.floor("rate").cast("long")
+    u = (F.col("doc_id") * F.lit(_KNUTH)) % F.lit(65536)
+    t = F.floor((F.col("rate") - F.floor("rate")) * 65536).cast("long")
+    n_copies = base + F.when(u < t, 1).otherwise(0)
+    return (
+        d.join(F.broadcast(rates), "lang")
+        .select("doc_id", "lang", n_copies.alias("n_copies"))
+        .where(F.col("n_copies") > 0)
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(F.sequence(F.lit(0).cast("long"), F.col("n_copies") - 1)).alias(
+                "copy_idx"
+            ),
+        )
+    )
