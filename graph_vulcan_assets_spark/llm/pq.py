@@ -75,13 +75,9 @@ def _pq_oracle() -> str:
     return sql
 
 
-@query("q_pq_codes", oracle=_pq_oracle())
-def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PQ encode the embeddings table: 4 subspace codebooks (k=16, 2 Lloyd
-    iterations, seeded from the first k vectors' subvectors), emitting
-    each vector's 4 codes and exact total squared quantization error."""
+def _quantized_vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    vecs = (
+    return (
         emb.select("vec_id", F.posexplode("embedding").alias("pos", "e"))
         .select(
             "vec_id",
@@ -90,37 +86,62 @@ def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)
     )
-    per_sub = []
-    for s in range(M):
-        v = vecs.where((F.col("pos") >= s * SUB_DIM) & (F.col("pos") < (s + 1) * SUB_DIM))
-        cent = v.where(F.col("vec_id") < K).select(
-            F.col("vec_id").alias("cid"), "pos", F.col("q").alias("c")
+
+
+def _train_subspace(v: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(final assignment, final codebook) for one subspace — the
+    llm/kmeans.py loop with the centroid-side lineage checkpoint."""
+    cent = v.where(F.col("vec_id") < K).select(
+        F.col("vec_id").alias("cid"), "pos", F.col("q").alias("c")
+    )
+    assign = None
+    for i in range(ITERS):
+        d = (
+            v.join(F.broadcast(cent), "pos")
+            .groupBy("vec_id", "cid")
+            .agg(F.sum((F.col("q") - F.col("c")) * (F.col("q") - F.col("c"))).alias("d"))
         )
-        assign = None
-        for i in range(ITERS):
-            d = (
-                v.join(F.broadcast(cent), "pos")
-                .groupBy("vec_id", "cid")
-                .agg(F.sum((F.col("q") - F.col("c")) * (F.col("q") - F.col("c"))).alias("d"))
-            )
-            w = Window.partitionBy("vec_id").orderBy("d", "cid")
-            assign = (
-                d.withColumn("rn", F.row_number().over(w))
-                .where(F.col("rn") == 1)
-                .select("vec_id", "cid", "d")
-            )
-            if i < ITERS - 1:
-                cent = (
-                    assign.join(v, "vec_id")
-                    .groupBy("cid", "pos")
-                    .agg(
-                        ((F.sum("q") - F.sum("q") % F.count("*")) / F.count("*"))
-                        .cast("long")
-                        .alias("c")
-                    )
-                    .localCheckpoint(eager=True)
+        w = Window.partitionBy("vec_id").orderBy("d", "cid")
+        assign = (
+            d.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("vec_id", "cid", "d")
+        )
+        if i < ITERS - 1:
+            cent = (
+                assign.join(v, "vec_id")
+                .groupBy("cid", "pos")
+                .agg(
+                    ((F.sum("q") - F.sum("q") % F.count("*")) / F.count("*"))
+                    .cast("long")
+                    .alias("c")
                 )
-        per_sub.append(assign.select("vec_id", F.lit(s).alias("sub"), "cid", "d"))
+                .localCheckpoint(eager=True)
+            )
+    return assign, cent
+
+
+def _per_subspace(spark: SparkSession, sf_dir: str):
+    vecs = _quantized_vecs(spark, sf_dir)
+    out = []
+    for s in range(M):
+        v = vecs.where(
+            (F.col("pos") >= s * SUB_DIM) & (F.col("pos") < (s + 1) * SUB_DIM)
+        )
+        assign, cent = _train_subspace(v)
+        out.append((s, v, assign, cent))
+    return out
+
+
+@query("q_pq_codes", oracle=_pq_oracle())
+def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ encode the embeddings table: 4 subspace codebooks (k=16, 2 Lloyd
+    iterations, seeded from the first k vectors' subvectors), emitting
+    each vector's 4 codes and exact total squared quantization error."""
+    per_sub = [
+        assign.select("vec_id", F.lit(s).alias("sub"), "cid", "d")
+        for s, _v, assign, _c in _per_subspace(spark, sf_dir)
+    ]
     allsub = per_sub[0]
     for p in per_sub[1:]:
         allsub = allsub.unionByName(p)
@@ -130,4 +151,61 @@ def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     return allsub.groupBy("vec_id").agg(
         *codes, F.sum("d").cast("long").alias("dist_sq")
+    )
+
+
+def _adc_oracle() -> str:
+    """PQ chains + per-subspace query lookup tables + approximate top-k."""
+    last = ITERS - 1
+    sql = _pq_oracle().rsplit(",\n    allsub AS", 1)[0]
+    for s in range(M):
+        sql += f""",
+    lut{s} AS (SELECT c.cid, sum((v.q - c.c) * (v.q - c.c)) AS d
+               FROM (SELECT pos, q FROM v{s} WHERE vec_id = 0) v
+               JOIN c{s}_{last} c ON v.pos = c.pos
+               GROUP BY c.cid)"""
+    unions = " UNION ALL ".join(
+        f"SELECT a.vec_id, l.d FROM a{s}_{ITERS} a JOIN lut{s} l ON a.cid = l.cid"
+        for s in range(M)
+    )
+    sql += f""",
+    scored AS ({unions})
+    SELECT vec_id, CAST(sum(d) AS BIGINT) AS adc_dist
+    FROM scored GROUP BY vec_id
+    ORDER BY adc_dist, vec_id LIMIT 10"""
+    return sql
+
+
+@query("q_pq_adc_topk", oracle=_adc_oracle())
+def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance (ADC) top-10 search over PQ codes: the query
+    (vector 0) precomputes one M×K lookup table of exact subspace
+    distances to the FINAL codebooks; every corpus vector's approximate
+    distance is then 4 one-byte-code lookups summed — no float math per
+    candidate, which is why PQ search scans billions of codes at memory
+    bandwidth.
+
+    Scale shape: the LUT is 64 rows, broadcast; scoring is an equi-join
+    of the melted (vec_id, sub, code) table against it + a partial-agg
+    sum; the top-10 compiles to TakeOrderedAndProject. Integer-exact end
+    to end, so the ranking (with vec_id tie-break) is engine-identical.
+    """
+    subs = _per_subspace(spark, sf_dir)
+    scored = None
+    for s, v, assign, cent in subs:
+        qv = v.where(F.col("vec_id") == 0).select("pos", "q")
+        lut = (
+            qv.join(F.broadcast(cent), "pos")
+            .groupBy("cid")
+            .agg(F.sum((F.col("q") - F.col("c")) * (F.col("q") - F.col("c"))).alias("d"))
+        )
+        part = assign.select("vec_id", "cid").join(F.broadcast(lut), "cid").select(
+            "vec_id", "d"
+        )
+        scored = part if scored is None else scored.unionByName(part)
+    return (
+        scored.groupBy("vec_id")
+        .agg(F.sum("d").cast("long").alias("adc_dist"))
+        .orderBy("adc_dist", "vec_id")
+        .limit(10)
     )
