@@ -48,6 +48,10 @@ def main() -> None:
         "q_dedup_containment",
         "q_text_search_indexed",
         "q_join_asof_tolerance",
+        "q_quantile_filter",
+        "q_mix_materialize",
+        "q_pq_codes",
+        "q_pq_adc_topk",
     ]
     for name in HEADLINE + [x for x in extra if x in qs]:
         buf = io.StringIO()
