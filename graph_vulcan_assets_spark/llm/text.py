@@ -492,13 +492,14 @@ def q_text_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     q_text_search is the scan form (rlike over every byte of every
     document — at 100 TB a full-corpus read per query). The indexed form
-    is the scale path: distinct (token, doc) postings are built once,
-    pushed-down token IN-filter touches only the three query terms'
-    postings, and the AND is count(matched terms) = 3 — one partial-
-    aggregated shuffle on doc_id. In production the postings table is the
-    materialized, token-bucketed artifact; this query is the build + probe
-    fused, with the filter before the explode-aggregate so the scan
-    reads only the text column.
+    is the scale path: distinct (token, doc) postings, the token
+    IN-filter discarding every non-query-term posting inside the explode
+    stage (before anything shuffles), and the AND as count(matched
+    terms) = 3 — one partial-aggregated shuffle on doc_id. In production
+    the postings are a MATERIALIZED token-bucketed table, so the filter
+    becomes real partition pruning and the corpus text is never re-read;
+    this query is the build + probe fused (the build cost is the one-time
+    indexing pass).
     """
     d = load_table(spark, sf_dir, "documents")
     posts = d.select(
