@@ -67,3 +67,48 @@ def test_registered_queries_pass_lint(spark, sf_dir, name):
     from graph_vulcan_assets_spark.registry import all_queries
 
     assert_scales(all_queries()[name](spark, sf_dir))
+
+
+# Reviewed scale-lint exemptions for the FULL registry sweep below. Every
+# entry is a deliberate, bounded use of the flagged pattern — a new
+# finding on any other query (or a new code on these) fails the sweep.
+ALLOW = {
+    # final ordered output of an aggregated handful of rows (TPC-H report
+    # shape): the sort runs over 5-25 rows
+    "q_shape_q5": {"global-sort-no-limit"},
+    "q_shape_q7": {"global-sort-no-limit"},
+    "q_shape_q8": {"global-sort-no-limit"},
+    # 1-row grand-total / P-row per-range prefix attach via broadcast;
+    # its own plan test pins rangepartitioning + <=2 SinglePartition
+    "q_hist_equidepth": {"cartesian", "global-sort-no-limit", "global-window"},
+    # broadcast-bounded pair generation: 1-row scalar attach (tfidf, mix),
+    # <=200-doc exact-oracle pairsets (ngram/embed ground truths),
+    # 10-query-vector probe side (sim), deliberate tiny cross join op
+    "q_text_tfidf": {"cartesian"},
+    "q_dedup_ngram": {"cartesian"},
+    "q_dedup_embed": {"cartesian"},
+    "q_sim_topk": {"cartesian"},
+    "q_join_cross": {"cartesian"},
+    "q_sim_ivf": {"cartesian"},
+    "q_mix_temperature": {"cartesian"},
+    "q_mix_materialize": {"cartesian"},
+    # the counting-rank's serial window runs over the LENGTH HISTOGRAM
+    # (thousands of rows at any corpus size), not the corpus
+    "q_length_buckets": {"global-window"},
+    "q_quantile_filter": {"global-window"},
+}
+
+
+def test_full_registry_passes_scale_lint(spark, sf_dir):
+    """Every registered query's physical plan is free of scale
+    anti-patterns, or its finding is a reviewed exemption above."""
+    from graph_vulcan_assets_spark.plans.lint import lint as _lint
+    from graph_vulcan_assets_spark.registry import all_queries
+
+    unexpected = {}
+    for name, fn in all_queries().items():
+        found = {f.code for f in _lint(fn(spark, sf_dir))}
+        extra = found - ALLOW.get(name, set())
+        if extra:
+            unexpected[name] = sorted(extra)
+    assert not unexpected, f"unreviewed scale anti-patterns: {unexpected}"
