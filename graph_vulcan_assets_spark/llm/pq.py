@@ -209,3 +209,111 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("adc_dist", "vec_id")
         .limit(10)
     )
+
+
+@query("q_sim_ivfpq")  # rows-only: sample-seeded index; recall-tested
+def q_sim_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ two-stage ANN (X3, the billion-vector production recipe):
+    coarse inverted-file pruning -> ADC scoring over PQ codes -> exact
+    re-rank of the short list.
+
+    1. coarse: deterministic 1-in-25 sample centroids; every vector is
+       assigned to its nearest cell by exact integer L2 (broadcast
+       centroids, one linear pass); queries probe their 3 nearest cells —
+       an equi-join on cell id replaces the all-pairs scan.
+    2. ADC: candidates score as M=4 one-byte-code lookups against the
+       query's 64-entry LUT (broadcast) — no per-candidate float math.
+    3. exact: the ADC top-20 per query re-ranks by true integer L2 on the
+       raw vectors, emitting the final top-5.
+
+    At 100 TB: stage 1 touches ~nprobe/k of the corpus, stage 2 reads
+    4 bytes per candidate instead of 256, stage 3 reads full vectors for
+    only ~20 rows per query. Recall vs exact L2 top-5 is the correctness
+    story (tests/test_ann_recall.py); every arithmetic step is integer,
+    so results are deterministic across runs and engines.
+    """
+    nprobe, shortlist, topk = 3, 20, 5
+    subs = _per_subspace(spark, sf_dir)
+    # full quantized vectors: the union of the 4 subspace slices (all
+    # views over the one checkpointed explode)
+    vecs = subs[0][1]
+    for _s, v, _a, _c in subs[1:]:
+        vecs = vecs.unionByName(v)
+
+    # ---- stage 1: coarse cells (integer L2 against sampled centroids)
+    cents = vecs.where(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("cell"), "pos", F.col("q").alias("c")
+    )
+    d2 = F.sum((F.col("q") - F.col("c")) * (F.col("q") - F.col("c"))).alias("d2")
+
+    def nearest_cells(src: DataFrame, k: int) -> DataFrame:
+        scored = src.join(F.broadcast(cents), "pos").groupBy("vec_id", "cell").agg(d2)
+        w = Window.partitionBy("vec_id").orderBy("d2", "cell")
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= k)
+            .select("vec_id", "cell")
+        )
+
+    assigned = nearest_cells(vecs, 1)
+    qids = vecs.where(F.col("vec_id") < 10)
+    probes = nearest_cells(qids, nprobe).select(
+        F.col("vec_id").alias("qid"), "cell"
+    )
+    candidates = (
+        probes.join(assigned, "cell")
+        .where(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id")
+        .distinct()
+    )
+
+    # ---- stage 2: ADC over the PQ codes
+    luts, codes = [], []
+    for s, v, assign, cent in subs:
+        qv = v.where(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("qid"), "pos", "q"
+        )
+        luts.append(
+            qv.join(F.broadcast(cent), "pos")
+            .groupBy("qid", "cid")
+            .agg(F.sum((F.col("q") - F.col("c")) * (F.col("q") - F.col("c"))).alias("d"))
+            .select("qid", F.lit(s).alias("sub"), "cid", "d")
+        )
+        codes.append(assign.select("vec_id", F.lit(s).alias("sub"), "cid"))
+    lut = luts[0]
+    for x in luts[1:]:
+        lut = lut.unionByName(x)
+    code = codes[0]
+    for x in codes[1:]:
+        code = code.unionByName(x)
+    adc = (
+        candidates.join(code, "vec_id")
+        .join(F.broadcast(lut), ["qid", "sub", "cid"])
+        .groupBy("qid", "vec_id")
+        .agg(F.sum("d").alias("adc_dist"))
+    )
+    w = Window.partitionBy("qid").orderBy("adc_dist", "vec_id")
+    short = (
+        adc.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= shortlist)
+        .select("qid", "vec_id")
+    )
+
+    # ---- stage 3: exact integer-L2 re-rank of the shortlist
+    qfull = vecs.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), "pos", F.col("q").alias("qq")
+    )
+    exact = (
+        short.join(vecs, "vec_id")
+        .join(qfull, ["qid", "pos"])
+        .groupBy("qid", "vec_id")
+        .agg(
+            F.sum((F.col("q") - F.col("qq")) * (F.col("q") - F.col("qq"))).alias("l2")
+        )
+    )
+    w2 = Window.partitionBy("qid").orderBy("l2", "vec_id")
+    return (
+        exact.withColumn("rn", F.row_number().over(w2))
+        .where(F.col("rn") <= topk)
+        .select("qid", F.col("vec_id").alias("nid"), F.col("l2").cast("long").alias("l2_dist"))
+    )
