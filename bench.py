@@ -50,6 +50,7 @@ HEADLINE = [
     "q_graph_ancestors",
     "q_text_tfidf",
     "q_kmeans_assign",
+    "q_pq_codes",
 ]
 
 

@@ -239,3 +239,18 @@ class BucketTable:
             full = os.path.join(self.path, d)
             if v < newest and not any(x.startswith("bucket=") for x in os.listdir(full)):
                 shutil.rmtree(full, ignore_errors=True)
+
+    def compact(self) -> int:
+        """Rewrite the live view as one fresh full commit.
+
+        Incremental MERGEs leave each bucket's current version holding the
+        whole bucket (versions supersede, they don't stack), but BUCKETS
+        written by different commits fragment across batch dirs and every
+        touched bucket carries up to ``keep_versions`` historical copies.
+        Compaction writes the complete current view as a single new
+        version of every bucket, after which pruning retires the scatter.
+        Time travel before the compaction point is forfeited — the same
+        trade a Delta VACUUM makes. Returns the compaction commit id."""
+        version = (self.commits()[-1] + 1) if self.commits() else 0
+        self._commit(self.read(), version, touched=set(range(self.n_buckets)))
+        return version

@@ -126,3 +126,19 @@ def test_pruning_bounds_versions_per_bucket(spark, table):
     for b, dirs in per_bucket.items():
         assert len(dirs) <= 2, (b, dirs)
     assert dict(_rows(table.read()))[1] == "v5"
+
+
+def test_compact_collapses_versions_and_preserves_view(spark, table):
+    for i in range(5):
+        table.upsert(
+            spark.createDataFrame([(j, f"r{i}") for j in range(i * 10, i * 10 + 20)], ["k", "v"])
+        )
+    before = _rows(table.read())
+    v = table.compact()
+    assert _rows(table.read()) == before
+    # after compaction every live bucket resolves to the compaction commit
+    versions = table._bucket_versions()
+    assert set(versions.values()) == {v}
+    # and a later upsert still works normally
+    table.upsert(spark.createDataFrame([(0, "post")], ["k", "v"]))
+    assert dict(_rows(table.read()))[0] == "post"
