@@ -217,3 +217,51 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
     return ranks
+
+
+@query(
+    "q_recursive_cte",
+    oracle="""
+    WITH RECURSIVE edges AS (
+      SELECT doc_id AS child, doc_id // 10 AS parent
+      FROM documents WHERE doc_id > 0),
+    anc AS (
+      SELECT child AS node, parent AS ancestor, CAST(1 AS BIGINT) AS depth
+      FROM edges
+      UNION ALL
+      SELECT anc.node, e.parent, anc.depth + 1
+      FROM anc JOIN edges e ON anc.ancestor = e.child)
+    SELECT node, ancestor, depth FROM anc
+    """,
+)
+def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``WITH RECURSIVE`` transitive closure (SQL-surface
+    completion, Spark 4.0+): the SAME traversal as q_graph_ancestors, but
+    expressed as the ANSI recursive CTE users arrive with, executed by
+    the engine's UnionLoop instead of this repo's hand-rolled
+    per-level-join loop (operators/graph.py transitive_ancestors).
+
+    Both forms coexist deliberately: the recursive CTE is the SQL surface
+    (engine-managed iteration, no manual checkpointing); the iterative
+    DataFrame loop remains the fallback with explicit per-level lineage
+    control. Identical oracle text on the DuckDB side proves the two
+    engines' recursive semantics line up (UNION ALL, depth arithmetic,
+    termination on empty frontier).
+    """
+    from graph_vulcan_assets_spark.tables import load_table as _lt
+
+    _lt(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(
+        """
+        WITH RECURSIVE edges AS (
+          SELECT doc_id AS child, CAST(doc_id / 10 AS BIGINT) AS parent
+          FROM documents WHERE doc_id > 0),
+        anc AS (
+          SELECT child AS node, parent AS ancestor, CAST(1 AS BIGINT) AS depth
+          FROM edges
+          UNION ALL
+          SELECT anc.node, e.parent, anc.depth + 1
+          FROM anc JOIN edges e ON anc.ancestor = e.child)
+        SELECT node, ancestor, depth FROM anc
+        """
+    )
