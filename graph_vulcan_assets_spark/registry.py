@@ -67,8 +67,8 @@ def load_all() -> None:
 # orc, q_stream_sessionize, and the round-3 additions (q_corpus_shuffle,
 # q_mix_temperature, q_mix_materialize, q_length_buckets, q_quantile_filter,
 # q_vocab_topn, q_keyset_page, q_session_window, q_dedup_containment,
-# q_text_search_indexed, q_pq_codes, q_pq_adc_topk), which register after
-# the PRIORITY block.
+# q_text_search_indexed, q_pq_codes, q_pq_adc_topk, q_recursive_cte),
+# which register after the PRIORITY block.
 PRIORITY: tuple[str, ...] = (
     # -- declared window/sort keys: round-1 rows only (r2 budget spill)
     "q_win_first_seen",
