@@ -52,6 +52,7 @@ def main() -> None:
         "q_mix_materialize",
         "q_pq_codes",
         "q_pq_adc_topk",
+        "q_recursive_cte",
     ]
     for name in HEADLINE + [x for x in extra if x in qs]:
         buf = io.StringIO()
