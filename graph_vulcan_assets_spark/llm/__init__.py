@@ -11,3 +11,4 @@ import graph_vulcan_assets_spark.llm.embeddings  # noqa: F401
 import graph_vulcan_assets_spark.llm.kmeans  # noqa: F401
 import graph_vulcan_assets_spark.llm.pq  # noqa: F401
 import graph_vulcan_assets_spark.llm.quality  # noqa: F401
+import graph_vulcan_assets_spark.llm.normalize  # noqa: F401
