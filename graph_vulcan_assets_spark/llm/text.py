@@ -513,3 +513,90 @@ def q_text_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("k") == 3)
         .select("doc_id", F.lit(3).cast("long").alias("n_terms_matched"))
     )
+
+
+_BM25_K1 = 1.2
+_BM25_TERMS = ("dup", "merge", "scan")
+
+
+@query(
+    "q_text_bm25",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+    dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+      FROM dl),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM tok
+           WHERE token IN ('dup', 'merge', 'scan') GROUP BY doc_id, token),
+    df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+    scored AS (
+      SELECT tf.doc_id,
+             CAST(round(
+               ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                        / (CAST(df AS DOUBLE) + 0.5))
+               * ((CAST(tf AS DOUBLE) * 2.2)
+                  / (CAST(tf AS DOUBLE)
+                     + 1.2 * (0.25 + (0.75 * CAST(dl AS DOUBLE)) / avgdl)))
+               * 1000000.0, 0) AS BIGINT) AS s_micros
+      FROM tf JOIN df USING (token) JOIN dl USING (doc_id) CROSS JOIN stats)
+    SELECT doc_id,
+           CAST(sum(s_micros) AS BIGINT) AS bm25_micros,
+           count(*) AS n_terms
+    FROM scored GROUP BY doc_id
+    """,
+)
+def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (X5 completion): Okapi scores for the fixed
+    3-term query over token postings.
+
+    The ranking layer on top of q_text_search_indexed's boolean AND: the
+    same postings shape (explode, IN-filter before anything shuffles, one
+    doc_id-keyed aggregate), plus the two BM25 statistics — df per query
+    term (3 rows) and (n_docs, avgdl) (1 row) — both broadcast. At 100 TB
+    the postings and doc-length tables are the materialized index;
+    per-query cost is then proportional to the query terms' postings
+    lists, never the corpus.
+
+    Determinism: every input to the per-(doc, term) score is an exact
+    integer (tf, df, dl, n_docs) or an exact ratio of BIGINT sums
+    (avgdl), the score expression is structurally identical in both
+    engines (IEEE ops on identical operands), and the only SUMMED float
+    is pre-rounded to integer micros — so the driver hash-compare is
+    exact at any partition count, the same discipline as q_text_lm_score.
+    k1=1.2, b=0.75; idf is the Lucene-style ln(1 + (N - df + 0.5)/(df + 0.5)).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*").cast("double")).alias("avgdl"),
+    )
+    tf = (
+        tok.where(F.col("token").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("token").agg(F.count("*").alias("df"))
+    tfd = F.col("tf").cast("double")
+    dfd = F.col("df").cast("double")
+    dld = F.col("dl").cast("double")
+    ndd = F.col("n_docs").cast("double")
+    score = (
+        F.log(1.0 + (ndd - dfd + 0.5) / (dfd + 0.5))
+        * ((tfd * 2.2) / (tfd + 1.2 * (0.25 + (0.75 * dld) / F.col("avgdl"))))
+        * 1000000.0
+    )
+    scored = (
+        tf.join(F.broadcast(df_), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", F.round(score, 0).cast("long").alias("s_micros"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.sum("s_micros").cast("long").alias("bm25_micros"),
+        F.count("*").alias("n_terms"),
+    )

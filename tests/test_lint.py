@@ -85,6 +85,7 @@ ALLOW = {
     # <=200-doc exact-oracle pairsets (ngram/embed ground truths),
     # 10-query-vector probe side (sim), deliberate tiny cross join op
     "q_text_tfidf": {"cartesian"},
+    "q_text_bm25": {"cartesian"},
     "q_dedup_ngram": {"cartesian"},
     "q_dedup_embed": {"cartesian"},
     "q_sim_topk": {"cartesian"},
