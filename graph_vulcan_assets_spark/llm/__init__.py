@@ -12,3 +12,4 @@ import graph_vulcan_assets_spark.llm.kmeans  # noqa: F401
 import graph_vulcan_assets_spark.llm.pq  # noqa: F401
 import graph_vulcan_assets_spark.llm.quality  # noqa: F401
 import graph_vulcan_assets_spark.llm.normalize  # noqa: F401
+import graph_vulcan_assets_spark.llm.semdedup  # noqa: F401

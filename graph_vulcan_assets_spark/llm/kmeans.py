@@ -49,11 +49,11 @@ _VECS_SQL = """
 """
 
 
-def _kmeans_oracle(k: int = K, iters: int = ITERS) -> str:
-    """Unrolled Lloyd iterations as chained CTEs (same pattern as the
-    PageRank oracle — DuckDB can't aggregate inside recursive CTEs)."""
+def lloyd_ctes(k: int = K, iters: int = ITERS) -> str:
+    """The Lloyd iteration chain as CTE text, parameterized over a ``vecs``
+    CTE the caller supplies (llm/semdedup.py reuses this on an augmented
+    vector set). Final assignment is ``a{iters}``."""
     sql = f"""
-    WITH vecs AS ({_VECS_SQL}),
     c0 AS (SELECT vec_id AS cid, pos, q AS c FROM vecs WHERE vec_id < {k})"""
     for i in range(1, iters + 1):
         sql += f""",
@@ -68,18 +68,24 @@ def _kmeans_oracle(k: int = K, iters: int = ITERS) -> str:
                     CAST((sum(v.q) - (sum(v.q) % count(*))) / count(*) AS BIGINT) AS c
              FROM a{i} a JOIN vecs v ON v.vec_id = a.vec_id
              GROUP BY a.cid, v.pos)"""
+    return sql
+
+
+def _kmeans_oracle(k: int = K, iters: int = ITERS) -> str:
+    """Unrolled Lloyd iterations as chained CTEs (same pattern as the
+    PageRank oracle — DuckDB can't aggregate inside recursive CTEs)."""
+    sql = f"""
+    WITH vecs AS ({_VECS_SQL}),{lloyd_ctes(k, iters)}"""
     sql += f"""
     SELECT vec_id, cid, d AS dist_sq FROM a{iters}"""
     return sql
 
 
-@query("q_kmeans_assign", oracle=_kmeans_oracle())
-def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """k=8 fixed-point Lloyd k-means, 3 iterations, seeded from the first
-    k vectors; returns every vector's final (cluster, exact squared
-    distance). See module docstring for the exactness contract."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    vecs = (
+def quantize_vectors(emb: DataFrame) -> DataFrame:
+    """embeddings → exploded integer-micro (vec_id, pos, q), checkpointed
+    once so every Lloyd iteration (and any reuser, e.g. llm/semdedup.py)
+    reads the materialized quantization instead of re-exploding."""
+    return (
         emb.select("vec_id", F.posexplode("embedding").alias("pos", "e"))
         .select(
             "vec_id",
@@ -88,11 +94,17 @@ def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)
     )
-    cent = vecs.where(F.col("vec_id") < K).select(
+
+
+def lloyd_assign(vecs: DataFrame, k: int = K, iters: int = ITERS) -> DataFrame:
+    """Fixed-point Lloyd over quantized (vec_id, pos, q) — the Spark twin
+    of :func:`lloyd_ctes`; returns (vec_id, cid, d). See module docstring
+    for the exactness contract."""
+    cent = vecs.where(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cid"), "pos", F.col("q").alias("c")
     )
     assign = None
-    for i in range(ITERS):
+    for i in range(iters):
         d = (
             vecs.join(F.broadcast(cent), "pos")
             .groupBy("vec_id", "cid")
@@ -104,7 +116,7 @@ def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("rn") == 1)
             .select("vec_id", "cid", "d")
         )
-        if i < ITERS - 1:
+        if i < iters - 1:
             # truncate lineage at the CENTROID table (k·d rows — the tiny
             # relation each next iteration broadcasts), not the full
             # assignment: one small materialization per iteration and the
@@ -121,4 +133,14 @@ def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .localCheckpoint(eager=True)
             )
     assert assign is not None
+    return assign
+
+
+@query("q_kmeans_assign", oracle=_kmeans_oracle())
+def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k=8 fixed-point Lloyd k-means, 3 iterations, seeded from the first
+    k vectors; returns every vector's final (cluster, exact squared
+    distance). See module docstring for the exactness contract."""
+    vecs = quantize_vectors(load_table(spark, sf_dir, "embeddings"))
+    assign = lloyd_assign(vecs, K, ITERS)
     return assign.select("vec_id", "cid", F.col("d").cast("long").alias("dist_sq"))

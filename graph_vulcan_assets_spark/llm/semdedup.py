@@ -1,0 +1,161 @@
+"""Semantic deduplication — SemDeDup (Abbas et al. 2023, arXiv:2303.09540)
+as a composition of the integer-exact k-means and a cluster-bucketed
+cosine pair scan (SURVEY.md §2.16).
+
+The scale story IS the algorithm: pairwise cosine over a 100 TB corpus is
+O(n²) and impossible, so SemDeDup first k-means-clusters the embeddings
+and only compares WITHIN clusters — k is chosen so the expected cluster
+size is bounded, making the pair stage O(n²/k), an equi-join keyed by
+(cluster, position), never a cross join. This module reuses
+``llm/kmeans.py`` verbatim for stage 1 (same fixed-point Lloyd, so the
+cluster assignment is bit-identical in Spark and the oracle) and runs
+stage 2 as a (cid, pos)-keyed self-join → BIGINT dot products → exact
+threshold test.
+
+Determinism contract: dot products and squared norms are BIGINT sums of
+integer-micro components (order-independent, exact). The cosine test
+``cos(a,b) >= τ`` is evaluated as ``dot > 0 AND dot² >= τ²·|a|²·|b|²``
+entirely in doubles built from those exact integers with an identical
+expression tree on both engines — same IEEE operands, same ops, same
+result — so the driver hash-compare is exact at any partition count.
+
+Vacuity guard: the synthetic embeddings are pairwise-random (max organic
+cosine ≈ 0.51 at sf0.01), so a real near-dup threshold would output zero
+rows and prove nothing (the round-1/round-2 vacuity lesson). Both engines
+therefore first inject deterministic near-copies — every 50th vector gets
+a twin at ``vec_id + 1_000_000`` with components perturbed by
+``(pos % 3) - 1`` micro-units — and the query provably finds exactly the
+injected duplicates through the full cluster → pair → threshold path.
+
+Reference parity: no dedup surface in the reference; this completes the
+X2 dedup family (exact → MinHash/SimHash/containment → semantic).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from graph_vulcan_assets_spark.llm.kmeans import (
+    ITERS,
+    K,
+    _VECS_SQL,
+    lloyd_assign,
+    lloyd_ctes,
+    quantize_vectors,
+)
+from graph_vulcan_assets_spark.registry import query
+from graph_vulcan_assets_spark.tables import load_table
+
+# τ = 0.99 → τ² = 0.9801 (written as the literal so both engines parse the
+# identical double; never computed as 0.99*0.99 at runtime).
+_TAU_SQ = 0.9801
+_TWIN_OFFSET = 1_000_000
+_TWIN_EVERY = 50
+
+
+def _augmented(vecs: DataFrame) -> DataFrame:
+    """vecs ∪ near-copy twins of every 50th vector (the vacuity guard)."""
+    twins = vecs.where(F.col("vec_id") % _TWIN_EVERY == 0).select(
+        (F.col("vec_id") + _TWIN_OFFSET).alias("vec_id"),
+        "pos",
+        (F.col("q") + (F.col("pos") % 3 - 1)).alias("q"),
+    )
+    return vecs.unionAll(twins)
+
+
+_AUG_SQL = f"""
+    base AS ({_VECS_SQL}),
+    vecs AS (
+      SELECT vec_id, pos, q FROM base
+      UNION ALL
+      SELECT vec_id + {_TWIN_OFFSET} AS vec_id, pos,
+             q + (pos % 3 - 1) AS q
+      FROM base WHERE vec_id % {_TWIN_EVERY} = 0
+    )"""
+
+
+def _semdedup_oracle() -> str:
+    return f"""
+    WITH{_AUG_SQL},{lloyd_ctes(K, ITERS)},
+    norms AS (
+      SELECT vec_id, CAST(sum(q * q) AS BIGINT) AS nrm
+      FROM vecs GROUP BY vec_id),
+    dots AS (
+      SELECT la.vec_id AS v1, lb.vec_id AS v2, la.cid,
+             CAST(sum(va.q * vb.q) AS BIGINT) AS dot
+      FROM a{ITERS} la
+      JOIN a{ITERS} lb ON lb.cid = la.cid AND lb.vec_id > la.vec_id
+      JOIN vecs va ON va.vec_id = la.vec_id
+      JOIN vecs vb ON vb.vec_id = lb.vec_id AND vb.pos = va.pos
+      GROUP BY la.vec_id, lb.vec_id, la.cid),
+    dups AS (
+      SELECT d.v2 AS vec_id, d.cid, d.v1
+      FROM dots d
+      JOIN norms n1 ON n1.vec_id = d.v1
+      JOIN norms n2 ON n2.vec_id = d.v2
+      WHERE d.dot > 0
+        AND CAST(d.dot AS DOUBLE) * CAST(d.dot AS DOUBLE)
+            >= CAST({_TAU_SQ} AS DOUBLE)
+               * CAST(n1.nrm AS DOUBLE) * CAST(n2.nrm AS DOUBLE))
+    SELECT vec_id, cid, CAST(min(v1) AS BIGINT) AS dup_of
+    FROM dups GROUP BY vec_id, cid
+    """
+
+
+@query("q_dedup_semantic", oracle=_semdedup_oracle())
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (X2 completion): vectors dropped because a lower-id vector
+    in the same k-means cluster has cosine ≥ 0.99.
+
+    Returns (vec_id, cid, dup_of) for every DROPPED vector — dup_of is
+    the lowest-id near-duplicate (the keeper under lowest-id-wins).
+    Stage 1: Lloyd k-means (llm/kmeans.py, broadcast centroids). Stage 2:
+    within-cluster pair dots via a (cid, pos)-keyed self-join — shuffle
+    partitionable, O(d·Σ cluster_size²) work, no cross join anywhere.
+    """
+    vecs = _augmented(
+        quantize_vectors(load_table(spark, sf_dir, "embeddings"))
+    )
+    assign = lloyd_assign(vecs, K, ITERS).select("vec_id", "cid")
+    norms = vecs.groupBy("vec_id").agg(
+        F.sum(F.col("q") * F.col("q")).cast("long").alias("nrm")
+    )
+    # carry cid onto each component row once; the pair stage is then a
+    # pure (cid, pos) equi-join producing per-pair partial products
+    comp = vecs.join(assign, "vec_id")
+    a = comp.select(
+        F.col("cid"),
+        F.col("pos"),
+        F.col("vec_id").alias("v1"),
+        F.col("q").alias("q1"),
+    )
+    b = comp.select(
+        F.col("cid"),
+        F.col("pos"),
+        F.col("vec_id").alias("v2"),
+        F.col("q").alias("q2"),
+    )
+    dots = (
+        a.join(b, ["cid", "pos"])
+        .where(F.col("v2") > F.col("v1"))
+        .groupBy("v1", "v2", "cid")
+        .agg(F.sum(F.col("q1") * F.col("q2")).cast("long").alias("dot"))
+    )
+    dotd = F.col("dot").cast("double")
+    dups = (
+        dots.join(norms.select(F.col("vec_id").alias("v1"), F.col("nrm").alias("n1")), "v1")
+        .join(norms.select(F.col("vec_id").alias("v2"), F.col("nrm").alias("n2")), "v2")
+        .where(
+            (F.col("dot") > 0)
+            & (
+                dotd * dotd
+                >= F.lit(_TAU_SQ)
+                * F.col("n1").cast("double")
+                * F.col("n2").cast("double")
+            )
+        )
+    )
+    return dups.groupBy(F.col("v2").alias("vec_id"), "cid").agg(
+        F.min("v1").cast("long").alias("dup_of")
+    )
