@@ -51,6 +51,12 @@ HEADLINE = [
     "q_text_tfidf",
     "q_kmeans_assign",
     "q_pq_codes",
+    # round-3 late additions (this session): semantic dedup (iterative
+    # kmeans + cluster-bucketed pairs), BM25, hashed classifier, HLL rollup
+    "q_dedup_semantic",
+    "q_text_bm25",
+    "q_quality_classifier",
+    "q_hll_rollup",
 ]
 
 

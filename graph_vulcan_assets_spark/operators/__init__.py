@@ -18,3 +18,4 @@ import graph_vulcan_assets_spark.operators.histograms  # noqa: F401
 import graph_vulcan_assets_spark.operators.subqueries  # noqa: F401
 import graph_vulcan_assets_spark.operators.analytics  # noqa: F401
 import graph_vulcan_assets_spark.operators.sketches  # noqa: F401
+import graph_vulcan_assets_spark.operators.dq  # noqa: F401

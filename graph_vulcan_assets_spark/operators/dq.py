@@ -1,0 +1,118 @@
+"""Data-quality expectation checks (SURVEY.md §2.16) — the Deequ-shaped
+validation layer a 100 TB ingest runs before publishing a table.
+
+The reference hard-fails on single-row anomalies inline (duplicated
+asset, cmd/graph-vulcan-assets/main.go:151-166; un-decodable payloads
+routed to the retry loop). At warehouse scale validation is instead a
+BATCH CONTRACT: one pass over the table computes every metric, each
+metric is compared to its declared bound, and the (check, observed,
+bound, passed) report decides whether the partition ships. This module
+is that pattern over the events table.
+
+Scale shape: ALL metrics come out of ONE aggregate over ONE scan (the
+same single-pass trick as operators/profiling.py) — adding a check adds
+an aggregate expression, not a scan. The only caveat is the exact
+uniqueness metric (count_distinct expands the aggregate buffer ×2); at
+100 TB you'd swap it for the HLL sketch estimate (operators/sketches.py)
+and a tolerance bound — the report schema doesn't change.
+
+Determinism: every observed metric is an exact BIGINT count, every bound
+a literal, passed a comparison — driver hash-compare is exact.
+
+The check set is chosen to be non-vacuous on the synthetic data: the
+domain check FAILS (events carries 'signup'/'error' beyond the declared
+domain) while the others pass, so both report branches are exercised.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from graph_vulcan_assets_spark.registry import query
+from graph_vulcan_assets_spark.tables import load_table
+
+_DOMAIN = ("click", "view", "purchase")
+_MIN_ROWS = 1000
+
+
+def dq_report(e: DataFrame) -> DataFrame:
+    """(check, observed, bound, passed) — one row per expectation."""
+    m = e.agg(
+        F.count("*").alias("n_rows"),
+        F.count_distinct("event_id").alias("n_ids"),
+        F.count(F.when(F.col("user_id").isNull(), 1)).alias("null_users"),
+        F.count(F.when(~F.col("event_type").isin(*_DOMAIN), 1)).alias(
+            "off_domain"
+        ),
+        F.count(F.when(F.col("value").isNull(), 1)).alias("null_values"),
+        F.count(
+            F.when(F.col("ts") < F.lit("2023-01-01").cast("timestamp"), 1)
+        ).alias("stale_rows"),
+    )
+
+    def check(name: str, observed, bound, passed):
+        return F.struct(
+            F.lit(name).alias("check"),
+            observed.cast("long").alias("observed"),
+            F.lit(bound).cast("long").alias("bound"),
+            passed.alias("passed"),
+        )
+
+    checks = F.array(
+        check(
+            "row_count_min",
+            F.col("n_rows"),
+            _MIN_ROWS,
+            F.col("n_rows") >= _MIN_ROWS,
+        ),
+        check(
+            "event_id_unique",
+            F.col("n_ids"),
+            0,
+            F.col("n_ids") == F.col("n_rows"),
+        ),
+        check("user_id_complete", F.col("null_users"), 0, F.col("null_users") == 0),
+        check(
+            "event_type_domain",
+            F.col("off_domain"),
+            0,
+            F.col("off_domain") == 0,
+        ),
+        check("value_complete", F.col("null_values"), 0, F.col("null_values") == 0),
+        check("ts_freshness", F.col("stale_rows"), 0, F.col("stale_rows") == 0),
+    )
+    return m.select(F.inline(checks))
+
+
+_ORACLE = f"""
+    WITH m AS (
+      SELECT count(*) AS n_rows,
+             count(DISTINCT event_id) AS n_ids,
+             count(*) FILTER (user_id IS NULL) AS null_users,
+             count(*) FILTER (event_type NOT IN ('click', 'view', 'purchase'))
+               AS off_domain,
+             count(*) FILTER (value IS NULL) AS null_values,
+             count(*) FILTER (ts < TIMESTAMP '2023-01-01') AS stale_rows
+      FROM events)
+    SELECT 'row_count_min' AS "check", CAST(n_rows AS BIGINT) AS observed,
+           CAST({_MIN_ROWS} AS BIGINT) AS bound, n_rows >= {_MIN_ROWS} AS passed FROM m
+    UNION ALL
+    SELECT 'event_id_unique', CAST(n_ids AS BIGINT), 0, n_ids = n_rows FROM m
+    UNION ALL
+    SELECT 'user_id_complete', CAST(null_users AS BIGINT), 0, null_users = 0 FROM m
+    UNION ALL
+    SELECT 'event_type_domain', CAST(off_domain AS BIGINT), 0, off_domain = 0 FROM m
+    UNION ALL
+    SELECT 'value_complete', CAST(null_values AS BIGINT), 0, null_values = 0 FROM m
+    UNION ALL
+    SELECT 'ts_freshness', CAST(stale_rows AS BIGINT), 0, stale_rows = 0 FROM m
+    """
+
+
+@query("q_dq_checks", oracle=_ORACLE)
+def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch data-quality contract over events: 6 expectations from one
+    scan; the report carries the exact observed metric beside its bound
+    so a failing partition is diagnosable from the report alone."""
+    return dq_report(load_table(spark, sf_dir, "events"))

@@ -1,0 +1,53 @@
+"""Data-quality expectation checks (operators/dq.py).
+
+Oracle parity runs in tests/test_oracle_parity.py; these pin the report
+semantics and that both pass and fail branches occur on the synthetic
+data (a report that can only say "passed" proves nothing).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from graph_vulcan_assets_spark.operators.dq import q_dq_checks
+from graph_vulcan_assets_spark.tables import load_table
+
+
+def test_report_shape_and_mixed_outcomes(spark, sf_dir):
+    rows = {r["check"]: r for r in q_dq_checks(spark, sf_dir).collect()}
+    assert set(rows) == {
+        "row_count_min",
+        "event_id_unique",
+        "user_id_complete",
+        "event_type_domain",
+        "value_complete",
+        "ts_freshness",
+    }
+    outcomes = {r["passed"] for r in rows.values()}
+    assert outcomes == {True, False}  # non-vacuous: both branches occur
+    assert not rows["event_type_domain"]["passed"]  # the designed failure
+
+
+def test_observed_metrics_are_exact(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    rows = {r["check"]: r for r in q_dq_checks(spark, sf_dir).collect()}
+    assert rows["row_count_min"]["observed"] == e.count()
+    assert (
+        rows["event_type_domain"]["observed"]
+        == e.where(~F.col("event_type").isin("click", "view", "purchase")).count()
+    )
+    assert rows["event_id_unique"]["observed"] == e.select("event_id").distinct().count()
+
+
+def test_single_scan_plan(spark, sf_dir):
+    """Adding checks must not add scans: exactly one parquet scan."""
+    import re
+
+    from graph_vulcan_assets_spark.plans.lint import plan_text
+
+    # count the numbered detail entries (each physical node appears once
+    # in the tree and once in the detail section — match only the latter)
+    details = re.findall(
+        r"^\(\d+\) Scan parquet", plan_text(q_dq_checks(spark, sf_dir)), re.M
+    )
+    assert len(details) == 1
