@@ -118,42 +118,52 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         quantize_vectors(load_table(spark, sf_dir, "embeddings"))
     )
     assign = lloyd_assign(vecs, K, ITERS).select("vec_id", "cid")
-    norms = vecs.groupBy("vec_id").agg(
-        F.sum(F.col("q") * F.col("q")).cast("long").alias("nrm")
+    # re-pack each vector into ONE compact (vec_id, cid, qarr, nrm) row
+    # before pairing: the within-cluster self-join then produces |c|² pair
+    # rows instead of d·|c|² component rows (a d×=64× smaller pair stage),
+    # and the dot product runs inside whole-stage codegen via zip_with +
+    # aggregate on the two arrays
+    packed = (
+        vecs.groupBy("vec_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "q"))),
+                lambda s: s["q"],
+            ).alias("qarr"),
+            F.sum(F.col("q") * F.col("q")).cast("long").alias("nrm"),
+        )
+        .join(assign, "vec_id")
     )
-    # carry cid onto each component row once; the pair stage is then a
-    # pure (cid, pos) equi-join producing per-pair partial products
-    comp = vecs.join(assign, "vec_id")
-    a = comp.select(
+    a = packed.select(
         F.col("cid"),
-        F.col("pos"),
         F.col("vec_id").alias("v1"),
-        F.col("q").alias("q1"),
+        F.col("qarr").alias("arr1"),
+        F.col("nrm").alias("n1"),
     )
-    b = comp.select(
+    b = packed.select(
         F.col("cid"),
-        F.col("pos"),
         F.col("vec_id").alias("v2"),
-        F.col("q").alias("q2"),
+        F.col("qarr").alias("arr2"),
+        F.col("nrm").alias("n2"),
     )
-    dots = (
-        a.join(b, ["cid", "pos"])
+    dot = F.aggregate(
+        F.zip_with(F.col("arr1"), F.col("arr2"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    pairs = (
+        a.join(b, "cid")
         .where(F.col("v2") > F.col("v1"))
-        .groupBy("v1", "v2", "cid")
-        .agg(F.sum(F.col("q1") * F.col("q2")).cast("long").alias("dot"))
+        .select("cid", "v1", "v2", "n1", "n2", dot.alias("dot"))
     )
     dotd = F.col("dot").cast("double")
-    dups = (
-        dots.join(norms.select(F.col("vec_id").alias("v1"), F.col("nrm").alias("n1")), "v1")
-        .join(norms.select(F.col("vec_id").alias("v2"), F.col("nrm").alias("n2")), "v2")
-        .where(
-            (F.col("dot") > 0)
-            & (
-                dotd * dotd
-                >= F.lit(_TAU_SQ)
-                * F.col("n1").cast("double")
-                * F.col("n2").cast("double")
-            )
+    dups = pairs.where(
+        (F.col("dot") > 0)
+        & (
+            dotd * dotd
+            >= F.lit(_TAU_SQ)
+            * F.col("n1").cast("double")
+            * F.col("n2").cast("double")
         )
     )
     return dups.groupBy(F.col("v2").alias("vec_id"), "cid").agg(
