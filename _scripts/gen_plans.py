@@ -53,6 +53,11 @@ def main() -> None:
         "q_pq_codes",
         "q_pq_adc_topk",
         "q_recursive_cte",
+        # round-3 late additions (sketches/quality/normalize/bm25/semdedup/dq
+        # are also in HEADLINE where they carry timings; the rest here)
+        "q_text_normalize",
+        "q_classifier_route",
+        "q_dq_checks",
     ]
     for name in HEADLINE + [x for x in extra if x in qs]:
         buf = io.StringIO()
