@@ -199,3 +199,73 @@ def q_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         _centroid,
         schema="label int, n_vectors long, centroid_sum_micros array<long>",
     )
+
+
+_MRL_DIM = 16
+
+
+@query(
+    "q_embed_matryoshka",
+    oracle=f"""
+    WITH ex AS (
+      SELECT vec_id,
+             unnest(range(len(embedding))) AS dim,
+             CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000, 0)
+               AS BIGINT) AS q
+      FROM embeddings),
+    nrm AS (
+      SELECT vec_id,
+             CAST(sum(q * q) AS BIGINT) AS nrm_full,
+             CAST(sum(q * q) FILTER (dim < {_MRL_DIM}) AS BIGINT) AS nrm_head
+      FROM ex GROUP BY vec_id)
+    SELECT vec_id, nrm_head, nrm_full,
+           CAST(round(CAST(nrm_head AS DOUBLE) / CAST(nrm_full AS DOUBLE)
+                      * 1000000, 0) AS BIGINT) AS energy_micros
+    FROM nrm
+    """,
+)
+def q_embed_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka (MRL, arXiv:2205.13147) truncation audit: per-vector
+    retained energy of the first-16-dims prefix.
+
+    The storage/recall lever for billion-vector stores: MRL-trained
+    embeddings keep most of their signal in a prefix, so coarse stages
+    (IVF cells, shortlists) run on the 16-dim head (4× less I/O at d=64)
+    and only the re-rank touches full vectors. This query computes the
+    per-vector head/full energy ratio — the metric that decides whether a
+    corpus's embeddings tolerate a given truncation — in one map-side
+    pass: slice → quantize → two exact BIGINT norms, ratio rounded to
+    integer micros (one deterministic double division per row, no float
+    summation anywhere). Map-only except the single per-vec_id aggregate
+    of the exploded components; at 100 TB the slice/aggregate fuses into
+    the scan stage.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = F.transform(
+        F.col("embedding"),
+        lambda e: F.round(e.cast("double") * 1000000, 0).cast("long"),
+    )
+    qq = emb.select(
+        "vec_id",
+        F.aggregate(
+            q, F.lit(0).cast("long"), lambda acc, v: acc + v * v
+        ).alias("nrm_full"),
+        F.aggregate(
+            F.slice(q, 1, _MRL_DIM),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v * v,
+        ).alias("nrm_head"),
+    )
+    return qq.select(
+        "vec_id",
+        "nrm_head",
+        "nrm_full",
+        F.round(
+            F.col("nrm_head").cast("double")
+            / F.col("nrm_full").cast("double")
+            * 1000000,
+            0,
+        )
+        .cast("long")
+        .alias("energy_micros"),
+    )

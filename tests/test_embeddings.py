@@ -68,3 +68,13 @@ def test_projection_output_shape(spark, sf_dir):
     row = out.first()
     assert row["out_dim"] == 16
     assert row["norm_sq"] is not None and not math.isnan(row["norm_sq"])
+
+
+def test_matryoshka_energy_bounds(spark, sf_dir):
+    from graph_vulcan_assets_spark.llm.embeddings import q_embed_matryoshka
+
+    rows = q_embed_matryoshka(spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert 0 < r["nrm_head"] <= r["nrm_full"]
+        assert 0 < r["energy_micros"] <= 1_000_000
