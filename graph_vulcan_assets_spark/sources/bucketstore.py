@@ -254,3 +254,73 @@ class BucketTable:
         version = (self.commits()[-1] + 1) if self.commits() else 0
         self._commit(self.read(), version, touched=set(range(self.n_buckets)))
         return version
+
+
+# ---- change data feed ---------------------------------------------------
+
+def _non_key_struct(df: DataFrame, key_cols: list[str], alias: str):
+    vals = [c for c in df.columns if c not in key_cols]
+    return F.struct(*[F.col(c) for c in vals]).alias(alias)
+
+
+def _changed_buckets(table: "BucketTable", since: int, until: int | None) -> set[int]:
+    v1 = table._bucket_versions(as_of=since)
+    v2 = table._bucket_versions(as_of=until)
+    return {b for b in set(v1) | set(v2) if v1.get(b) != v2.get(b)}
+
+
+def _changes(table: "BucketTable", since: int, until: int | None = None) -> DataFrame:
+    """Row-level diff between two committed views — the Delta
+    change-data-feed analogue.
+
+    Returns one row per key whose value differs between the view as of
+    ``since`` and the view as of ``until`` (default: current):
+    ``(*key_cols, change_type ∈ {insert, update, delete}, before, after)``
+    with before/after as structs of the non-key columns (NULL on the
+    missing side).
+
+    Scale shape: only buckets whose resolved version DIFFERS between the
+    two commits are opened (`_changed_buckets`) — a CDC consumer after a
+    small MERGE reads the touched slice, never the table. The diff itself
+    is one full-outer equi-join on the key, co-partitioned by the same
+    key hash both sides.
+
+    Like ``read(version=)``, faithful only within the pruning window
+    (``keep_versions``) and forfeited across a ``compact()``.
+    """
+    changed = _changed_buckets(table, since, until)
+    if not changed:
+        empty = table.read(buckets=set())  # typed empty frame
+        return empty.select(
+            *table.key_cols,
+            F.lit("insert").alias("change_type"),
+            _non_key_struct(empty, table.key_cols, "before"),
+            _non_key_struct(empty, table.key_cols, "after"),
+        ).where(F.lit(False))
+    old = table.read(version=since, buckets=changed)
+    new = table.read(version=until, buckets=changed)
+    o = old.select(
+        *table.key_cols, _non_key_struct(old, table.key_cols, "before")
+    )
+    n = new.select(
+        *table.key_cols, _non_key_struct(new, table.key_cols, "after")
+    )
+    j = o.join(n, table.key_cols, "full_outer")
+    change = (
+        F.when(F.col("before").isNull(), "insert")
+        .when(F.col("after").isNull(), "delete")
+        .otherwise("update")
+    )
+    return (
+        j.where(
+            F.col("before").isNull()
+            | F.col("after").isNull()
+            # eqNullSafe: a rewrite to the identical value is NOT a change
+            | ~F.col("before").eqNullSafe(F.col("after"))
+        )
+        .select(*table.key_cols, change.alias("change_type"), "before", "after")
+    )
+
+
+BucketTable.changes = _changes
+BucketTable._changed_buckets = _changed_buckets
