@@ -324,3 +324,58 @@ def _changes(table: "BucketTable", since: int, until: int | None = None) -> Data
 
 BucketTable.changes = _changes
 BucketTable._changed_buckets = _changed_buckets
+
+
+def _purge(table: "BucketTable", keys: DataFrame) -> int:
+    """Right-to-be-forgotten erase: physically remove ``keys`` from EVERY
+    retained version, history included.
+
+    ``delete()`` removes keys from the LIVE view, but the rows survive on
+    disk in the retained historical versions until pruning retires them —
+    compliant retention cannot wait for that. ``purge`` first runs a
+    normal ``delete`` commit (so the live view and the commit log record
+    the erasure), then rewrites, in place, every surviving
+    ``batch=*/bucket=B`` dir of every touched bucket with the keys
+    anti-joined out.
+
+    This is a maintenance operation with VACUUM-like semantics, not a
+    snapshot-isolated commit: concurrent readers of a bucket-version
+    being swapped can observe a missing dir for an instant. It is
+    idempotent — a crash mid-purge leaves some versions cleaned and some
+    not, and re-running finishes the job (the delete commit is already
+    durable, so the live view is correct throughout).
+
+    Scale shape: work is O(touched buckets × retained versions); every
+    other bucket's files are untouched (byte-identical, test-pinned).
+    Returns the delete commit id.
+    """
+    version = table.delete(keys)
+    touched = table._touched(keys)
+    key_set = F.broadcast(keys.select(table.key_cols).distinct())
+    for d in sorted(os.listdir(table.path)):
+        if not d.startswith("batch="):
+            continue
+        for b in touched:
+            bdir = os.path.join(table.path, d, f"bucket={b}")
+            if not os.path.isdir(bdir) or not os.listdir(bdir):
+                continue
+            cleaned = (
+                table.spark.read.schema(table._schema)
+                .parquet(bdir)
+                .join(key_set, table.key_cols, "left_anti")
+            )
+            # tmp name must NOT start with "bucket=" — a crash that leaves
+            # it behind would otherwise break the bucket-dir listing parse
+            tmp = os.path.join(table.path, d, f"_purge_tmp_{b}")
+            cleaned.write.mode("overwrite").parquet(tmp)
+            # drop parquet job-commit droppings so the swapped-in dir
+            # contains only data files (matching _commit's output)
+            for junk in os.listdir(tmp):
+                if junk.startswith("_") or junk.startswith("."):
+                    os.remove(os.path.join(tmp, junk))
+            shutil.rmtree(bdir)
+            os.replace(tmp, bdir)
+    return version
+
+
+BucketTable.purge = _purge
