@@ -600,3 +600,52 @@ def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("s_micros").cast("long").alias("bm25_micros"),
         F.count("*").alias("n_terms"),
     )
+
+
+@query(
+    "q_lang_confusion",
+    oracle="""
+    WITH scored AS (
+      SELECT lang,
+             len(list_filter(string_split(text, ' '),
+                 t -> t IN ('the', 'and', 'of'))) AS en_hits,
+             len(list_filter(string_split(text, ' '),
+                 t -> t IN ('el', 'la', 'que'))) AS es_hits
+      FROM documents),
+    labeled AS (
+      SELECT lang AS declared,
+             CASE WHEN en_hits > es_hits THEN 'en'
+                  WHEN es_hits > en_hits THEN 'es'
+                  ELSE 'unknown' END AS predicted
+      FROM scored)
+    SELECT declared, predicted, count(*) AS n_docs
+    FROM labeled GROUP BY declared, predicted
+    """,
+)
+def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation (X4 extension): confusion matrix of the
+    stopword lang-ID against the table's declared language labels.
+
+    The eval loop every heuristic filter needs before it gates a corpus:
+    run the predictor, cross-tabulate against labels, read the diagonal.
+    One map-side scoring pass (q_lang_id's expressions) + one tiny
+    (declared, predicted) aggregate — the confusion matrix is
+    languages²-sized no matter the corpus size. Exact counts, oracle
+    bit-for-bit.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tokens = F.split(F.col("text"), " ")
+
+    def hits(words: list[str]):
+        arr = F.array(*[F.lit(w) for w in words])
+        return F.size(F.filter(tokens, lambda t: F.array_contains(arr, t)))
+
+    en, es = hits(_STOPWORDS["en"]), hits(_STOPWORDS["es"])
+    predicted = (
+        F.when(en > es, "en").when(es > en, "es").otherwise("unknown")
+    )
+    return (
+        d.select(F.col("lang").alias("declared"), predicted.alias("predicted"))
+        .groupBy("declared", "predicted")
+        .agg(F.count("*").alias("n_docs"))
+    )
