@@ -65,11 +65,18 @@ def main() -> None:
     n2 = gated.count()
     print(f"after quality+repetition gates: {n2} (-{n1 - n2})")
 
+    # 2b. model-based quality gate (hashed linear classifier) on top of
+    # the heuristics — the CCNet/FineWeb-style learned-filter stage
+    model_ok = qs["q_quality_classifier"](spark, sf_dir).where("keep").select("doc_id")
+    gated = gated.join(model_ok, "doc_id")
+    n2b = gated.count()
+    print(f"after classifier gate: {n2b} (-{n2 - n2b})")
+
     # 3. decontamination vs the eval hold-out
     contaminated = qs["q_decontaminate"](spark, sf_dir).select("doc_id")
     clean = gated.join(contaminated, "doc_id", "left_anti")
     n3 = clean.count()
-    print(f"after decontamination: {n3} (-{n2 - n3})")
+    print(f"after decontamination: {n3} (-{n2b - n3})")
 
     # 4. deterministic split
     split = curation.assign_split(clean.join(docs, "doc_id"))
