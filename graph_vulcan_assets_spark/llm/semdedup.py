@@ -103,21 +103,19 @@ def _semdedup_oracle() -> str:
     """
 
 
-@query("q_dedup_semantic", oracle=_semdedup_oracle())
-def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup (X2 completion): vectors dropped because a lower-id vector
-    in the same k-means cluster has cosine ≥ 0.99.
+def semantic_dedup(
+    vecs: DataFrame, k: int, iters: int = ITERS, tau_sq: float = _TAU_SQ
+) -> DataFrame:
+    """SemDeDup over quantized (vec_id, pos, q) vectors.
 
-    Returns (vec_id, cid, dup_of) for every DROPPED vector — dup_of is
-    the lowest-id near-duplicate (the keeper under lowest-id-wins).
-    Stage 1: Lloyd k-means (llm/kmeans.py, broadcast centroids). Stage 2:
-    within-cluster pair dots via a (cid, pos)-keyed self-join — shuffle
-    partitionable, O(d·Σ cluster_size²) work, no cross join anywhere.
+    ``k`` is the scale lever: the pair stage does O(d·Σ cluster_size²)
+    work, so k MUST grow with the corpus to keep cluster sizes bounded
+    (SemDeDup uses k ≈ n/‹target cluster size›; with k fixed the stage
+    degrades to O(n²/k)). The registered query below pins k=8 only
+    because its DuckDB oracle unrolls that exact clustering; callers
+    dedup-ing a real corpus pass k ∝ n.
     """
-    vecs = _augmented(
-        quantize_vectors(load_table(spark, sf_dir, "embeddings"))
-    )
-    assign = lloyd_assign(vecs, K, ITERS).select("vec_id", "cid")
+    assign = lloyd_assign(vecs, k, iters).select("vec_id", "cid")
     # re-pack each vector into ONE compact (vec_id, cid, qarr, nrm) row
     # before pairing: the within-cluster self-join then produces |c|² pair
     # rows instead of d·|c|² component rows (a d×=64× smaller pair stage),
@@ -161,7 +159,7 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("dot") > 0)
         & (
             dotd * dotd
-            >= F.lit(_TAU_SQ)
+            >= F.lit(tau_sq)
             * F.col("n1").cast("double")
             * F.col("n2").cast("double")
         )
@@ -169,3 +167,21 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dups.groupBy(F.col("v2").alias("vec_id"), "cid").agg(
         F.min("v1").cast("long").alias("dup_of")
     )
+
+
+@query("q_dedup_semantic", oracle=_semdedup_oracle())
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (X2 completion): vectors dropped because a lower-id vector
+    in the same k-means cluster has cosine ≥ 0.99.
+
+    Returns (vec_id, cid, dup_of) for every DROPPED vector — dup_of is
+    the lowest-id near-duplicate (the keeper under lowest-id-wins).
+    Stage 1: Lloyd k-means (llm/kmeans.py, broadcast centroids). Stage 2:
+    within-cluster pair dots over packed arrays — shuffle partitionable,
+    no cross join anywhere. k is pinned to 8 for the unrolled oracle; see
+    :func:`semantic_dedup` for the k-scaling contract at corpus scale.
+    """
+    vecs = _augmented(
+        quantize_vectors(load_table(spark, sf_dir, "embeddings"))
+    )
+    return semantic_dedup(vecs, K, ITERS)

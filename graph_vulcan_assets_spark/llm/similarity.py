@@ -207,3 +207,99 @@ def q_sim_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("cos") > 0.2)
     )
+
+
+_MRL_HEAD = 16
+_MRL_SHORTLIST = 20
+
+
+@query(
+    "q_sim_mrl_rerank",
+    oracle=f"""
+    WITH dv AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    q AS (SELECT vec_id AS qid, e AS qe FROM dv WHERE vec_id < 10),
+    head AS (
+      SELECT q.qid, dv.vec_id AS nid, q.qe, dv.e,
+             list_dot_product(q.qe[1:{_MRL_HEAD}], dv.e[1:{_MRL_HEAD}])
+               / (sqrt(list_dot_product(q.qe[1:{_MRL_HEAD}], q.qe[1:{_MRL_HEAD}]))
+                  * sqrt(list_dot_product(dv.e[1:{_MRL_HEAD}], dv.e[1:{_MRL_HEAD}])))
+               AS cos_head
+      FROM q, dv WHERE dv.vec_id <> q.qid),
+    shortlist AS (
+      SELECT qid, nid, qe, e
+      FROM (SELECT qid, nid, qe, e,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY cos_head DESC, nid) AS rn
+            FROM head)
+      WHERE rn <= {_MRL_SHORTLIST}),
+    exact AS (
+      SELECT qid, nid,
+             list_dot_product(qe, e)
+               / (sqrt(list_dot_product(qe, qe))
+                  * sqrt(list_dot_product(e, e))) AS cos
+      FROM shortlist)
+    SELECT qid, nid, round(cos, 6) AS cos
+    FROM (SELECT qid, nid, cos,
+                 row_number() OVER (PARTITION BY qid
+                                    ORDER BY cos DESC, nid) AS rn
+          FROM exact)
+    WHERE rn <= 5
+    """,
+)
+def q_sim_mrl_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka two-stage search (X3): rank ALL candidates by the
+    16-dim prefix cosine, keep a 20-deep shortlist per query, then
+    exactly re-rank the shortlist at full dimension.
+
+    The MRL serving pattern (arXiv:2205.13147 §5): the coarse pass
+    touches only the prefix — at d=64 that is 4× less arithmetic and,
+    with prefix-sliced storage, 4× less I/O — and full vectors are read
+    for just ``shortlist ≪ corpus`` candidates per query. Companion
+    metric: q_embed_matryoshka (llm/embeddings.py) measures whether a
+    corpus's embeddings retain enough prefix energy for this to be safe;
+    tests/test_ann_recall.py measures the recall this trades away on the
+    pairwise-random synthetic vectors (a worst case for truncation —
+    MRL-trained embeddings concentrate energy in the prefix by design).
+
+    Deterministic: both stages order by (cosine DESC, nid) with cosines
+    computed as identical sequential double folds in both engines — the
+    same discipline q_sim_topk pins.
+    """
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries = e.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    qh = F.slice(F.col("qe"), 1, _MRL_HEAD)
+    nh = F.slice(F.col("embedding"), 1, _MRL_HEAD)
+    head = (
+        e.crossJoin(F.broadcast(queries))
+        .where(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("nid"),
+            "qe",
+            F.col("embedding").alias("e"),
+            (dot(qh, nh) / (l2_norm(qh) * l2_norm(nh))).alias("cos_head"),
+        )
+    )
+    w1 = Window.partitionBy("qid").orderBy(F.col("cos_head").desc(), F.col("nid"))
+    shortlist = (
+        head.withColumn("rn", F.row_number().over(w1))
+        .where(F.col("rn") <= _MRL_SHORTLIST)
+        .drop("rn", "cos_head")
+    )
+    exact = shortlist.select(
+        "qid",
+        "nid",
+        (
+            dot(F.col("qe"), F.col("e"))
+            / (l2_norm(F.col("qe")) * l2_norm(F.col("e")))
+        ).alias("cos"),
+    )
+    w2 = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid"))
+    return (
+        exact.withColumn("rn", F.row_number().over(w2))
+        .where(F.col("rn") <= 5)
+        .select("qid", "nid", F.round("cos", 6).alias("cos"))
+    )

@@ -74,3 +74,28 @@ def test_ivfpq_recall_vs_exact_l2(spark, sf_dir):
         for r in all_queries()["q_sim_ivfpq"](spark, sf_dir).collect()
     }
     assert again == approx
+
+
+def test_mrl_rerank_recall_vs_brute_force(spark, sf_dir):
+    """MRL prefix-shortlist + exact re-rank: recall@5 against q_sim_topk.
+    Random embeddings are the truncation worst case (no energy
+    concentration in the prefix), so the bar is modest; the companion
+    q_embed_matryoshka metric is what decides the safe truncation on a
+    real corpus."""
+    qs = all_queries()
+    exact = {
+        (r["qid"], r["nid"]) for r in qs["q_sim_topk"](spark, sf_dir).collect()
+    }
+    approx = {
+        (r["qid"], r["nid"])
+        for r in qs["q_sim_mrl_rerank"](spark, sf_dir).collect()
+    }
+    assert len(approx) > 0
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.3, f"MRL rerank recall {recall:.2f} too low"
+    # determinism: a second evaluation returns the identical set
+    again = {
+        (r["qid"], r["nid"])
+        for r in qs["q_sim_mrl_rerank"](spark, sf_dir).collect()
+    }
+    assert again == approx

@@ -89,6 +89,7 @@ ALLOW = {
     "q_dedup_ngram": {"cartesian"},
     "q_dedup_embed": {"cartesian"},
     "q_sim_topk": {"cartesian"},
+    "q_sim_mrl_rerank": {"cartesian"},
     "q_join_cross": {"cartesian"},
     "q_sim_ivf": {"cartesian"},
     "q_mix_temperature": {"cartesian"},
