@@ -141,3 +141,47 @@ def test_wall_time_scales_subquadratically(spark, blown_dir, name):
     # (shared host) but cleanly separates the two regimes.
     limit = max(25.0 * t1, 10.0)  # floor absorbs fixed-overhead-dominated bases
     assert t10 <= limit, f"{name}: {t1:.2f}s -> {t10:.2f}s at 10x (limit {limit:.1f}s)"
+
+
+@pytest.mark.slow
+def test_semdedup_at_10x_with_sqrt_scaled_k(spark):
+    """SemDeDup's scale contract (llm/semdedup.py::semantic_dedup): k must
+    grow with the corpus. At k ≈ √n the total work — Lloyd O(n·k) plus
+    pairs O(n²/k) — is O(n^1.5), the operating point this rehearses.
+
+    The 10× corpus is stride-re-keyed (copy c of vector v gets id
+    v + c·n₀) so the first-k seeds stay DISTINCT vectors; the interleaved
+    re-keying the other rehearsals use would make every seed a copy of
+    the same 8 originals and collapse the clustering. The 10 exact copies
+    of every vector double as ground truth: each copy group must dedup to
+    its lowest id, so ≥ 9·n₀ rows must be dropped.
+    """
+    import math
+
+    from graph_vulcan_assets_spark.llm.kmeans import quantize_vectors
+    from graph_vulcan_assets_spark.llm.semdedup import _augmented, semantic_dedup
+    from graph_vulcan_assets_spark.plans.lint import plan_text
+    from graph_vulcan_assets_spark.tables import load_table
+
+    emb = load_table(spark, BASE_SF, "embeddings")
+    n0 = emb.count()
+    blown = (
+        emb.crossJoin(spark.range(BLOWUP).select(F.col("id").cast("long").alias("__c")))
+        .withColumn("vec_id", F.col("vec_id") + F.col("__c") * n0)
+        .drop("__c")
+    )
+    k = max(8, int(math.sqrt(BLOWUP * n0)))
+    vecs = _augmented(quantize_vectors(blown))
+    result = semantic_dedup(vecs, k)
+
+    p = plan_text(result)
+    assert "CartesianProduct" not in p
+    assert "NestedLoop" not in p
+
+    start = time.perf_counter()
+    dropped = result.count()
+    wall = time.perf_counter() - start
+    # every copy group (10 identical vectors, same cluster by exactness)
+    # loses 9 members; twins add more
+    assert dropped >= 9 * n0, f"only {dropped} dropped, expected >= {9 * n0}"
+    assert wall < 120.0, f"semdedup 10x took {wall:.1f}s"
