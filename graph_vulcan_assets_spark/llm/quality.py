@@ -146,3 +146,40 @@ def q_classifier_route(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "band")
         .agg(F.count("*").alias("n_docs"))
     )
+
+
+def vocab_weights(docs: DataFrame) -> DataFrame:
+    """(term, wt): the corpus vocabulary scored by the hash family — the
+    shape a real exported linear model ships in (vocabulary-sized, tiny
+    relative to the corpus)."""
+    return (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("term"))
+        .distinct()
+        .select("term", _token_weight(F.col("term")).alias("wt"))
+    )
+
+
+def classifier_scores_with_model(docs: DataFrame, weights: DataFrame) -> DataFrame:
+    """The production application path: per-token weight LOOKUP against a
+    broadcast weight table instead of inline derivation.
+
+    Same output contract as :func:`classifier_scores`; out-of-vocabulary
+    tokens score 0 (the left join's null coalesced), which is also what a
+    hashed-but-pruned exported model does. The weight table broadcasts —
+    the corpus-sized side never shuffles. `tests/test_quality.py` pins
+    that, when the table covers the vocabulary, this path is bit-identical
+    to the inline derivation.
+    """
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    )
+    return (
+        tok.join(F.broadcast(weights), "term", "left")
+        .withColumn("wt", F.coalesce(F.col("wt"), F.lit(0)))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("wt").alias("logit"),
+        )
+        .withColumn("keep", F.col("logit") >= 0)
+    )

@@ -379,3 +379,28 @@ def _purge(table: "BucketTable", keys: DataFrame) -> int:
 
 
 BucketTable.purge = _purge
+
+
+def _apply_changes(table: "BucketTable", feed: DataFrame) -> int | None:
+    """CDC consumer side: replay a ``changes()`` feed into this table.
+
+    Inserts/updates become one MERGE upsert (the ``after`` struct provides
+    the row), deletes one keyed delete — so a replica follows a source at
+    O(touched buckets) per applied window, the same cost profile the feed
+    was produced with. Returns the last commit id, or None if the feed
+    was empty. Feed windows must be applied in order (they compose; see
+    tests/test_bucketstore_cdf.py::test_chained_windows_compose).
+    """
+    upserts = feed.where(F.col("change_type") != "delete").select(
+        *table.key_cols, "after.*"
+    )
+    deletes = feed.where(F.col("change_type") == "delete").select(*table.key_cols)
+    version: int | None = None
+    if not upserts.isEmpty():
+        version = table.upsert(upserts)
+    if not deletes.isEmpty():
+        version = table.delete(deletes)
+    return version
+
+
+BucketTable.apply_changes = _apply_changes

@@ -96,3 +96,28 @@ def test_chained_windows_compose(spark, tmp_path):
         21: ("insert", None, "b21"),
         10: ("delete", "a10", None),
     }
+
+
+def test_replica_follows_source_via_feed(spark, tmp_path):
+    """CDC round trip: applying each changes() window to a replica keeps
+    it identical to the source."""
+    src = BucketTable(
+        spark, str(tmp_path / "src"), key_cols=["k"], n_buckets=8, keep_versions=3
+    )
+    dst = BucketTable(spark, str(tmp_path / "dst"), key_cols=["k"], n_buckets=8)
+
+    v0 = src.upsert(
+        spark.createDataFrame([(i, f"a{i}") for i in range(30)], ["k", "v"])
+    )
+    # bootstrap: full copy of the initial view
+    dst.upsert(src.read(version=v0))
+
+    v1 = src.upsert(spark.createDataFrame([(3, "b3"), (31, "b31")], ["k", "v"]))
+    dst.apply_changes(src.changes(v0, v1))
+    v2 = src.delete(spark.createDataFrame([(3,), (10,)], ["k"]))
+    dst.apply_changes(src.changes(v1, v2))
+
+    def rows(t):
+        return sorted((r["k"], r["v"]) for r in t.read().collect())
+
+    assert rows(dst) == rows(src)

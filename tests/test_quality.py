@@ -64,3 +64,33 @@ def test_route_bands_partition_the_corpus(spark, sf_dir):
     bands = {r["band"] for r in routed.select("band").distinct().collect()}
     assert bands <= {0, 1, 2, 3}
     assert len(bands) >= 2  # non-vacuous banding on the test corpus
+
+
+def test_model_table_path_matches_inline_derivation(spark, sf_dir):
+    """Broadcast weight-table lookup ≡ inline hash derivation when the
+    table covers the vocabulary — the proof that swapping in a real
+    exported model is only a data change."""
+    from graph_vulcan_assets_spark.llm.quality import (
+        classifier_scores_with_model,
+        vocab_weights,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    inline = {
+        r["doc_id"]: (r["n_tokens"], r["logit"], r["keep"])
+        for r in classifier_scores(d).collect()
+    }
+    via_model = {
+        r["doc_id"]: (r["n_tokens"], r["logit"], r["keep"])
+        for r in classifier_scores_with_model(d, vocab_weights(d)).collect()
+    }
+    assert via_model == inline
+
+
+def test_model_table_oov_scores_zero(spark):
+    from graph_vulcan_assets_spark.llm.quality import classifier_scores_with_model
+
+    docs = spark.createDataFrame([(1, "alpha beta gamma")], ["doc_id", "text"])
+    weights = spark.createDataFrame([("alpha", 7), ("beta", -3)], ["term", "wt"])
+    row = classifier_scores_with_model(docs, weights).collect()[0]
+    assert (row["n_tokens"], row["logit"], row["keep"]) == (3, 4, True)
