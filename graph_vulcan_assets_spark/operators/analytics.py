@@ -206,3 +206,99 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("twap_milli"),
     )
+
+
+@query(
+    "q_timeseries_gapfill",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type,
+             date_trunc('hour', ts) AS hour,
+             count(*) AS n,
+             CAST(sum(CAST(round(value * 1000, 0) AS BIGINT)) AS BIGINT)
+               AS sum_value_milli
+      FROM events GROUP BY event_type, date_trunc('hour', ts)),
+    bounds AS (
+      SELECT min(hour) AS h0, max(hour) AS h1 FROM hourly),
+    spine AS (
+      SELECT t.event_type, s.h AS hour
+      FROM (SELECT DISTINCT event_type FROM hourly) t
+      CROSS JOIN (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+                  FROM bounds) s),
+    joined AS (
+      SELECT sp.event_type, sp.hour,
+             coalesce(h.n, 0) AS n,
+             h.sum_value_milli,
+             (h.n IS NULL) AS gap
+      FROM spine sp LEFT JOIN hourly h USING (event_type, hour))
+    SELECT event_type, hour, CAST(n AS BIGINT) AS n, gap,
+           last_value(sum_value_milli IGNORE NULLS) OVER (
+             PARTITION BY event_type ORDER BY hour
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS carried_sum_milli
+    FROM joined
+    """,
+)
+def q_timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series regularization (gap fill + forward fill): hourly counts
+    per event_type on a COMPLETE hour spine, with empty hours marked and
+    the last observed hourly value-sum carried forward.
+
+    The hypertable `time_bucket_gapfill`/`locf` shape: irregular events →
+    regular grid. The spine is built with `sequence()` from the global
+    [min, max] hour bounds (a 1-row broadcast) crossed with the distinct
+    event types — spine size is types × hours regardless of event count,
+    so the explode never amplifies the fact table. Forward fill is
+    `last(..., ignoreNulls)` over an hour-ordered window partitioned by
+    event_type — bounded partitions (one per type), no single-partition
+    window over the raw events.
+
+    Exactness: counts and milli-quantized sums are BIGINTs; the fill
+    copies them verbatim — hash-identical in both engines.
+    """
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("value") * 1000, 0).cast("long"))
+        .cast("long")
+        .alias("sum_value_milli"),
+    )
+    bounds = hourly.agg(
+        F.min("hour").alias("h0"), F.max("hour").alias("h1")
+    )
+    spine = (
+        hourly.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+            ).alias("hour"),
+        )
+    )
+    joined = spine.join(hourly, ["event_type", "hour"], "left").select(
+        "event_type",
+        "hour",
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
+        "sum_value_milli",
+        F.col("n").isNull().alias("gap"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "event_type",
+        "hour",
+        "n",
+        "gap",
+        F.last("sum_value_milli", ignorenulls=True)
+        .over(w)
+        .alias("carried_sum_milli"),
+    )

@@ -93,6 +93,8 @@ ALLOW = {
     "q_join_cross": {"cartesian"},
     "q_sim_ivf": {"cartesian"},
     "q_mix_temperature": {"cartesian"},
+    # 1-row (min,max) hour-bounds broadcast feeding the spine sequence
+    "q_timeseries_gapfill": {"cartesian"},
     "q_mix_materialize": {"cartesian"},
     # the counting-rank's serial window runs over the LENGTH HISTOGRAM
     # (thousands of rows at any corpus size), not the corpus
