@@ -302,3 +302,71 @@ def q_timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(w)
         .alias("carried_sum_milli"),
     )
+
+
+@query(
+    "q_anomaly_zscore",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type, date_trunc('hour', ts)),
+    stats AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS cnt,
+             CAST(sum(n) AS BIGINT) AS s,
+             CAST(sum(n * n) AS BIGINT) AS sq
+      FROM hourly GROUP BY event_type),
+    scored AS (
+      SELECT h.event_type, h.hour, h.n,
+             (CAST(h.n AS DOUBLE)
+              - CAST(s AS DOUBLE) / CAST(cnt AS DOUBLE))
+             / sqrt(CAST(sq AS DOUBLE) / CAST(cnt AS DOUBLE)
+                    - (CAST(s AS DOUBLE) / CAST(cnt AS DOUBLE))
+                      * (CAST(s AS DOUBLE) / CAST(cnt AS DOUBLE))) AS z
+      FROM hourly h JOIN stats USING (event_type)
+      WHERE CAST(sq AS DOUBLE) / CAST(cnt AS DOUBLE)
+            - (CAST(s AS DOUBLE) / CAST(cnt AS DOUBLE))
+              * (CAST(s AS DOUBLE) / CAST(cnt AS DOUBLE)) > 0)
+    SELECT event_type, hour, n,
+           CAST(round(z * 1000000, 0) AS BIGINT) AS z_micros,
+           (abs(z) > 2.0) AS is_anomaly
+    FROM scored
+    """,
+)
+def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly detection: z-score of each hour's event count
+    against its event_type's own distribution, |z| > 2 flagged.
+
+    The monitoring query a 100 TB ingest runs beside the DQ contract
+    (operators/dq.py): per-series statistics come from ONE aggregate over
+    the hourly rollup (count, Σn, Σn² — all exact BIGINTs), broadcast
+    back onto the series; the z expression is a fixed chain of IEEE ops
+    on those exact integers, rounded to integer micros, so the driver
+    hash-compare is exact. Series with zero variance are excluded in both
+    engines (a constant series has no z-score).
+    """
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count("*").cast("long").alias("n"))
+    stats = hourly.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("cnt"),
+        F.sum("n").cast("long").alias("s"),
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("sq"),
+    )
+    cntd = F.col("cnt").cast("double")
+    mean = F.col("s").cast("double") / cntd
+    var = F.col("sq").cast("double") / cntd - mean * mean
+    z = (F.col("n").cast("double") - mean) / F.sqrt(var)
+    return (
+        hourly.join(F.broadcast(stats), "event_type")
+        .where(var > 0)
+        .select(
+            "event_type",
+            "hour",
+            "n",
+            F.round(z * 1000000, 0).cast("long").alias("z_micros"),
+            (F.abs(z) > 2.0).alias("is_anomaly"),
+        )
+    )
