@@ -370,3 +370,132 @@ def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.abs(z) > 2.0).alias("is_anomaly"),
         )
     )
+
+
+@query(
+    "q_timeseries_interpolate",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour,
+             CAST(sum(CAST(round(value * 1000, 0) AS BIGINT)) AS BIGINT)
+               AS v_milli
+      FROM events GROUP BY event_type, date_trunc('hour', ts)),
+    bounds AS (SELECT min(hour) AS h0, max(hour) AS h1 FROM hourly),
+    spine AS (
+      SELECT t.event_type, s.h AS hour
+      FROM (SELECT DISTINCT event_type FROM hourly) t
+      CROSS JOIN (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+                  FROM bounds) s),
+    joined AS (
+      SELECT sp.event_type, sp.hour, h.v_milli,
+             (h.v_milli IS NULL) AS gap
+      FROM spine sp LEFT JOIN hourly h USING (event_type, hour)),
+    bracketed AS (
+      SELECT event_type, hour, v_milli, gap,
+             last_value(v_milli IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY hour
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+             last_value(CASE WHEN v_milli IS NOT NULL THEN hour END
+                        IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY hour
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_h,
+             first_value(v_milli IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY hour
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+             first_value(CASE WHEN v_milli IS NOT NULL THEN hour END
+                         IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY hour
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_h
+      FROM joined)
+    SELECT event_type, hour, gap,
+           CASE
+             WHEN NOT gap THEN v_milli
+             WHEN prev_v IS NULL OR next_v IS NULL THEN NULL
+             ELSE CAST(round(
+               CAST(prev_v AS DOUBLE)
+               + (CAST(next_v AS DOUBLE) - CAST(prev_v AS DOUBLE))
+                 * (CAST(date_diff('hour', prev_h, hour) AS DOUBLE)
+                    / CAST(date_diff('hour', prev_h, next_h) AS DOUBLE)),
+               0) AS BIGINT)
+           END AS filled_milli
+    FROM bracketed
+    """,
+)
+def q_timeseries_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation gap fill: the second standard fill policy
+    beside q_timeseries_gapfill's carry-forward.
+
+    Gap hours get prev + (next − prev)·(Δt/Δtotal) between their
+    bracketing observations (NULL at the series edges where no bracket
+    exists). Brackets come from two IGNORE NULLS window passes (backward
+    last, forward first) over the same bounded per-type partitions as the
+    locf query — still no single-partition window, still types × hours
+    rows. Arithmetic: exact BIGINT milli inputs, hour offsets as exact
+    integers, one fixed double expression rounded back to milli — oracle
+    bit-for-bit.
+    """
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(
+        F.sum(F.round(F.col("value") * 1000, 0).cast("long"))
+        .cast("long")
+        .alias("v_milli")
+    )
+    bounds = hourly.agg(F.min("hour").alias("h0"), F.max("hour").alias("h1"))
+    spine = (
+        hourly.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+            ).alias("hour"),
+        )
+    )
+    joined = spine.join(hourly, ["event_type", "hour"], "left").select(
+        "event_type", "hour", "v_milli", F.col("v_milli").isNull().alias("gap")
+    )
+    back = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_hour = F.when(F.col("v_milli").isNotNull(), F.col("hour"))
+    b = joined.select(
+        "event_type",
+        "hour",
+        "v_milli",
+        "gap",
+        F.last("v_milli", ignorenulls=True).over(back).alias("prev_v"),
+        F.last(obs_hour, ignorenulls=True).over(back).alias("prev_h"),
+        F.first("v_milli", ignorenulls=True).over(fwd).alias("next_v"),
+        F.first(obs_hour, ignorenulls=True).over(fwd).alias("next_h"),
+    )
+    # hour offsets as exact integers (epoch-hour difference)
+    dh = (F.unix_micros(F.col("hour")) - F.unix_micros(F.col("prev_h"))) / F.lit(
+        3_600_000_000
+    )
+    dtot = (
+        F.unix_micros(F.col("next_h")) - F.unix_micros(F.col("prev_h"))
+    ) / F.lit(3_600_000_000)
+    lerp = F.round(
+        F.col("prev_v").cast("double")
+        + (F.col("next_v").cast("double") - F.col("prev_v").cast("double"))
+        * (dh.cast("long").cast("double") / dtot.cast("long").cast("double")),
+        0,
+    ).cast("long")
+    filled = (
+        F.when(~F.col("gap"), F.col("v_milli"))
+        .when(F.col("prev_v").isNull() | F.col("next_v").isNull(), F.lit(None))
+        .otherwise(lerp)
+    )
+    return b.select("event_type", "hour", "gap", filled.alias("filled_milli"))

@@ -95,6 +95,7 @@ ALLOW = {
     "q_mix_temperature": {"cartesian"},
     # 1-row (min,max) hour-bounds broadcast feeding the spine sequence
     "q_timeseries_gapfill": {"cartesian"},
+    "q_timeseries_interpolate": {"cartesian"},
     "q_mix_materialize": {"cartesian"},
     # the counting-rank's serial window runs over the LENGTH HISTOGRAM
     # (thousands of rows at any corpus size), not the corpus
