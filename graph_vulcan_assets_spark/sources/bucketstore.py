@@ -349,9 +349,14 @@ def _purge(table: "BucketTable", keys: DataFrame) -> int:
     other bucket's files are untouched (byte-identical, test-pinned).
     Returns the delete commit id.
     """
+    # materialize the key set BEFORE mutating anything: the caller's
+    # frame is typically a lazy read of THIS table ("purge user X's
+    # rows"), and both the delete commit and the per-version rewrites
+    # below invalidate the files its plan points at
+    keys = keys.select(table.key_cols).distinct().localCheckpoint(eager=True)
     version = table.delete(keys)
     touched = table._touched(keys)
-    key_set = F.broadcast(keys.select(table.key_cols).distinct())
+    key_set = F.broadcast(keys)
     for d in sorted(os.listdir(table.path)):
         if not d.startswith("batch="):
             continue

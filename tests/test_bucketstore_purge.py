@@ -81,3 +81,23 @@ def test_purge_is_idempotent(spark, table):
     table.purge(spark.createDataFrame([(3,)], ["k"]))  # re-run completes cleanly
     assert 3 not in _disk_keys(table)
     assert {r["k"] for r in table.read().collect()} == set(range(10)) - {3}
+
+
+def test_purge_with_keys_derived_from_the_table_itself(spark, table):
+    """The realistic erasure request: 'purge user X' selects the key set
+    FROM the table being purged. The lazy plan behind that frame gets
+    invalidated by purge's own rewrites unless purge materializes it
+    first — regression test for exactly that."""
+    rows = [(i, f"u{i % 5}") for i in range(50)]
+    table.upsert(spark.createDataFrame(rows, ["k", "v"]))
+    table.upsert(spark.createDataFrame([(3, "u3x")], ["k", "v"]))  # history
+
+    from pyspark.sql import functions as F
+
+    victim_keys = table.read().where(F.col("v") == "u2").select("k")
+    expected_gone = {k for k, v in rows if v == "u2"}
+    table.purge(victim_keys)
+
+    assert expected_gone.isdisjoint(_disk_keys(table))
+    live = {r["k"] for r in table.read().collect()}
+    assert live == set(range(50)) - expected_gone
