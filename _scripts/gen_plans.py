@@ -58,6 +58,12 @@ def main() -> None:
         "q_text_normalize",
         "q_classifier_route",
         "q_dq_checks",
+        "q_embed_matryoshka",
+        "q_lang_confusion",
+        "q_sim_mrl_rerank",
+        "q_timeseries_gapfill",
+        "q_timeseries_interpolate",
+        "q_anomaly_zscore",
     ]
     for name in HEADLINE + [x for x in extra if x in qs]:
         buf = io.StringIO()

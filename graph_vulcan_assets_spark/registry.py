@@ -67,8 +67,12 @@ def load_all() -> None:
 # orc, q_stream_sessionize, and the round-3 additions (q_corpus_shuffle,
 # q_mix_temperature, q_mix_materialize, q_length_buckets, q_quantile_filter,
 # q_vocab_topn, q_keyset_page, q_session_window, q_dedup_containment,
-# q_text_search_indexed, q_pq_codes, q_pq_adc_topk, q_recursive_cte),
-# which register after the PRIORITY block.
+# q_text_search_indexed, q_pq_codes, q_pq_adc_topk, q_recursive_cte, and —
+# late round 3 — q_quality_classifier, q_classifier_route, q_text_normalize,
+# q_text_bm25, q_dedup_semantic, q_dq_checks, q_embed_matryoshka,
+# q_lang_confusion, q_sim_mrl_rerank, q_timeseries_gapfill,
+# q_timeseries_interpolate, q_anomaly_zscore), which register after the
+# PRIORITY block.
 PRIORITY: tuple[str, ...] = (
     # -- declared window/sort keys: round-1 rows only (r2 budget spill)
     "q_win_first_seen",
