@@ -36,8 +36,13 @@ _DOMAIN = ("click", "view", "purchase")
 _MIN_ROWS = 1000
 
 
-def dq_report(e: DataFrame) -> DataFrame:
-    """(check, observed, bound, passed) — one row per expectation."""
+def dq_report(e: DataFrame, min_rows: int = _MIN_ROWS) -> DataFrame:
+    """(check, observed, bound, passed) — one row per expectation.
+
+    ``min_rows`` parameterizes the volume floor so the same contract runs
+    on full partitions (default) and on micro-batches
+    (streaming/incremental.py::gate_with_dq passes a batch-sized bound).
+    """
     m = e.agg(
         F.count("*").alias("n_rows"),
         F.count_distinct("event_id").alias("n_ids"),
@@ -63,8 +68,8 @@ def dq_report(e: DataFrame) -> DataFrame:
         check(
             "row_count_min",
             F.col("n_rows"),
-            _MIN_ROWS,
-            F.col("n_rows") >= _MIN_ROWS,
+            min_rows,
+            F.col("n_rows") >= min_rows,
         ),
         check(
             "event_id_unique",

@@ -161,3 +161,52 @@ def enrich_with_dim(stream: DataFrame, dim: DataFrame, stream_key: str = "user_i
         )
     )
     return stream.join(d, stream[stream_key] == d["__dk"], "left").drop("__dk")
+
+
+# ---- per-batch data-quality gate ----------------------------------------
+
+def gate_with_dq(
+    stream: DataFrame,
+    out_dir: str,
+    quarantine_dir: str,
+    report_dir: str,
+    checkpoint_dir: str,
+    min_rows: int = 1,
+):
+    """Admission control on a stream: evaluate the DQ contract
+    (operators/dq.py) on EVERY micro-batch; passing batches append to the
+    main sink, failing batches are diverted WHOLE to quarantine, and every
+    batch appends its (batch_id, check, observed, bound, passed) rows to
+    the report table either way.
+
+    This is the streaming shape of the batch contract: the reference
+    hard-fails per message (un-decodable → retry queue); a warehouse
+    ingest instead quarantines per batch so one bad producer deploy never
+    pollutes the published table, and the report stream is what pages the
+    on-call. Per-batch cost is the one-scan aggregate of dq_report over
+    the BATCH (never history) plus one write; idempotent under
+    foreachBatch replays because every output path is keyed by batch_id
+    (overwrite-by-path on redelivery).
+    """
+    from graph_vulcan_assets_spark.operators.dq import dq_report
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        report = dq_report(batch_df, min_rows=min_rows).withColumn(
+            "batch_id", F.lit(batch_id)
+        )
+        # batch_id-keyed dirs: a replayed batch overwrites its own output
+        # instead of double-appending (effective exactly-once)
+        report.write.mode("overwrite").parquet(
+            os.path.join(report_dir, f"batch={batch_id}")
+        )
+        ok = all(r["passed"] for r in report.collect())
+        dest = out_dir if ok else quarantine_dir
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(dest, f"batch={batch_id}")
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )
