@@ -194,3 +194,28 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.element_at("feature", 1), 6).alias("f0"),
         )
     )
+
+
+@query(
+    "q_multimodal_framesample",
+    oracle="""
+    SELECT CAST(doc_id AS BIGINT) AS media_id,
+           CAST(unnest(generate_series(0, n_chars * 10, 1000)) AS BIGINT)
+             AS frame_ts_ms
+    FROM documents WHERE doc_id % 3 = 2
+    """,
+)
+def q_multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling over the document-derived media table: each
+    video expands to its 1 Hz frame-timestamp grid.
+
+    The row-expansion half of the video pipeline proven driver-checkable:
+    sequence + explode JVM-side (frame count = duration/1000 + 1 per
+    video), with the pixel decode left to the gated kernel in
+    extract_features. Map-only; the explode amplifies only video rows and
+    only by their own duration.
+    """
+    media = media_from_documents(spark, sf_dir)
+    return frame_sample_plan(media, every_ms=1000).select(
+        "media_id", F.col("frame_ts_ms").cast("long").alias("frame_ts_ms")
+    )

@@ -168,3 +168,60 @@ def test_stream_static_enrichment_matches_batch(spark, sf_dir, tmp_path):
         for r in spark.sql("SELECT event_id, segment FROM ss_enrich").collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_maintained_hll_equals_batch_recompute(spark, sf_dir, tmp_path):
+    """Sketch state maintained over K micro-batches equals the one-shot
+    sketch over all rows — the streaming face of
+    tests/test_sketches.py's merge identity."""
+    import glob as _glob
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from graph_vulcan_assets_spark.operators.sketches import (
+        hll_leaf_sketches,
+        hll_rollup,
+    )
+    from graph_vulcan_assets_spark.streaming.incremental import (
+        maintain_hll,
+        read_hll_state,
+    )
+    from graph_vulcan_assets_spark.tables import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "src")
+    for i in range(3):
+        e.where(F.pmod(F.col("event_id"), 3) == i).coalesce(1).write.parquet(
+            _os.path.join(src, f"f{i}")
+        )
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_os.path.join(src, "*"))
+    )
+    q = maintain_hll(stream, str(tmp_path / "state"), str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    state = read_hll_state(spark, str(tmp_path / "state"))
+    # roll the maintained leaves up to event_type and compare against the
+    # single-pass recompute over the full table
+    maintained = {
+        (r["event_type"],): r["approx_distinct"]
+        for r in hll_rollup(
+            state.select("event_type", "day", "sketch", "n_rows"),
+            ["event_type"],
+        ).collect()
+    }
+    direct = {
+        (r["event_type"],): r["approx_distinct"]
+        for r in hll_rollup(
+            hll_leaf_sketches(
+                e.withColumn("day", F.to_date("ts")), ["event_type", "day"], "user_id"
+            ),
+            ["event_type"],
+        ).collect()
+    }
+    assert maintained == direct
+    # row conservation through the merge
+    assert state.agg(F.sum("n_rows")).collect()[0][0] == e.count()
