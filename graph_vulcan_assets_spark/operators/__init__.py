@@ -20,3 +20,4 @@ import graph_vulcan_assets_spark.operators.analytics  # noqa: F401
 import graph_vulcan_assets_spark.operators.sketches  # noqa: F401
 import graph_vulcan_assets_spark.operators.dq  # noqa: F401
 import graph_vulcan_assets_spark.operators.linkage  # noqa: F401
+import graph_vulcan_assets_spark.operators.scd  # noqa: F401

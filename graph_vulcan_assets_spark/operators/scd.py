@@ -1,0 +1,112 @@
+"""Slowly-changing-dimension type 2: build + incremental apply.
+
+The reference's asset store keeps exactly one live row per key and expires
+the old one on change (inventory/inventory.go upsert path) — SCD type 1.
+The type-2 form keeps the full validity history as (valid_from, valid_to]
+intervals, which is what a warehouse needs to answer "what was this
+attribute AT time t" without replaying the event log. The repo already has
+the replay/point-in-time machinery (plans/temporal.py, q_valid_at); this
+module is the dimension-table materialization of the same idea:
+
+- ``scd2_build``: batch rebuild from the full event history. Consecutive
+  equal attribute values COLLAPSE into one version (a re-assertion of the
+  same value is not a change) — one window pass to detect changes, one to
+  chain valid_to = next change's valid_from. Both windows share the same
+  (user_id) partitioning and (ts, event_id) ordering, so Catalyst plans a
+  single shuffle + sort reused by both WindowExecs.
+- ``scd2_apply``: incremental micro-batch form. Only TOUCHED keys
+  recompute (current row + new events re-collapsed); closed history rows
+  and untouched keys pass through unchanged. O(batch + touched keys'
+  current rows), never O(dimension) — the same touched-key discipline as
+  the streaming state sink (streaming/ingest.py).
+
+Determinism: same-timestamp events order by event_id (the repo-wide
+tie-break, matching the replay interpreter).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from graph_vulcan_assets_spark.registry import query
+from graph_vulcan_assets_spark.tables import load_table
+
+
+def _collapse(events: DataFrame) -> DataFrame:
+    """(user_id, attr, valid_from, valid_to, is_current) from
+    (user_id, event_type, ts, event_id): keep only rows where the value
+    changes, then chain intervals with lead()."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        events.withColumn("prev", F.lag("event_type").over(w))
+        .where(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
+        .drop("prev")
+    )
+    return changes.select(
+        "user_id",
+        F.col("event_type").alias("attr"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+    ).withColumn("is_current", F.col("valid_to").isNull())
+
+
+def scd2_build(events: DataFrame) -> DataFrame:
+    """Batch SCD2 dimension from an event log."""
+    return _collapse(events.select("user_id", "event_type", "ts", "event_id"))
+
+
+def scd2_apply(dim: DataFrame, batch: DataFrame) -> DataFrame:
+    """Apply a micro-batch of events (all strictly later than every
+    touched key's current valid_from) to an existing SCD2 dimension.
+
+    Touched keys re-collapse from (their current row as a pseudo-event) ∪
+    (their batch events); the pseudo-event sorts first via event_id = -1,
+    valid under the no-late-data contract. History rows (is_current =
+    false) and untouched keys stream through without recompute, so the
+    incremental cost tracks the batch, not the dimension.
+    """
+    touched = batch.select("user_id").distinct()
+    cur_seed = (
+        dim.where("is_current")
+        .join(touched, "user_id")
+        .select(
+            "user_id",
+            F.col("attr").alias("event_type"),
+            F.col("valid_from").alias("ts"),
+            F.lit(-1).cast("long").alias("event_id"),
+        )
+    )
+    rebuilt = _collapse(
+        cur_seed.unionByName(batch.select("user_id", "event_type", "ts", "event_id"))
+    )
+    untouched = dim.join(touched, "user_id", "left_anti")
+    history = dim.where(~F.col("is_current")).join(touched, "user_id", "left_semi")
+    return untouched.unionByName(history).unionByName(rebuilt)
+
+
+@query(
+    "q_scd2_build",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events),
+    changes AS (
+      SELECT user_id, event_type, ts, event_id
+      FROM ordered WHERE prev IS NULL OR prev <> event_type)
+    SELECT user_id,
+           event_type AS attr,
+           ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             AS is_current
+    FROM changes
+    """,
+)
+def q_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension over events: one row per (user, attribute-run),
+    validity chained, consecutive re-assertions collapsed."""
+    e = load_table(spark, sf_dir, "events")
+    return scd2_build(e)

@@ -1,0 +1,93 @@
+"""SCD2 build + incremental apply (operators/scd.py).
+
+The oracle-parity suite covers q_scd2_build's SQL equivalence; these tests
+pin the semantics pytest-side (collapse, chaining, current flags) and the
+incremental contract: apply(build(prefix), suffix) == build(all) on the
+real event log, plus the crafted edge cases (new key, no-change batch).
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from graph_vulcan_assets_spark.operators.scd import scd2_apply, scd2_build
+from graph_vulcan_assets_spark.tables import load_table
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp, event_id long"
+    )
+
+
+def _norm(df):
+    return sorted(
+        (r.user_id, r.attr, r.valid_from, r.valid_to, r.is_current)
+        for r in df.collect()
+    )
+
+
+T0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _t(minutes):
+    return T0 + datetime.timedelta(minutes=minutes)
+
+
+def test_collapse_and_chain(spark):
+    ev = _ev(
+        spark,
+        [
+            (1, "a", _t(0), 10),
+            (1, "a", _t(5), 11),  # re-assertion: collapses
+            (1, "b", _t(10), 12),
+            (1, "a", _t(20), 13),  # back to a: NEW version, not merged
+            (2, "x", _t(0), 20),
+        ],
+    )
+    assert _norm(scd2_build(ev)) == [
+        (1, "a", _t(0), _t(10), False),
+        (1, "a", _t(20), None, True),
+        (1, "b", _t(10), _t(20), False),
+        (2, "x", _t(0), None, True),
+    ]
+
+
+def test_same_ts_ties_break_on_event_id(spark):
+    ev = _ev(spark, [(1, "a", _t(0), 2), (1, "b", _t(0), 1)])
+    rows = _norm(scd2_build(ev))
+    assert rows == [
+        (1, "a", _t(0), None, True),
+        (1, "b", _t(0), _t(0), False),
+    ]
+
+
+def test_apply_equals_rebuild_on_real_log(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    cutoff = e.selectExpr(
+        "timestamp_micros(CAST(percentile_approx(unix_micros(ts), 0.6) AS BIGINT)) AS c"
+    ).first().c
+    prefix = e.where(e.ts <= cutoff)
+    suffix = e.where(e.ts > cutoff)
+    assert suffix.count() > 0 and prefix.count() > 0
+    incremental = scd2_apply(scd2_build(prefix), suffix)
+    assert _norm(incremental) == _norm(scd2_build(e))
+
+
+def test_apply_new_key_and_no_change_batch(spark):
+    base = _ev(spark, [(1, "a", _t(0), 1), (2, "x", _t(0), 2)])
+    dim = scd2_build(base)
+    batch = _ev(
+        spark,
+        [
+            (1, "a", _t(30), 5),  # same value: must NOT open a new version
+            (3, "z", _t(40), 6),  # brand-new key
+        ],
+    )
+    assert _norm(scd2_apply(dim, batch)) == [
+        (1, "a", _t(0), None, True),
+        (2, "x", _t(0), None, True),
+        (3, "z", _t(40), None, True),
+    ]
