@@ -649,3 +649,64 @@ def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("declared", "predicted")
         .agg(F.count("*").alias("n_docs"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Positional phrase search (X5 completion: ordered-adjacency form)
+# ---------------------------------------------------------------------------
+
+
+def phrase_search(docs: DataFrame, terms: list[str]) -> DataFrame:
+    """(doc_id, n_occurrences) of the exact token phrase ``terms``.
+
+    Positional postings form: posexplode the tokens, keep ONLY postings
+    for the phrase's terms (the IN-filter runs inside the explode stage,
+    before anything shuffles), normalize each term's position by its
+    phrase offset, and equi-join — a phrase occurrence at position p is
+    one (doc_id, p) key present in every term's postings. n-1 shuffle
+    joins on (doc_id, pos), no window, no regex scan of raw text.
+
+    In production the positional postings are a materialized index table;
+    this operator fuses build + probe the same way q_text_search_indexed
+    does for the unordered AND form.
+    """
+    if len(terms) < 2:
+        raise ValueError("phrase needs >= 2 terms")
+    posts = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
+    ).where(F.col("token").isin(list(set(terms))))
+    joined = None
+    for i, t in enumerate(terms):
+        part = posts.where(F.col("token") == t).select(
+            "doc_id", (F.col("pos") - i).alias("p0")
+        )
+        joined = part if joined is None else joined.join(part, ["doc_id", "p0"])
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occurrences")
+    )
+
+
+@query(
+    "q_text_search_phrase",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    posts AS (
+      SELECT doc_id,
+             unnest(range(1, len(t) + 1)) AS pos,
+             unnest(t) AS token
+      FROM toks),
+    a AS (SELECT doc_id, pos FROM posts WHERE token = 'order'),
+    b AS (SELECT doc_id, pos - 1 AS pos FROM posts WHERE token = 'fast')
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_occurrences
+    FROM a JOIN b USING (doc_id, pos)
+    GROUP BY doc_id
+    """,
+)
+def q_text_search_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase search for "order fast" over positional postings.
+
+    The phrase is chosen from the synthetic corpus' frequent bigrams so
+    the adjacency join is provably exercised at every SF (vacuity lesson
+    from round-2 ADVICE on q_join_asof_tolerance)."""
+    d = load_table(spark, sf_dir, "documents")
+    return phrase_search(d, ["order", "fast"])

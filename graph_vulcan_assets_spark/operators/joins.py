@@ -519,3 +519,121 @@ def q_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("best.p_ts").alias("purchase_ts"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Interval-overlap join (J6 completion: interval x interval form)
+# ---------------------------------------------------------------------------
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    chunk_seconds: int = 3600,
+) -> DataFrame:
+    """Join two interval relations on [start, end) overlap without a
+    nested-loop: chunk the timeline, equi-join on the chunk id, filter to
+    exact overlap.
+
+    q_join_range is the point-in-interval form; this is the
+    interval-x-interval generalization (both sides carry durations —
+    sessions vs maintenance windows, validity vs outage, etc.). Each side
+    explodes to the chunk ids its interval covers; the join is then a
+    plain shuffle equi-join on the 8-byte chunk id. A pair overlapping
+    SEVERAL chunks would duplicate, so each pair is emitted only from its
+    FIRST shared chunk (chunk == greatest(left first-chunk, right
+    first-chunk)) — dedup by construction, no distinct shuffle.
+
+    Inputs need columns (start, end) as timestamps, end exclusive; all
+    other columns pass through. Chunk width trades explode fan-out
+    against join selectivity — at 100 TB pick it near the median interval
+    length so each interval covers O(1) chunks.
+
+    Returns the overlapping pairs with left/right columns prefixed and
+    ``overlap_us`` (exact integer micros of intersection).
+    """
+    cu = chunk_seconds * 1_000_000
+
+    def chunked(df: DataFrame, prefix: str) -> DataFrame:
+        s = F.unix_micros(F.col("start"))
+        e = F.unix_micros(F.col("end"))
+        out = df.select(
+            *[F.col(c).alias(f"{prefix}{c}") for c in df.columns],
+            F.floor(s / cu).alias(f"{prefix}c0"),
+            F.explode(F.sequence(F.floor(s / cu), F.floor((e - 1) / cu))).alias("chunk"),
+        )
+        return out
+
+    l = chunked(left, "l_")
+    r = chunked(right, "r_")
+    pair_first_chunk = F.greatest(F.col("l_c0"), F.col("r_c0"))
+    overlap = (F.col("l_start") < F.col("r_end")) & (F.col("r_start") < F.col("l_end"))
+    return (
+        l.join(r, "chunk")
+        .where(overlap & (F.col("chunk") == pair_first_chunk))
+        .drop("chunk", "l_c0", "r_c0")
+        .withColumn(
+            "overlap_us",
+            F.least(F.unix_micros("l_end"), F.unix_micros("r_end"))
+            - F.greatest(F.unix_micros("l_start"), F.unix_micros("r_start")),
+        )
+    )
+
+
+@query(
+    "q_join_interval",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+                  THEN 1 ELSE 0 END AS ns
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sessioned AS (
+      SELECT user_id, ts,
+             sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sno
+      FROM marked),
+    sess AS (
+      SELECT user_id, min(ts) AS s_start, max(ts) + INTERVAL 30 MINUTE AS s_end
+      FROM sessioned GROUP BY user_id, sno),
+    win AS (
+      SELECT DISTINCT date_trunc('hour', ts) AS w_start,
+             date_trunc('hour', ts) + INTERVAL 1 HOUR AS w_end
+      FROM events WHERE event_type = 'purchase')
+    SELECT user_id,
+           s_start AS session_start,
+           w_start AS window_start,
+           CAST(least(epoch_us(s_end), epoch_us(w_end))
+                - greatest(epoch_us(s_start), epoch_us(w_start)) AS BIGINT)
+             AS overlap_us
+    FROM sess JOIN win ON s_start < w_end AND w_start < s_end
+    """,
+)
+def q_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join: 30-min-gap user sessions x hour-long
+    purchase-activity windows, both ends exclusive. Chunked equi-join on
+    hour ids — never a BNLJ (plan-guarded in tests/test_plans.py)."""
+    e = load_table(spark, sf_dir, "events")
+    sess = (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("start"),
+            F.col("w.end").alias("end"),
+        )
+    )
+    win = (
+        e.where(F.col("event_type") == "purchase")
+        .select(F.date_trunc("hour", "ts").alias("start"))
+        .distinct()
+        .select("start", (F.col("start") + F.expr("INTERVAL 1 HOUR")).alias("end"))
+    )
+    return interval_overlap_join(sess, win).select(
+        F.col("l_user_id").alias("user_id"),
+        F.col("l_start").alias("session_start"),
+        F.col("r_start").alias("window_start"),
+        "overlap_us",
+    )

@@ -97,6 +97,11 @@ ALLOW = {
     "q_timeseries_gapfill": {"cartesian"},
     "q_timeseries_interpolate": {"cartesian"},
     "q_mix_materialize": {"cartesian"},
+    # BPE training attaches the per-iteration 1-row argmax pair to the
+    # vocab via a broadcast crossJoin (kmeans-style model attach); the
+    # merges output's lineage crosses un-checkpointed iterations
+    "q_bpe_merges": {"cartesian"},
+    "q_bpe_encode": {"cartesian"},
     # the counting-rank's serial window runs over the LENGTH HISTOGRAM
     # (thousands of rows at any corpus size), not the corpus
     "q_length_buckets": {"global-window"},
