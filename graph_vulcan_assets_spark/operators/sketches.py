@@ -87,3 +87,117 @@ def q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_rollup(leaves, ["event_type"]).select(
         "event_type", "approx_distinct", "n_rows"
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch: mergeable frequency table + heavy hitters
+# ---------------------------------------------------------------------------
+
+# d hash rows × w counters. w = 256 keeps the sketch table 1024 rows —
+# broadcastable at ANY corpus size (that is the point of a sketch: the
+# summary's size is fixed while the stream is unbounded).
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+
+
+def _cms_slot(key, j: int):
+    """Deterministic row-j counter index for a key, DuckDB-reproducible.
+
+    Same md5→BIGINT bridge as llm/quality.py: Spark
+    ``conv(substring(md5(j||':'||key),1,8),16,10) % w`` equals DuckDB
+    ``CAST('0x'||substr(md5(...),1,8) AS BIGINT) % w`` — 32 hex bits fit a
+    BIGINT, so no sign/overflow divergence.
+    """
+    h = F.conv(F.substring(F.md5(F.concat(F.lit(f"{j}:"), key)), 1, 8), 16, 10)
+    return (h.cast("long") % CMS_WIDTH).alias(f"c{j}")
+
+
+def cms_build(df: DataFrame, col: str) -> DataFrame:
+    """(j, c, cnt): count-min sketch table over ``df[col]`` occurrences.
+
+    One explode (×d) + one partial-aggregated shuffle on the (row,
+    counter) pair — the map-side combine collapses each partition to at
+    most d·w cells before anything moves. The result is MERGEABLE by
+    cell-wise sum: sketches from disjoint batches (or 1000 executors'
+    partials) add, the same algebra the HLL leaf store exploits.
+    """
+    key = F.col(col).cast("string")
+    cells = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(j).alias("j"), _cms_slot(key, j).alias("c"))
+                    for j in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("s")
+    )
+    return cells.groupBy(F.col("s.j").alias("j"), F.col("s.c").alias("c")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Cell-wise sum of two sketches (missing cells are zero)."""
+    return (
+        a.unionByName(b)
+        .groupBy("j", "c")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def cms_estimate(sketch: DataFrame, keys: DataFrame, col: str) -> DataFrame:
+    """Point-frequency estimates: min over the d counters each key maps
+    to. The sketch side is d·w rows — Spark broadcasts it, so estimation
+    is a map-side join against the key relation however large it is.
+    ``est >= true count`` always (CMS never underestimates)."""
+    key = F.col(col).cast("string")
+    probes = keys.select(
+        "*",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(j).alias("j"), _cms_slot(key, j).alias("c"))
+                    for j in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("s"),
+    ).select(*keys.columns, F.col("s.j").alias("j"), F.col("s.c").alias("c"))
+    return (
+        probes.join(F.broadcast(sketch), ["j", "c"], "left")
+        .groupBy(*keys.columns)
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).cast("long").alias("est"))
+    )
+
+
+@query(
+    "q_cms_heavy_hitters",
+    oracle="""
+    WITH keyed AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events),
+    cells AS (
+      SELECT j,
+             CAST('0x' || substr(md5(j || ':' || k), 1, 8) AS BIGINT) % 256 AS c
+      FROM keyed, unnest(range(0, 4)) AS u(j)),
+    sketch AS (SELECT j, c, count(*) AS cnt FROM cells GROUP BY j, c),
+    probes AS (
+      SELECT DISTINCT user_id,
+             j,
+             CAST('0x' || substr(md5(j || ':' || CAST(user_id AS VARCHAR)), 1, 8)
+                  AS BIGINT) % 256 AS c
+      FROM events, unnest(range(0, 4)) AS u(j)),
+    est AS (
+      SELECT user_id, CAST(min(cnt) AS BIGINT) AS est
+      FROM probes JOIN sketch USING (j, c)
+      GROUP BY user_id)
+    SELECT user_id, est FROM est WHERE est >= 12
+    """,
+)
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters by count-min estimate: users whose estimated event
+    count is >= 12. Deterministic md5 slot hashing makes the whole sketch
+    DuckDB-reproducible — the oracle rebuilds the identical d×w table and
+    the identical min-over-rows estimates, collisions and all."""
+    e = load_table(spark, sf_dir, "events")
+    sketch = cms_build(e, "user_id")
+    users = e.select("user_id").distinct()
+    return cms_estimate(sketch, users, "user_id").where(F.col("est") >= 12)
