@@ -293,3 +293,66 @@ def read_hll_state(spark: SparkSession, state_dir: str) -> DataFrame:
         "n_rows",
         "sketch",
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental JOIN-view maintenance (delta-join algebra)
+# ---------------------------------------------------------------------------
+
+
+def delta_join(
+    a_old: DataFrame, da: DataFrame, b_old: DataFrame, db: DataFrame, on: list[str]
+) -> DataFrame:
+    """The micro-batch increment of a maintained inner equi-join view.
+
+    For append-only inputs, the view delta after a batch (ΔA, ΔB) is
+    exactly
+
+        ΔJ = ΔA ⋈ B_old  ∪  A_old ⋈ ΔB  ∪  ΔA ⋈ ΔB
+
+    (new-left × existing-right, existing-left × new-right, new × new; the
+    three terms are disjoint by construction, so union-all, no dedup).
+    Appending ΔJ to the stored view keeps it equal to A_new ⋈ B_new
+    without ever re-joining the historical sides — per-batch work is
+    O(Δ ⋈ matched slice), never O(|A| ⋈ |B|).
+
+    The two Δ-sided joins shuffle only the delta plus the matching keys
+    of the stored side; with the stored sides bucketed by the join key
+    (sources/bucketstore.py layout) the stored-side read prunes to the
+    touched buckets, completing the O(batch) discipline end to end. At
+    100 TB this is the difference between a join view you can maintain
+    and one you re-build nightly.
+
+    For keys hot enough to skew the Δ-side joins, AQE's skew split
+    applies as in any equi-join; the algebra is join-strategy-neutral.
+    """
+    return (
+        da.join(b_old, on)
+        .unionByName(a_old.join(db, on))
+        .unionByName(da.join(db, on))
+    )
+
+
+def maintain_join_view(
+    a_batches: list[DataFrame], b_batches: list[DataFrame], on: list[str]
+) -> DataFrame:
+    """Fold a sequence of (ΔA, ΔB) micro-batches into the maintained view.
+
+    Driver-side loop over BATCHES (not rows) — the foreachBatch shape
+    without the streaming harness, so equivalence to the full recompute
+    is testable deterministically. Returns the final view; callers in a
+    real pipeline would append each ΔJ to a stored table instead.
+    """
+    spark = (a_batches + b_batches)[0].sparkSession
+    a_cols = a_batches[0].columns
+    b_cols = b_batches[0].columns
+    a_old = spark.createDataFrame([], a_batches[0].schema)
+    b_old = spark.createDataFrame([], b_batches[0].schema)
+    view = None
+    for da, db in zip(a_batches, b_batches):
+        dj = delta_join(a_old, da, b_old, db, on)
+        view = dj if view is None else view.unionByName(dj)
+        a_old = a_old.unionByName(da).localCheckpoint(eager=True)
+        b_old = b_old.unionByName(db).localCheckpoint(eager=True)
+        view = view.localCheckpoint(eager=True)
+    return view

@@ -225,3 +225,41 @@ def test_maintained_hll_equals_batch_recompute(spark, sf_dir, tmp_path):
     assert maintained == direct
     # row conservation through the merge
     assert state.agg(F.sum("n_rows")).collect()[0][0] == e.count()
+
+
+# ---------------------------------------------------------------------------
+# Delta-join view maintenance
+# ---------------------------------------------------------------------------
+
+
+def test_delta_join_equals_full_recompute(spark, sf_dir):
+    from graph_vulcan_assets_spark.streaming.incremental import maintain_join_view
+    from graph_vulcan_assets_spark.tables import load_table
+
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"), "o_orderkey"
+    )
+    # split both inputs into 3 uneven append batches
+    ab = [e.where(F.col("event_id") % 3 == i) for i in range(3)]
+    bb = [o.where(F.col("o_orderkey") % 3 == i) for i in range(3)]
+    view = maintain_join_view(ab, bb, ["user_id"])
+    full = e.join(o, "user_id")
+    got = sorted(tuple(r) for r in view.collect())
+    want = sorted(tuple(r) for r in full.collect())
+    assert got == want and len(want) > 0
+
+
+def test_delta_join_term_disjointness(spark):
+    # overlapping keys across batches must not double-count: every view
+    # row corresponds to exactly one (a-row, b-row) pair
+    from graph_vulcan_assets_spark.streaming.incremental import maintain_join_view
+
+    a = spark.createDataFrame([(1, "a1"), (1, "a2"), (2, "a3")], "k long, av string")
+    b = spark.createDataFrame([(1, "b1"), (2, "b2"), (1, "b3")], "k long, bv string")
+    ab = [a.where("av = 'a1'"), a.where("av != 'a1'")]
+    bb = [b.where("bv = 'b3'"), b.where("bv != 'b3'")]
+    view = maintain_join_view(ab, bb, ["k"])
+    got = sorted((r.k, r.av, r.bv) for r in view.collect())
+    want = sorted((r.k, r.av, r.bv) for r in a.join(b, "k").collect())
+    assert got == want
