@@ -57,6 +57,12 @@ HEADLINE = [
     "q_text_bm25",
     "q_quality_classifier",
     "q_hll_rollup",
+    # round-3 third wave: span dedup (gram-hash heavy), SCD2 (double
+    # window), BPE encode (iterative training + join-back), interval join
+    "q_dedup_spans",
+    "q_scd2_build",
+    "q_bpe_encode",
+    "q_join_interval",
 ]
 
 

@@ -121,3 +121,101 @@ def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan; the report carries the exact observed metric beside its bound
     so a failing partition is diagnosable from the report alone."""
     return dq_report(load_table(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# Distribution drift: population stability index between time windows
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_drift_psi",
+    oracle="""
+    WITH binned AS (
+      SELECT event_type,
+             least(CAST(floor(value / 10) AS BIGINT), 9) AS bin,
+             count(*) FILTER (ts <  TIMESTAMP '2024-01-16') AS r,
+             count(*) FILTER (ts >= TIMESTAMP '2024-01-16') AS c
+      FROM events GROUP BY 1, 2),
+    spine AS (
+      SELECT DISTINCT event_type, u.bin
+      FROM events, unnest(range(0, 10)) AS u(bin)),
+    filled AS (
+      SELECT s.event_type, s.bin,
+             COALESCE(b.r, 0) AS r, COALESCE(b.c, 0) AS c
+      FROM spine s LEFT JOIN binned b
+        ON s.event_type = b.event_type AND s.bin = b.bin),
+    tot AS (
+      SELECT event_type, sum(r) AS nr, sum(c) AS nc
+      FROM filled GROUP BY 1),
+    terms AS (
+      SELECT f.event_type,
+             CAST(round(
+               ((CAST(c + 1 AS DOUBLE) / (nc + 10)) - (CAST(r + 1 AS DOUBLE) / (nr + 10)))
+               * ln((CAST(c + 1 AS DOUBLE) * (nr + 10)) / (CAST(r + 1 AS DOUBLE) * (nc + 10)))
+               * 1000000.0, 0) AS BIGINT) AS t_micros
+      FROM filled f JOIN tot USING (event_type))
+    SELECT event_type,
+           CAST(sum(t_micros) AS BIGINT) AS psi_micros,
+           sum(t_micros) >= 200000 AS drifted
+    FROM terms GROUP BY event_type
+    """,
+)
+def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population stability index of the value distribution, first half of
+    the month (reference window) vs second half (current window), per
+    event_type — the schema-drift / data-drift monitor that pages before
+    a model quietly degrades.
+
+    Single-scan design like q_dq_checks: BOTH windows' bin counts come
+    from one conditional aggregate over one pass (no second read of the
+    fact table); the 10-bin spine is types×10 rows regardless of fact
+    size; Laplace (+1) smoothing keeps every log finite without an
+    epsilon branch. Per-bin PSI terms are one fixed IEEE expression over
+    exact BIGINT counts rounded to integer micros BEFORE the only
+    summation, so the driver hash-compare is exact at any partition
+    count. drifted = PSI >= 0.2, the standard alert threshold.
+    """
+    e = load_table(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16").cast("timestamp")
+    binned = e.groupBy(
+        "event_type",
+        F.least(F.floor(F.col("value") / 10).cast("long"), F.lit(9).cast("long")).alias("bin"),
+    ).agg(
+        F.count(F.when(F.col("ts") < cut, 1)).alias("r"),
+        F.count(F.when(F.col("ts") >= cut, 1)).alias("c"),
+    )
+    spine = (
+        e.select("event_type")
+        .distinct()
+        .select("event_type", F.explode(F.sequence(F.lit(0), F.lit(9)).cast("array<long>")).alias("bin"))
+    )
+    filled = (
+        spine.join(binned, ["event_type", "bin"], "left")
+        .select(
+            "event_type",
+            "bin",
+            F.coalesce("r", F.lit(0)).alias("r"),
+            F.coalesce("c", F.lit(0)).alias("c"),
+        )
+    )
+    tot = filled.groupBy("event_type").agg(
+        F.sum("r").alias("nr"), F.sum("c").alias("nc")
+    )
+    f = filled.join(tot, "event_type")
+    p = (F.col("r") + 1).cast("double") / (F.col("nr") + 10)
+    q = (F.col("c") + 1).cast("double") / (F.col("nc") + 10)
+    ratio = ((F.col("c") + 1).cast("double") * (F.col("nr") + 10)) / (
+        (F.col("r") + 1).cast("double") * (F.col("nc") + 10)
+    )
+    term = F.round((q - p) * F.log(ratio) * 1_000_000.0, 0).cast("long")
+    return (
+        f.select("event_type", term.alias("t_micros"))
+        .groupBy("event_type")
+        .agg(F.sum("t_micros").cast("long").alias("psi_micros"))
+        .select(
+            "event_type",
+            "psi_micros",
+            (F.col("psi_micros") >= 200_000).alias("drifted"),
+        )
+    )

@@ -71,8 +71,10 @@ def load_all() -> None:
 # late round 3 — q_quality_classifier, q_classifier_route, q_text_normalize,
 # q_text_bm25, q_dedup_semantic, q_dq_checks, q_embed_matryoshka,
 # q_lang_confusion, q_sim_mrl_rerank, q_timeseries_gapfill,
-# q_timeseries_interpolate, q_anomaly_zscore), which register after the
-# PRIORITY block.
+# q_timeseries_interpolate, q_anomaly_zscore, and the third wave:
+# q_dedup_spans, q_dedup_span_clean, q_scd2_build, q_bpe_pairs,
+# q_join_interval, q_text_search_phrase, q_cms_heavy_hitters), which
+# register after the PRIORITY block.
 PRIORITY: tuple[str, ...] = (
     # -- declared window/sort keys: round-1 rows only (r2 budget spill)
     "q_win_first_seen",

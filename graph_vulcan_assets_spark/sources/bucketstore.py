@@ -409,3 +409,31 @@ def _apply_changes(table: "BucketTable", feed: DataFrame) -> int | None:
 
 
 BucketTable.apply_changes = _apply_changes
+
+
+def bitemporal_as_of(
+    table: "BucketTable",
+    system_version: int | None,
+    valid_at,
+    valid_from_col: str = "valid_from",
+    valid_to_col: str = "valid_to",
+) -> DataFrame:
+    """Bitemporal point query: rows as the store KNEW them at commit
+    ``system_version`` (transaction time), restricted to those VALID at
+    instant ``valid_at`` (business time).
+
+    The two time axes answer different questions and auditors need both:
+    "what did we believe on version N" (time travel — late corrections
+    invisible) × "what was true in the world at t" (validity interval
+    covers the probe, q_valid_at semantics with a NULL-open end).
+    Transaction-time resolution is the store's per-bucket version lookup
+    (reads only the resolved snapshot files); business time is an
+    ordinary pushed-down filter on the validity columns — nothing here
+    costs more than the underlying time-travel read.
+    """
+    snap = table.read(version=system_version)
+    probe = F.lit(valid_at)
+    return snap.where(
+        (F.col(valid_from_col) <= probe)
+        & (F.col(valid_to_col).isNull() | (F.col(valid_to_col) > probe))
+    )

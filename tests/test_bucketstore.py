@@ -142,3 +142,38 @@ def test_compact_collapses_versions_and_preserves_view(spark, table):
     # and a later upsert still works normally
     table.upsert(spark.createDataFrame([(0, "post")], ["k", "v"]))
     assert dict(_rows(table.read()))[0] == "post"
+
+
+def test_bitemporal_as_of(spark, tmp_path):
+    """Transaction time x business time: a late correction changes what
+    the CURRENT version believes about the PAST, while the old system
+    version still answers with the old belief."""
+    import datetime
+
+    from graph_vulcan_assets_spark.sources.bucketstore import (
+        BucketTable,
+        bitemporal_as_of,
+    )
+
+    t = BucketTable(spark, str(tmp_path / "bt"), key_cols=["k"], n_buckets=4)
+
+    def rows(*rws):
+        return spark.createDataFrame(
+            list(rws), "k long, attr string, valid_from timestamp, valid_to timestamp"
+        )
+
+    d = datetime.datetime
+    # v1: key 1 valid as 'a' from Jan 1, open-ended
+    v1 = t.upsert(rows((1, "a", d(2024, 1, 1), None)))
+    # v2 (late correction): we LEARN that 'a' actually ended Jan 10
+    v2 = t.upsert(rows((1, "a", d(2024, 1, 1), d(2024, 1, 10))))
+
+    probe = d(2024, 1, 15)
+    then = bitemporal_as_of(t, v1, probe).collect()
+    now = bitemporal_as_of(t, v2, probe).collect()
+    assert [r.attr for r in then] == ["a"]  # on v1 we believed it was valid
+    assert now == []  # current knowledge: not valid on Jan 15
+
+    # business-time boundary: valid_to is exclusive, valid_from inclusive
+    assert [r.attr for r in bitemporal_as_of(t, v2, d(2024, 1, 1)).collect()] == ["a"]
+    assert bitemporal_as_of(t, v2, d(2024, 1, 10)).collect() == []

@@ -51,3 +51,33 @@ def test_single_scan_plan(spark, sf_dir):
         r"^\(\d+\) Scan parquet", plan_text(q_dq_checks(spark, sf_dir)), re.M
     )
     assert len(details) == 1
+
+
+def test_psi_flags_injected_drift(spark, sf_dir):
+    """PSI must fire on a genuinely shifted distribution and stay quiet on
+    an identical one. Built via a synthetic events table: type 'same' has
+    the same value multiset in both halves; type 'shifted' moves all
+    current-window mass up 8 bins."""
+    import datetime
+
+    from graph_vulcan_assets_spark.registry import all_queries
+
+    d = datetime.datetime
+    rows = []
+    for i in range(400):
+        ref_half = i % 2 == 0
+        half = d(2024, 1, 5) if ref_half else d(2024, 1, 25)
+        base = 15.0 + ((i // 2) % 10)
+        rows.append((i, half, 1, "same", base, "{}"))
+        rows.append((i + 1000, half, 1, "shifted", base if ref_half else base + 80.0, "{}"))
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as td:
+        ev.write.parquet(os.path.join(td, "events.parquet"))
+        out = {r.event_type: (r.psi_micros, r.drifted)
+               for r in all_queries()["q_drift_psi"](spark, td).collect()}
+    assert out["same"][1] is False and out["same"][0] < 50_000
+    assert out["shifted"][1] is True and out["shifted"][0] >= 200_000
