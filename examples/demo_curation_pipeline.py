@@ -52,6 +52,22 @@ def main() -> None:
     n1 = deduped.count()
     print(f"after dedup: {n1} (-{n0 - n1})")
 
+    # 1b. exact-substring span cleanup: shared >=8-token passages removed
+    # from every non-owner survivor (doc-level dedup can't catch these)
+    from graph_vulcan_assets_spark.llm import spans as spans_mod
+
+    n_spanned_raw = (
+        spans_mod.duplicated_spans(docs).select("doc_id").distinct().count()
+    )
+    n_spanned_left = (
+        spans_mod.duplicated_spans(docs.join(deduped, "doc_id"))
+        .select("doc_id").distinct().count()
+    )
+    print(
+        f"span cleanup: {n_spanned_raw} raw docs carried shared passages; "
+        f"{n_spanned_left} remain after doc-level dedup (would be excised)"
+    )
+
     # 2. quality + repetition gates
     quality_ok = (
         qs["q_text_quality"](spark, sf_dir).where("passes_quality").select("doc_id")
@@ -108,6 +124,16 @@ def main() -> None:
     shards = order.groupBy("shard").agg(F.count("*").alias("n")).orderBy("shard")
     sizes = [r["n"] for r in shards.collect()]
     print(f"training order: {len(sizes)} shards, sizes {min(sizes)}..{max(sizes)}")
+
+    # 8. tokenizer budget report: train a 12-merge BPE on the clean set
+    # and report the token budget vs the character baseline
+    from graph_vulcan_assets_spark.llm import bpe
+
+    merges_df, vocab = bpe.bpe_train(clean.join(docs, "doc_id"), 12)
+    enc = vocab.select(F.col("cnt") * F.size("syms"), F.col("cnt") * F.length("w"))
+    tot_bpe, tot_char = enc.groupBy().sum().collect()[0]
+    print(f"tokenizer: 12 merges learned; {tot_bpe} BPE tokens vs {tot_char} chars "
+          f"({100.0 * tot_bpe / tot_char:.1f}%)")
 
 
 if __name__ == "__main__":
