@@ -56,30 +56,32 @@ def scd2_build(events: DataFrame) -> DataFrame:
     return _collapse(events.select("user_id", "event_type", "ts", "event_id"))
 
 
+def _rebuild_touched(current_rows: DataFrame, batch: DataFrame) -> DataFrame:
+    """Re-collapse the touched keys' timelines: their current dimension
+    rows re-enter as pseudo-events (event_id = -1 sorts them first, valid
+    under the no-late-data contract) unioned with the batch events."""
+    cur_seed = current_rows.select(
+        "user_id",
+        F.col("attr").alias("event_type"),
+        F.col("valid_from").alias("ts"),
+        F.lit(-1).cast("long").alias("event_id"),
+    )
+    return _collapse(
+        cur_seed.unionByName(batch.select("user_id", "event_type", "ts", "event_id"))
+    )
+
+
 def scd2_apply(dim: DataFrame, batch: DataFrame) -> DataFrame:
     """Apply a micro-batch of events (all strictly later than every
     touched key's current valid_from) to an existing SCD2 dimension.
 
     Touched keys re-collapse from (their current row as a pseudo-event) ∪
-    (their batch events); the pseudo-event sorts first via event_id = -1,
-    valid under the no-late-data contract. History rows (is_current =
-    false) and untouched keys stream through without recompute, so the
-    incremental cost tracks the batch, not the dimension.
+    (their batch events); history rows (is_current = false) and untouched
+    keys stream through without recompute, so the incremental cost tracks
+    the batch, not the dimension.
     """
     touched = batch.select("user_id").distinct()
-    cur_seed = (
-        dim.where("is_current")
-        .join(touched, "user_id")
-        .select(
-            "user_id",
-            F.col("attr").alias("event_type"),
-            F.col("valid_from").alias("ts"),
-            F.lit(-1).cast("long").alias("event_id"),
-        )
-    )
-    rebuilt = _collapse(
-        cur_seed.unionByName(batch.select("user_id", "event_type", "ts", "event_id"))
-    )
+    rebuilt = _rebuild_touched(dim.where("is_current").join(touched, "user_id"), batch)
     untouched = dim.join(touched, "user_id", "left_anti")
     history = dim.where(~F.col("is_current")).join(touched, "user_id", "left_semi")
     return untouched.unionByName(history).unionByName(rebuilt)
@@ -110,3 +112,72 @@ def q_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     validity chained, consecutive re-assertions collapsed."""
     e = load_table(spark, sf_dir, "events")
     return scd2_build(e)
+
+
+class Scd2Store:
+    """Persisted, incrementally-maintained SCD2 dimension over two
+    BucketTables (sources/bucketstore.py) — the streaming face of
+    ``scd2_apply``.
+
+    Split by mutability, which is what makes every write O(batch):
+
+    - ``current``: one live row per key, keyed by user_id — the only rows
+      an incoming batch ever needs to READ, found via bucket-pruned reads
+      on the batch's own keys;
+    - ``history``: closed rows, keyed by (user_id, valid_from). A closed
+      row never changes again, so re-upserting it on an at-least-once
+      redelivery is a byte-identical no-op.
+
+    Crash contract (same marker-last discipline as the state sink): apply
+    commits history FIRST, then current. A crash between the two leaves
+    the old current row in place, so re-applying the same batch re-derives
+    the SAME rebuilt rows — the duplicate history upsert is idempotent and
+    the current upsert completes. Pinned by tests/test_scd.py.
+    """
+
+    def __init__(self, spark: SparkSession, path: str, n_buckets: int = 16):
+        from graph_vulcan_assets_spark.sources.bucketstore import BucketTable
+
+        self.spark = spark
+        self.current = BucketTable(
+            spark, f"{path}/current", key_cols=["user_id"], n_buckets=n_buckets
+        )
+        self.history = BucketTable(
+            spark,
+            f"{path}/history",
+            key_cols=["user_id", "valid_from"],
+            n_buckets=n_buckets,
+        )
+
+    _DIM_SCHEMA = (
+        "user_id long, attr string, valid_from timestamp, "
+        "valid_to timestamp, is_current boolean"
+    )
+
+    def _current_of(self, touched_keys: DataFrame) -> DataFrame:
+        if not self.current.commits():
+            return self.spark.createDataFrame([], self._DIM_SCHEMA)
+        buckets = self.current._touched(touched_keys)
+        return self.current.read(buckets=buckets).join(touched_keys, "user_id")
+
+    def apply(self, batch: DataFrame) -> None:
+        """Fold one micro-batch of (user_id, event_type, ts, event_id)
+        into the dimension. Reads only the touched keys' current-row
+        buckets; writes only the touched keys' rows."""
+        touched = batch.select("user_id").distinct().localCheckpoint(eager=True)
+        rebuilt = _rebuild_touched(self._current_of(touched), batch).localCheckpoint(
+            eager=True
+        )
+        closed = rebuilt.where(~F.col("is_current"))
+        self.history.upsert(closed)
+        self.current.upsert(rebuilt.where("is_current"))
+
+    def read(self) -> DataFrame:
+        cur = (
+            self.current.read()
+            if self.current.commits()
+            else self.spark.createDataFrame([], self._DIM_SCHEMA)
+        )
+        if not self.history.commits():
+            return cur
+        return self.history.read().unionByName(cur)
