@@ -219,3 +219,33 @@ def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("psi_micros") >= 200_000).alias("drifted"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Observed writes: pipeline metrics from the write pass itself
+# ---------------------------------------------------------------------------
+
+
+def observed_write(df: DataFrame, path: str, metrics: dict[str, "F.Column"] | None = None) -> dict:
+    """Write ``df`` to parquet while collecting side-channel metrics from
+    the SAME pass via the Observation API — no second scan.
+
+    q_dq_checks answers "is this table healthy" with its own aggregate
+    job; a pipeline ALSO wants per-write telemetry (rows written, null
+    rates, value bounds) without paying a second read of what it just
+    computed. ``df.observe`` attaches the aggregates to the write job
+    itself — at 100 TB that is a free audit row vs a duplicated scan.
+
+    Returns the observed metric dict. Default metrics: row count.
+    Constraint inherited from the Observation API: DISTINCT aggregates are
+    rejected — use approx_count_distinct for cardinality telemetry.
+    """
+    from pyspark.sql import Observation
+
+    if metrics is None:
+        metrics = {"n_rows": F.count(F.lit(1))}
+    obs = Observation()
+    names = list(metrics)
+    observed = df.observe(obs, *[metrics[n].alias(n) for n in names])
+    observed.write.mode("overwrite").parquet(path)
+    return dict(obs.get)

@@ -81,3 +81,29 @@ def test_psi_flags_injected_drift(spark, sf_dir):
                for r in all_queries()["q_drift_psi"](spark, td).collect()}
     assert out["same"][1] is False and out["same"][0] < 50_000
     assert out["shifted"][1] is True and out["shifted"][0] >= 200_000
+
+
+def test_observed_write_metrics_match_separate_scan(spark, sf_dir, tmp_path):
+    from graph_vulcan_assets_spark.operators.dq import observed_write
+    from graph_vulcan_assets_spark.tables import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    got = observed_write(
+        e,
+        str(tmp_path / "out"),
+        {
+            "n_rows": F.count(F.lit(1)),
+            "n_users": F.approx_count_distinct(F.col("user_id")),
+            "max_value": F.max("value"),
+        },
+    )
+    want = e.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.approx_count_distinct(F.col("user_id")).alias("n_users"),
+        F.max("value").alias("max_value"),
+    ).first()
+    assert got["n_rows"] == want.n_rows
+    assert got["n_users"] == want.n_users
+    assert got["max_value"] == want.max_value
+    # and the write itself is complete
+    assert spark.read.parquet(str(tmp_path / "out")).count() == want.n_rows

@@ -1,0 +1,64 @@
+"""Plan-fingerprint result cache (plans/cache.py)."""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import functions as F
+
+from graph_vulcan_assets_spark.plans.cache import ResultCache, plan_fingerprint
+from graph_vulcan_assets_spark.tables import load_table
+
+
+def _q(spark, src):
+    return (
+        spark.read.parquet(src)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def test_fingerprint_stable_across_rebuilds_and_sensitive_to_query(spark, sf_dir):
+    e1 = load_table(spark, sf_dir, "events").where("user_id > 5").select("event_id")
+    e2 = load_table(spark, sf_dir, "events").where("user_id > 5").select("event_id")
+    e3 = load_table(spark, sf_dir, "events").where("user_id > 6").select("event_id")
+    assert plan_fingerprint(e1) == plan_fingerprint(e2)
+    assert plan_fingerprint(e1) != plan_fingerprint(e3)
+
+
+def test_hit_serves_materialized_result_and_data_change_invalidates(spark, tmp_path):
+    src = str(tmp_path / "src")
+    rows1 = [(i, "a" if i % 2 == 0 else "b") for i in range(100)]
+    spark.createDataFrame(rows1, "event_id long, event_type string").write.mode(
+        "overwrite"
+    ).parquet(src)
+
+    cache = ResultCache(spark, str(tmp_path / "cache"))
+    q = _q(spark, src)
+    assert cache.lookup(q) is None
+    first = {r.event_type: r.n for r in cache.get_or_compute(q).collect()}
+    assert first == {"a": 50, "b": 50}
+
+    # mutate the backing data; a STALE fingerprint would keep serving the
+    # old counts — re-fingerprinting the same plan must now miss
+    time.sleep(0.01)
+    rows2 = [(i, "a") for i in range(30)]
+    spark.createDataFrame(rows2, "event_id long, event_type string").write.mode(
+        "overwrite"
+    ).parquet(src)
+    q2 = _q(spark, src)
+    assert cache.lookup(q2) is None
+    assert {r.event_type: r.n for r in cache.get_or_compute(q2).collect()} == {"a": 30}
+
+    # crash-safety: a data dir without its marker is a miss
+    fp_dirs = [d for d in os.listdir(str(tmp_path / "cache")) if not d.endswith(".ok")]
+    assert fp_dirs
+    marker = os.path.join(str(tmp_path / "cache"), fp_dirs[0] + ".ok")
+    os.remove(marker)
+    q3 = _q(spark, src)
+    # whichever entry lost its marker, lookups still never return a
+    # truncated hit (missing marker == miss)
+    hit = cache.lookup(q3)
+    if hit is not None:
+        assert {r.event_type: r.n for r in hit.collect()} == {"a": 30}
