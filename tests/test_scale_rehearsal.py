@@ -34,10 +34,19 @@ BASE_SF = (
     if os.path.isdir(_PREFERRED)
     else os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 )
-# the five most expensive bench entries that exercise distinct shapes:
+# the most expensive bench entries that exercise distinct shapes:
 # bucketed range join, as-of partial-agg join, MinHash band join, a
-# six-table TPC-H shape, and the iterative centroid loop
-REHEARSAL = ["q_join_range", "q_join_asof", "q_dedup_near", "q_shape_q5", "q_kmeans_assign"]
+# six-table TPC-H shape, the iterative centroid loop, the gram-hash span
+# dedup (explode-heavy), and the double-window SCD2 collapse
+REHEARSAL = [
+    "q_join_range",
+    "q_join_asof",
+    "q_dedup_near",
+    "q_shape_q5",
+    "q_kmeans_assign",
+    "q_dedup_spans",
+    "q_scd2_build",
+]
 
 
 def _replicate(df, i: int):
