@@ -1,0 +1,171 @@
+"""Custom Python DataSource (Spark 4 API) exposing BucketTable natively:
+
+    spark.dataSource.register(BucketTableDataSource)
+    spark.read.format("buckettable").option("path", p).load()
+
+What the integration buys over ``BucketTable.read()``:
+
+- **Partition planning**: one InputPartition per live bucket, so a read
+  parallelizes across buckets like any file source — and the planner sees
+  the real unit of storage.
+- **Metadata-level bucket pruning**: an equality filter on a single
+  BIGINT key column resolves to ONE bucket before any file opens. The
+  key-to-bucket hash is a pure-Python reimplementation of Spark's
+  ``xxhash64`` for a long (verified bit-identical against the JVM in
+  tests/test_pyds.py), so driver-side Python computes exactly the bucket
+  the JVM writer used. ``pushFilters`` keeps every filter "unsupported"
+  (Spark still applies them), pruning is planning-only — a wrong prune
+  would be a correctness bug, an unnecessary one only a missed
+  optimization, and the test pins both directions.
+- **Arrow-batch reads**: each partition yields pyarrow RecordBatches
+  straight from the bucket's parquet files — no Python row loop.
+
+Time travel passes through: ``option("version", N)`` reads the view as of
+commit N, same resolution rule as ``BucketTable.read(version=)``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    InputPartition,
+)
+from pyspark.sql.types import StructType
+
+# --- Spark-compatible xxhash64 of a single BIGINT (seed 42) ---------------
+
+_M = (1 << 64) - 1
+_P1 = 0x9E3779B185EBCA87
+_P2 = 0xC2B2AE3D27D4EB4F
+_P3 = 0x165667B19E3779F9
+_P4 = 0x85EBCA77C2B2AE63
+_P5 = 0x27D4EB2F165667C5
+
+
+def _rotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M
+
+
+def xxhash64_long(value: int, seed: int = 42) -> int:
+    """Bit-identical to Spark's ``xxhash64(<bigint col>)`` (XXH64 of the
+    8-byte value with Spark's default seed 42); returns a signed 64-bit
+    int like the JVM."""
+    v = value & _M
+    h = (seed + _P5 + 8) & _M
+    k1 = _rotl((v * _P2) & _M, 31)
+    h ^= (k1 * _P1) & _M
+    h = (_rotl(h, 27) * _P1 + _P4) & _M
+    h ^= h >> 33
+    h = (h * _P2) & _M
+    h ^= h >> 29
+    h = (h * _P3) & _M
+    h ^= h >> 32
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def bucket_of_long(value: int, n_buckets: int) -> int:
+    """``pmod(xxhash64(value), n)`` — the writer's bucket assignment.
+    Python's ``%`` on a negative hash already matches pmod (non-negative
+    result), unlike the JVM's ``%``."""
+    return xxhash64_long(value) % n_buckets
+
+
+# --- metadata resolution (no SparkSession: driver-side planning only) -----
+
+
+def _load_meta(path: str) -> dict:
+    with open(os.path.join(path, "_meta.json")) as f:
+        return json.load(f)
+
+
+def _commits(path: str) -> list[int]:
+    d = os.path.join(path, "_commits")
+    return sorted(int(f) for f in os.listdir(d) if f.isdigit())
+
+
+def _bucket_versions(path: str, as_of: int | None) -> dict[int, int]:
+    committed = set(_commits(path))
+    if as_of is not None:
+        committed = {c for c in committed if c <= as_of}
+    out: dict[int, int] = {}
+    for d in os.listdir(path):
+        if not d.startswith("batch="):
+            continue
+        v = int(d.split("=", 1)[1])
+        if v not in committed:
+            continue
+        for bd in os.listdir(os.path.join(path, d)):
+            if bd.startswith("bucket="):
+                b = int(bd.split("=", 1)[1])
+                if b not in out or v > out[b]:
+                    out[b] = v
+    return out
+
+
+class _BucketPartition(InputPartition):
+    def __init__(self, directory: str):
+        self.directory = directory
+
+
+class BucketTableReader(DataSourceReader):
+    def __init__(self, schema: StructType, options: dict):
+        self.schema = schema
+        self.path = options["path"]
+        self.version = int(options["version"]) if "version" in options else None
+        meta = _load_meta(self.path)
+        self.key_cols = list(meta["key_cols"])
+        self.n_buckets = int(meta["n_buckets"])
+        self._pruned: set[int] | None = None
+        key_fields = {f.name: f.dataType.simpleString() for f in schema.fields}
+        self._prunable = (
+            len(self.key_cols) == 1 and key_fields.get(self.key_cols[0]) == "bigint"
+        )
+
+    def pushFilters(self, filters):  # noqa: N802 (API name)
+        for f in filters:
+            if (
+                self._prunable
+                and isinstance(f, EqualTo)
+                and list(f.attribute) == [self.key_cols[0]]
+                and isinstance(f.value, int)
+            ):
+                self._pruned = {bucket_of_long(f.value, self.n_buckets)}
+            # every filter is reported unsupported: Spark re-applies them
+            # all, so pruning can only skip work, never change results
+            yield f
+
+    def partitions(self):
+        versions = _bucket_versions(self.path, self.version)
+        if self._pruned is not None:
+            versions = {b: v for b, v in versions.items() if b in self._pruned}
+        return [
+            _BucketPartition(os.path.join(self.path, f"batch={v}", f"bucket={b}"))
+            for b, v in sorted(versions.items())
+        ]
+
+    def read(self, partition: _BucketPartition) -> Iterator:
+        import pyarrow.dataset as pads
+
+        ds = pads.dataset(partition.directory, format="parquet")
+        arrow_schema = ds.schema
+        cols = [f.name for f in self.schema.fields if f.name in arrow_schema.names]
+        yield from ds.to_batches(columns=cols)
+
+
+class BucketTableDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "buckettable"
+
+    def schema(self):
+        meta = _load_meta(self.options["path"])
+        return StructType.fromJson(json.loads(meta["schema"]))
+
+    def reader(self, schema: StructType) -> BucketTableReader:
+        return BucketTableReader(schema, dict(self.options))
