@@ -35,6 +35,7 @@ from pyspark.sql.datasource import (
     DataSourceReader,
     EqualTo,
     InputPartition,
+    SimpleDataSourceStreamReader,
 )
 from pyspark.sql.types import StructType
 
@@ -169,3 +170,107 @@ class BucketTableDataSource(DataSource):
 
     def reader(self, schema: StructType) -> BucketTableReader:
         return BucketTableReader(schema, dict(self.options))
+
+
+# ---------------------------------------------------------------------------
+# Streaming: commit-tail change feed (readStream.format("buckettable-cdf"))
+# ---------------------------------------------------------------------------
+
+
+def _read_bucket_dir(directory: str):
+    import pyarrow.dataset as pads
+
+    return pads.dataset(directory, format="parquet").to_table().to_pylist()
+
+
+def diff_commits(path: str, key_cols: list[str], start: int | None, end: int) -> list[tuple]:
+    """Row-level diff between committed views (pure driver-side Python —
+    the planning-only mirror of ``BucketTable.changes``): one tuple per
+    key whose value differs, ``(*key, change_type, *after_values)`` with
+    None after-values on delete. Only buckets whose resolved version
+    differs are opened."""
+    vs = _bucket_versions(path, start) if start is not None and start >= 0 else {}
+    ve = _bucket_versions(path, end)
+    changed = {b for b in set(vs) | set(ve) if vs.get(b) != ve.get(b)}
+    meta = _load_meta(path)
+    schema = json.loads(meta["schema"])
+    all_cols = [f["name"] for f in schema["fields"]]
+    val_cols = [c for c in all_cols if c not in key_cols]
+    out: list[tuple] = []
+    for b in sorted(changed):
+        old_rows = (
+            _read_bucket_dir(os.path.join(path, f"batch={vs[b]}", f"bucket={b}"))
+            if b in vs
+            else []
+        )
+        new_rows = (
+            _read_bucket_dir(os.path.join(path, f"batch={ve[b]}", f"bucket={b}"))
+            if b in ve
+            else []
+        )
+        old_by_key = {tuple(r[k] for k in key_cols): r for r in old_rows}
+        new_by_key = {tuple(r[k] for k in key_cols): r for r in new_rows}
+        for key in sorted(set(old_by_key) | set(new_by_key), key=repr):
+            o, n = old_by_key.get(key), new_by_key.get(key)
+            if o is None:
+                out.append((*key, "insert", *[n[c] for c in val_cols]))
+            elif n is None:
+                out.append((*key, "delete", *[None for _ in val_cols]))
+            elif any(o[c] != n[c] for c in val_cols):
+                out.append((*key, "update", *[n[c] for c in val_cols]))
+    return out
+
+
+class BucketTableStreamReader(SimpleDataSourceStreamReader):
+    def __init__(self, options: dict):
+        self.path = options["path"]
+        self.key_cols = list(_load_meta(self.path)["key_cols"])
+
+    def initialOffset(self) -> dict:  # noqa: N802
+        return {"commit": -1}
+
+    def read(self, start: dict):
+        commits = _commits(self.path)
+        last = commits[-1] if commits else -1
+        if last <= start["commit"]:
+            return iter([]), start
+        rows = diff_commits(self.path, self.key_cols, start["commit"], last)
+        return iter(rows), {"commit": last}
+
+    def readBetweenOffsets(self, start: dict, end: dict):  # noqa: N802
+        return iter(
+            diff_commits(self.path, self.key_cols, start["commit"], end["commit"])
+        )
+
+
+class BucketTableChangeFeedSource(DataSource):
+    """``spark.readStream.format("buckettable-cdf")``: tail a BucketTable's
+    commits as a change stream — (keys, change_type, after-values), one
+    micro-batch per group of new commits. Offsets are commit ids, so
+    checkpoint recovery replays exactly the committed range
+    (``readBetweenOffsets``); the marker-last commit protocol means a
+    half-written version is never visible to the tail. Driver-side reads
+    follow the SimpleDataSourceStreamReader contract — sized for change
+    feeds (the touched slice), not full-table scans."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "buckettable-cdf"
+
+    def schema(self):
+        meta = _load_meta(self.options["path"])
+        table_schema = StructType.fromJson(json.loads(meta["schema"]))
+        key_cols = list(meta["key_cols"])
+        from pyspark.sql.types import StringType, StructField
+
+        fields = [f for f in table_schema.fields if f.name in key_cols]
+        fields.append(StructField("change_type", StringType(), False))
+        fields += [
+            StructField(f.name, f.dataType, True)
+            for f in table_schema.fields
+            if f.name not in key_cols
+        ]
+        return StructType(fields)
+
+    def simpleStreamReader(self, schema: StructType):  # noqa: N802
+        return BucketTableStreamReader(dict(self.options))
