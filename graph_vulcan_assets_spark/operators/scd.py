@@ -181,3 +181,30 @@ class Scd2Store:
         if not self.history.commits():
             return cur
         return self.history.read().unionByName(cur)
+
+
+def run_scd2_stream(
+    store: Scd2Store, input_dir: str, schema, checkpoint_dir: str
+):
+    """Maintain the Scd2Store from a file stream via foreachBatch — one
+    ``apply`` per micro-batch, checkpointed, availableNow. The store's
+    redelivery idempotence (apply of a re-run batch is a no-op) is what
+    makes the at-least-once foreachBatch contract safe here, exactly as
+    in CorpusIngest (streaming/corpus_ingest.py)."""
+    raw = (
+        store.spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+    )
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        store.apply(batch_df.select("user_id", "event_type", "ts", "event_id"))
+
+    return (
+        raw.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

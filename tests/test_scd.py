@@ -160,3 +160,29 @@ def test_store_crash_between_history_and_current_heals(spark, tmp_path):
         (1, "a", _t(0), _t(10), False),
         (1, "b", _t(10), None, True),
     ]
+
+
+def test_scd2_stream_end_to_end(spark, sf_dir, tmp_path):
+    """Structured Streaming harness: file-stream the event log in 3
+    chronological chunks through foreachBatch; the maintained store must
+    equal the batch rebuild."""
+    from graph_vulcan_assets_spark.operators.scd import Scd2Store, run_scd2_stream
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    cuts = e.selectExpr(
+        "timestamp_micros(CAST(percentile_approx(unix_micros(ts), 0.33) AS BIGINT)) AS a",
+        "timestamp_micros(CAST(percentile_approx(unix_micros(ts), 0.66) AS BIGINT)) AS b",
+    ).first()
+    src = str(tmp_path / "src")
+    # lexicographic file order must match event-time order (the stream's
+    # no-late-data contract): maxFilesPerTrigger=1 consumes b0, b1, b2
+    e.where(e.ts <= cuts.a).coalesce(1).write.parquet(f"{src}/b0")
+    e.where((e.ts > cuts.a) & (e.ts <= cuts.b)).coalesce(1).write.parquet(f"{src}/b1")
+    e.where(e.ts > cuts.b).coalesce(1).write.parquet(f"{src}/b2")
+
+    store = Scd2Store(spark, str(tmp_path / "scd2"), n_buckets=8)
+    q = run_scd2_stream(store, src + "/b*", e.schema, str(tmp_path / "ckpt"))
+    assert q.awaitTermination(300), "scd2 stream did not finish"
+    assert _store_norm(store) == _norm(scd2_build(e))
