@@ -54,7 +54,12 @@ class BucketTable:
         key_cols: list[str],
         n_buckets: int = 32,
         keep_versions: int = 2,
+        bucket_cols: list[str] | None = None,
     ):
+        """``bucket_cols`` (default: the key) chooses which key PREFIX the
+        bucket hash uses. A proper prefix lets point lookups on that
+        prefix prune to one bucket while the full key still governs
+        upsert/delete identity — the secondary-index layout."""
         self.spark = spark
         self.path = path
         self.key_cols = list(key_cols)
@@ -66,9 +71,13 @@ class BucketTable:
             # bucket count or key would re-home existing rows
             self.n_buckets = int(meta["n_buckets"])
             self.key_cols = list(meta["key_cols"])
+            self.bucket_cols = list(meta.get("bucket_cols", self.key_cols))
             self._schema = StructType.fromJson(json.loads(meta["schema"]))
         else:
             self.n_buckets = n_buckets
+            self.bucket_cols = list(bucket_cols) if bucket_cols else list(key_cols)
+            if not set(self.bucket_cols) <= set(self.key_cols):
+                raise ValueError("bucket_cols must be a subset of key_cols")
             self._schema = None
 
     # ---- metadata -------------------------------------------------------
@@ -89,6 +98,7 @@ class BucketTable:
                 {
                     "n_buckets": self.n_buckets,
                     "key_cols": self.key_cols,
+                    "bucket_cols": self.bucket_cols,
                     "schema": self._schema.json(),
                 },
                 f,
@@ -100,7 +110,7 @@ class BucketTable:
         return sorted(int(f) for f in os.listdir(d) if f.isdigit())
 
     def _bucket_col(self):
-        return F.pmod(F.xxhash64(*[F.col(c) for c in self.key_cols]), F.lit(self.n_buckets)).cast("int")
+        return F.pmod(F.xxhash64(*[F.col(c) for c in self.bucket_cols]), F.lit(self.n_buckets)).cast("int")
 
     def _bucket_versions(self, as_of: int | None = None) -> dict[int, int]:
         committed = set(self.commits())

@@ -121,11 +121,13 @@ class BucketTableReader(DataSourceReader):
         self.version = int(options["version"]) if "version" in options else None
         meta = _load_meta(self.path)
         self.key_cols = list(meta["key_cols"])
+        self.bucket_cols = list(meta.get("bucket_cols", self.key_cols))
         self.n_buckets = int(meta["n_buckets"])
         self._pruned: set[int] | None = None
         key_fields = {f.name: f.dataType.simpleString() for f in schema.fields}
         self._prunable = (
-            len(self.key_cols) == 1 and key_fields.get(self.key_cols[0]) == "bigint"
+            len(self.bucket_cols) == 1
+            and key_fields.get(self.bucket_cols[0]) == "bigint"
         )
 
     def pushFilters(self, filters):  # noqa: N802 (API name)
@@ -133,7 +135,7 @@ class BucketTableReader(DataSourceReader):
             if (
                 self._prunable
                 and isinstance(f, EqualTo)
-                and list(f.attribute) == [self.key_cols[0]]
+                and list(f.attribute) == [self.bucket_cols[0]]
                 and isinstance(f.value, int)
             ):
                 self._pruned = {bucket_of_long(f.value, self.n_buckets)}
