@@ -15,3 +15,4 @@ import graph_vulcan_assets_spark.llm.normalize  # noqa: F401
 import graph_vulcan_assets_spark.llm.semdedup  # noqa: F401
 import graph_vulcan_assets_spark.llm.spans  # noqa: F401
 import graph_vulcan_assets_spark.llm.bpe  # noqa: F401
+import graph_vulcan_assets_spark.llm.features  # noqa: F401
