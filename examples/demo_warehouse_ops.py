@@ -33,6 +33,10 @@ from graph_vulcan_assets_spark.sources.bucketstore import BucketTable  # noqa: E
 from graph_vulcan_assets_spark.tables import load_table  # noqa: E402
 
 
+def probe_event_id(table):
+    return table.read().select("event_id").first()["event_id"]
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     spark = get_spark(
@@ -87,6 +91,45 @@ def main() -> None:
         replica.apply_changes(feed)
         print(f"cdc: applied {feed.count()} changes; replica in sync: "
               f"{replica.read().count() == hot.read().count()}")
+
+        # 7. secondary index on user_id: point lookups stop scanning
+        from graph_vulcan_assets_spark.sources.secondary_index import SecondaryIndex
+
+        idx = SecondaryIndex(spark, f"{tmp}/idx", hot, "user_id", n_buckets=16)
+        idx.refresh()
+        probe_user = hot.read().select("user_id").first()["user_id"]
+        n_hits = idx.lookup(probe_user).count()
+        print(f"index: user {probe_user} -> {n_hits} events from one "
+              f"index bucket (base untouched)")
+
+        # 8. native reads through the custom data source + change stream
+        from graph_vulcan_assets_spark.sources.pyds import (
+            BucketTableDataSource,
+            diff_commits,
+        )
+
+        spark.dataSource.register(BucketTableDataSource)
+        native = spark.read.format("buckettable").option("path", hot.path).load()
+        one = (
+            spark.read.format("buckettable")
+            .option("path", hot.path)
+            .option("key", str(probe_event_id(hot)))
+            .load()
+            .count()
+        )
+        print(f"datasource: format('buckettable') sees {native.count()} rows; "
+              f"option('key') point read pruned to one bucket ({one} row)")
+        tail = diff_commits(hot.path, ["event_id"], v0, v1)
+        print(f"datasource: cdf tail of v{v0}->v{v1}: {len(tail)} change rows")
+
+        # 9. result cache: the dashboard rollup pays its scan once
+        from graph_vulcan_assets_spark.plans.cache import ResultCache
+
+        cache = ResultCache(spark, f"{tmp}/cache")
+        rollup = native.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+        cache.get_or_compute(rollup)
+        hit = cache.lookup(rollup) is not None
+        print(f"result cache: second issue of the rollup is a hit: {hit}")
 
         victim = hot.read().select("user_id").first()["user_id"]
         keys = hot.read().where(F.col("user_id") == victim).select("event_id")

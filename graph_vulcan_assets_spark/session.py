@@ -45,9 +45,9 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # the custom Python data source (sources/pyds.py) implements
-        # pushFilters; Spark hard-errors on such readers unless this is on
-        .config("spark.sql.python.filterPushdown.enabled", "true")
+        # write micros, not INT96: INT96 round-trips through pyarrow as
+        # nanoseconds, which Arrow-based readers (pyds) cannot ingest
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # managed-table home for bucketed tables (static config; keep the

@@ -8,15 +8,21 @@ What the integration buys over ``BucketTable.read()``:
 - **Partition planning**: one InputPartition per live bucket, so a read
   parallelizes across buckets like any file source — and the planner sees
   the real unit of storage.
-- **Metadata-level bucket pruning**: an equality filter on a single
-  BIGINT key column resolves to ONE bucket before any file opens. The
-  key-to-bucket hash is a pure-Python reimplementation of Spark's
-  ``xxhash64`` for a long (verified bit-identical against the JVM in
-  tests/test_pyds.py), so driver-side Python computes exactly the bucket
-  the JVM writer used. ``pushFilters`` keeps every filter "unsupported"
-  (Spark still applies them), pruning is planning-only — a wrong prune
-  would be a correctness bug, an unnecessary one only a missed
-  optimization, and the test pins both directions.
+- **Metadata-level bucket pruning**: ``option("key", <value>)`` resolves
+  a point lookup to ONE bucket before any file opens. The key-to-bucket
+  hash is a pure-Python reimplementation of Spark's ``xxhash64`` for a
+  long (verified bit-identical against the JVM in tests/test_pyds.py),
+  so driver-side Python computes exactly the bucket the JVM writer used.
+  The option also injects the equality filter into every read, so a
+  pruned relation can never return rows outside the requested key.
+
+  Pruning is deliberately an explicit OPTION, not ``pushFilters``: Spark
+  caches a Python data source's planned partitions per loaded DataFrame,
+  so filter-driven reader state leaks between queries that reuse the
+  relation — a filtered count followed by an unfiltered count on the same
+  DataFrame silently returned one bucket (caught live; regression-pinned
+  in tests/test_pyds.py). An option is part of the relation identity:
+  deterministic for its whole lifetime.
 - **Arrow-batch reads**: each partition yields pyarrow RecordBatches
   straight from the bucket's parquet files — no Python row loop.
 
@@ -33,7 +39,6 @@ from typing import Iterator
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
-    EqualTo,
     InputPartition,
     SimpleDataSourceStreamReader,
 )
@@ -123,30 +128,23 @@ class BucketTableReader(DataSourceReader):
         self.key_cols = list(meta["key_cols"])
         self.bucket_cols = list(meta.get("bucket_cols", self.key_cols))
         self.n_buckets = int(meta["n_buckets"])
-        self._pruned: set[int] | None = None
         key_fields = {f.name: f.dataType.simpleString() for f in schema.fields}
-        self._prunable = (
-            len(self.bucket_cols) == 1
-            and key_fields.get(self.bucket_cols[0]) == "bigint"
-        )
-
-    def pushFilters(self, filters):  # noqa: N802 (API name)
-        for f in filters:
-            if (
-                self._prunable
-                and isinstance(f, EqualTo)
-                and list(f.attribute) == [self.bucket_cols[0]]
-                and isinstance(f.value, int)
+        self.key_value: int | None = None
+        if "key" in options:
+            if not (
+                len(self.bucket_cols) == 1
+                and key_fields.get(self.bucket_cols[0]) == "bigint"
             ):
-                self._pruned = {bucket_of_long(f.value, self.n_buckets)}
-            # every filter is reported unsupported: Spark re-applies them
-            # all, so pruning can only skip work, never change results
-            yield f
+                raise ValueError(
+                    "option('key') requires a single BIGINT bucket column"
+                )
+            self.key_value = int(options["key"])
 
     def partitions(self):
         versions = _bucket_versions(self.path, self.version)
-        if self._pruned is not None:
-            versions = {b: v for b, v in versions.items() if b in self._pruned}
+        if self.key_value is not None:
+            keep = bucket_of_long(self.key_value, self.n_buckets)
+            versions = {b: v for b, v in versions.items() if b == keep}
         return [
             _BucketPartition(os.path.join(self.path, f"batch={v}", f"bucket={b}"))
             for b, v in sorted(versions.items())
@@ -154,11 +152,30 @@ class BucketTableReader(DataSourceReader):
 
     def read(self, partition: _BucketPartition) -> Iterator:
         import pyarrow.dataset as pads
+        from pyspark.sql.pandas.types import to_arrow_schema
 
         ds = pads.dataset(partition.directory, format="parquet")
         arrow_schema = ds.schema
         cols = [f.name for f in self.schema.fields if f.name in arrow_schema.names]
-        yield from ds.to_batches(columns=cols)
+        # cast to the declared schema: files written in the INT96 era read
+        # back from pyarrow as timestamp[ns], which Spark's Arrow ingest
+        # rejects — the cast restores micros losslessly
+        target = to_arrow_schema(
+            StructType([f for f in self.schema.fields if f.name in cols])
+        )
+        flt = None
+        if self.key_value is not None:
+            import pyarrow.compute as pc  # noqa: F401  (expression import)
+
+            flt = pads.field(self.bucket_cols[0]) == self.key_value
+        for batch in ds.to_batches(columns=cols, filter=flt):
+            import pyarrow as pa
+
+            if batch.schema != target:
+                batch = pa.Table.from_batches([batch]).cast(target).to_batches()
+                yield from batch
+            else:
+                yield batch
 
 
 class BucketTableDataSource(DataSource):

@@ -62,34 +62,33 @@ def test_partition_per_bucket(spark, table):
     assert df.rdd.getNumPartitions() == 8
 
 
-def test_key_equality_prunes_to_one_bucket(spark, table):
+def test_key_option_prunes_to_one_bucket(spark, table):
     df = (
         spark.read.format("buckettable")
         .option("path", table.path)
+        .option("key", "5")
         .load()
-        .where(F.col("k") == 5)
     )
-    rows = df.collect()
-    assert [(r.k, r.val) for r in rows] == [(5, "v5b")]
-    # pruning observable at the planner level: the reader keeps only the
-    # key's bucket after the equality filter is pushed
-    from pyspark.sql.datasource import EqualTo
-
+    assert [(r.k, r.val) for r in df.collect()] == [(5, "v5b")]
+    # pruning observable at the planner level
     from graph_vulcan_assets_spark.sources.pyds import BucketTableReader
 
-    reader = BucketTableReader(df.schema, {"path": table.path})
-    unpruned = len(reader.partitions())
-    list(reader.pushFilters([EqualTo(("k",), 5)]))
-    pruned = reader.partitions()
-    assert unpruned == 8 and len(pruned) == 1
-    assert f"bucket={bucket_of_long(5, 8)}" in pruned[0].directory
+    base = BucketTableReader(df.schema, {"path": table.path})
+    pruned = BucketTableReader(df.schema, {"path": table.path, "key": "5"})
+    assert len(base.partitions()) == 8 and len(pruned.partitions()) == 1
+    assert f"bucket={bucket_of_long(5, 8)}" in pruned.partitions()[0].directory
 
 
 def test_prune_correctness_every_key(spark, table):
     # a wrong bucket computation would silently return 0 rows for some key
-    df = spark.read.format("buckettable").option("path", table.path).load()
     for k in [0, 5, 77, 199, 300]:
-        assert df.where(F.col("k") == k).count() == 1
+        df = (
+            spark.read.format("buckettable")
+            .option("path", table.path)
+            .option("key", str(k))
+            .load()
+        )
+        assert df.count() == 1, k
 
 
 # ---------------------------------------------------------------------------
@@ -157,3 +156,25 @@ def test_change_feed_end_to_end_stream(spark, tmp_path):
     got = sorted((r.k, r.change_type, r.val) for r in spark.sql("SELECT * FROM cdf_sink").collect())
     # from the initial offset the cumulative feed is the final view as inserts
     assert got == [(1, "insert", "a"), (2, "insert", "b2")]
+
+
+def test_prune_state_does_not_leak_across_plans(spark, table):
+    """One loaded DataFrame, a filtered query then an unfiltered one: the
+    second must see the WHOLE table. This is the regression that forced
+    pruning to be an explicit option: Spark caches the Python source's
+    planned partitions per relation, so pushFilters-driven reader state
+    leaked a one-bucket plan into the unfiltered count (caught live in
+    the warehouse demo)."""
+    df = spark.read.format("buckettable").option("path", table.path).load()
+    assert df.where(F.col("k") == 5).count() == 1
+    assert df.count() == table.read().count()
+    # and interleaving the other way still filters correctly
+    assert df.where(F.col("k") == 300).count() == 1
+    # the pruned relation can never leak foreign-key rows
+    pruned = (
+        spark.read.format("buckettable")
+        .option("path", table.path)
+        .option("key", "5")
+        .load()
+    )
+    assert pruned.count() == 1 and pruned.first().k == 5
