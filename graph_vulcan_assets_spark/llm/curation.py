@@ -905,3 +905,45 @@ def q_mix_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "q_cap_per_source",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rn,
+             count(*) OVER (PARTITION BY source) AS n_source
+      FROM documents)
+    SELECT doc_id, source, CAST(rn AS BIGINT) AS rn,
+           CAST(n_source AS BIGINT) AS n_source
+    FROM ranked WHERE rn <= 12
+    """,
+)
+def q_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap: keep at most 12 docs per source by
+    deterministic hash rank — the anti-domination step that stops one
+    crawled domain from swamping the mixture (the absolute-count sibling
+    of q_sample_stratified's fractional trim).
+
+    Same counting discipline as the stratified sampler: rank within the
+    source by content hash (stable across runs/engines, no RNG state),
+    one shuffle on the cap key; a source below the cap passes through
+    whole. The cap (12) sits below every synthetic source's size (~25 per
+    source at sf0.01) so the exclusion branch is provably exercised at
+    every SF — the vacuity lesson from round-2 ADVICE. At 100 TB the rank window sees one source per task — for a
+    pathologically hot single source, the quantile-band form
+    (q_quantile_filter's counting rank) is the constant-memory fallback.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(_fingerprint(F.col("doc_id")), "doc_id")
+    wc = Window.partitionBy("source")
+    ranked = d.select(
+        "doc_id",
+        "source",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.count("*").over(wc).cast("long").alias("n_source"),
+    )
+    return ranked.where(F.col("rn") <= 12)

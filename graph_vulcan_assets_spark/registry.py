@@ -74,8 +74,8 @@ def load_all() -> None:
 # q_timeseries_interpolate, q_anomaly_zscore, and the third wave:
 # q_dedup_spans, q_dedup_span_clean, q_scd2_build, q_bpe_pairs,
 # q_join_interval, q_text_search_phrase, q_cms_heavy_hitters,
-# q_drift_psi, q_feature_hashing, q_topic_assign), which register after
-# the PRIORITY block.
+# q_drift_psi, q_feature_hashing, q_topic_assign, q_cap_per_source),
+# which register after the PRIORITY block.
 PRIORITY: tuple[str, ...] = (
     # -- declared window/sort keys: round-1 rows only (r2 budget spill)
     "q_win_first_seen",
