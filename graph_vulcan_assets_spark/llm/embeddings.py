@@ -152,7 +152,8 @@ def q_embed_project(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM ex GROUP BY label, dim),
     n AS (SELECT label, count(*) AS n_vectors FROM embeddings GROUP BY label)
     SELECT label, n_vectors,
-           (SELECT list(CAST(s AS BIGINT) ORDER BY dim)
+           (SELECT string_agg(CAST(CAST(s AS BIGINT) AS VARCHAR), ','
+                              ORDER BY dim)
             FROM per_dim p WHERE p.label = n.label) AS centroid_sum_micros
     FROM n
     """,
@@ -167,6 +168,12 @@ def q_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact integer micros plus the vector count (the caller divides — the
     output stays integer-exact, so the DuckDB oracle hash-matches).
     Quantization is half-away-from-zero to match both engines' round().
+
+    Driver contract (round-3 red row, VERDICT r3 #1): the vector is
+    emitted as a comma-joined STRING, not array<long> — the driver's
+    canonicalizer (pandas sort_values before hashing) cannot hash list
+    columns, so no oracle-bearing query may return a top-level
+    Array/Map/Struct column (enforced by tests/test_registry_contract.py).
 
     Scale shape: the shuffle carries each vector once, keyed by label;
     per-group memory is one group's vectors (bounded: labels are a
@@ -195,9 +202,16 @@ def q_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
-    return e.groupBy("label").applyInPandas(
+    agg = e.groupBy("label").applyInPandas(
         _centroid,
         schema="label int, n_vectors long, centroid_sum_micros array<long>",
+    )
+    return agg.select(
+        "label",
+        "n_vectors",
+        F.array_join(
+            F.transform("centroid_sum_micros", lambda x: x.cast("string")), ","
+        ).alias("centroid_sum_micros"),
     )
 
 

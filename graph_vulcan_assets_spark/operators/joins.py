@@ -557,7 +557,11 @@ def interval_overlap_join(
     def chunked(df: DataFrame, prefix: str) -> DataFrame:
         s = F.unix_micros(F.col("start"))
         e = F.unix_micros(F.col("end"))
-        out = df.select(
+        # degenerate intervals (end <= start) are empty under [start, end)
+        # and must produce NO chunks: F.sequence with start > stop would
+        # generate a DESCENDING run over chunks the interval doesn't cover,
+        # emitting spurious overlap_us=0 pairs (ADVICE r3)
+        out = df.where(F.col("start") < F.col("end")).select(
             *[F.col(c).alias(f"{prefix}{c}") for c in df.columns],
             F.floor(s / cu).alias(f"{prefix}c0"),
             F.explode(F.sequence(F.floor(s / cu), F.floor((e - 1) / cu))).alias("chunk"),

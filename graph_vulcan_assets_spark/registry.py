@@ -51,33 +51,97 @@ def load_all() -> None:
 # Exposure order for ``queries()`` / ``oracle_sql()``. The driver runs its
 # 50-entry correctness budget over queries in iteration order, so each round
 # rotates never-driver-checked oracle queries to the front (round-2 verdict
-# item #1: budget rotation, not code). Round-3 order: first the 8 declared
-# window/sort keys whose only driver evidence is round 1 (the recorded
-# round-2 budget spill), then the 42 highest-value never-checked extension
-# oracles (TPC-H shapes + correlated subqueries, the curation suite,
-# analytics, graph, asof-tolerance/sliding-window/kmeans/UDTF/centroid).
-# Everything with a green round-2 row moves behind the rotation — it loses
-# nothing if the fixed-size budget cuts off. Still never checked after this
-# round (recorded trim, next rotation): q_agg_grouping_sets, q_agg_filtered,
-# q_win_distribution, q_win_ratio_to_report, q_except_all, q_intersect_all,
-# q_agg_salted, q_join_salted, q_join_part_supplier, the text-analysis
-# family (q_text_quality/lang_dist/lang_id/token_count/fingerprint/tfidf/
-# repetition/lm_score), the dedup-oracle family (q_dedup_ngram/embed/
-# boilerplate/incremental/clusters), q_embed_quantize, q_source_csv/jsonl/
-# orc, q_stream_sessionize, and the round-3 additions (q_corpus_shuffle,
-# q_mix_temperature, q_mix_materialize, q_length_buckets, q_quantile_filter,
-# q_vocab_topn, q_keyset_page, q_session_window, q_dedup_containment,
-# q_text_search_indexed, q_pq_codes, q_pq_adc_topk, q_recursive_cte, and —
-# late round 3 — q_quality_classifier, q_classifier_route, q_text_normalize,
-# q_text_bm25, q_dedup_semantic, q_dq_checks, q_embed_matryoshka,
-# q_lang_confusion, q_sim_mrl_rerank, q_timeseries_gapfill,
-# q_timeseries_interpolate, q_anomaly_zscore, and the third wave:
-# q_dedup_spans, q_dedup_span_clean, q_scd2_build, q_bpe_pairs,
-# q_join_interval, q_text_search_phrase, q_cms_heavy_hitters,
-# q_drift_psi, q_feature_hashing, q_topic_assign, q_cap_per_source),
-# which register after the PRIORITY block.
+# item #1: budget rotation, not code). Round-4 order (VERDICT r3 items #1/#2):
+# the 66 oracle-bearing keys with no green driver row in r1∪r2∪r3, led by
+# q_embed_centroid (the round-3 red row, output reshaped to a driver-hashable
+# string — see llm/embeddings.py). Positions 1-50 fit the budget; positions
+# 51-66 are the RECORDED SPILL for the round-5 rotation: q_corpus_shuffle,
+# q_mix_temperature, q_length_buckets, q_quantile_filter, q_mix_materialize,
+# q_cap_per_source, q_multimodal_framesample, q_embed_matryoshka, q_pq_codes,
+# q_pq_adc_topk, q_quality_classifier, q_classifier_route, q_text_normalize,
+# q_dedup_semantic, q_feature_hashing, q_topic_assign — chosen as the spill
+# because each carries redundant local evidence beyond the DuckDB parity
+# suite (recall/determinism gates, bit-exact Python-reference pins).
+# Everything with a green driver row in any round sits behind the rotation —
+# it loses nothing if the fixed-size budget cuts off.
 PRIORITY: tuple[str, ...] = (
-    # -- declared window/sort keys: round-1 rows only (r2 budget spill)
+    # 1 -- the round-3 red row, fixed: must re-check first
+    "q_embed_centroid",
+    # 2-10 -- round-2-era debt (oldest never-checked keys)
+    "q_agg_grouping_sets",
+    "q_agg_filtered",
+    "q_win_distribution",
+    "q_win_ratio_to_report",
+    "q_except_all",
+    "q_intersect_all",
+    "q_agg_salted",
+    "q_join_salted",
+    "q_join_part_supplier",
+    # 11-18 -- text-analysis family
+    "q_text_quality",
+    "q_text_lang_dist",
+    "q_lang_id",
+    "q_token_count",
+    "q_text_fingerprint",
+    "q_text_tfidf",
+    "q_text_repetition",
+    "q_text_lm_score",
+    # 19-23 -- dedup-oracle family
+    "q_dedup_ngram",
+    "q_dedup_embed",
+    "q_dedup_boilerplate",
+    "q_dedup_incremental",
+    "q_dedup_clusters",
+    # 24-28 -- embeddings + file sources + streaming sessionize
+    "q_embed_quantize",
+    "q_source_csv",
+    "q_source_jsonl",
+    "q_source_orc",
+    "q_stream_sessionize",
+    # 29-34 -- round-3 wave: API / windows / search / recursion / intervals
+    "q_keyset_page",
+    "q_session_window",
+    "q_dedup_containment",
+    "q_text_search_indexed",
+    "q_recursive_cte",
+    "q_join_interval",
+    # 35-40 -- hypertable + data-quality monitors
+    "q_timeseries_gapfill",
+    "q_timeseries_interpolate",
+    "q_anomaly_zscore",
+    "q_cms_heavy_hitters",
+    "q_dq_checks",
+    "q_drift_psi",
+    # 41-50 -- graph pairs, SCD2, ANN rerank, text ranking, span dedup, BPE
+    "q_entity_pairs",
+    "q_scd2_build",
+    "q_sim_mrl_rerank",
+    "q_vocab_topn",
+    "q_text_bm25",
+    "q_lang_confusion",
+    "q_text_search_phrase",
+    "q_dedup_spans",
+    "q_dedup_span_clean",
+    "q_bpe_pairs",
+    # ---- 50-entry budget line ----
+    # 51-66 -- recorded spill for the round-5 rotation (see module comment)
+    "q_corpus_shuffle",
+    "q_mix_temperature",
+    "q_length_buckets",
+    "q_quantile_filter",
+    "q_mix_materialize",
+    "q_cap_per_source",
+    "q_multimodal_framesample",
+    "q_embed_matryoshka",
+    "q_pq_codes",
+    "q_pq_adc_topk",
+    "q_quality_classifier",
+    "q_classifier_route",
+    "q_text_normalize",
+    "q_dedup_semantic",
+    "q_feature_hashing",
+    "q_topic_assign",
+    # -- driver-green inventory (r1∪r2∪r3), r3 rotation order then r2 order
     "q_win_first_seen",
     "q_win_rank",
     "q_win_lag_lead",
@@ -86,7 +150,6 @@ PRIORITY: tuple[str, ...] = (
     "q_win_topk_group",
     "q_sort_multi",
     "q_topk",
-    # -- TPC-H query shapes (never driver-checked)
     "q_shape_q2",
     "q_shape_q3",
     "q_shape_q4",
@@ -106,7 +169,6 @@ PRIORITY: tuple[str, ...] = (
     "q_shape_q22",
     "q_subquery_not_in",
     "q_join_lateral",
-    # -- curation suite (never driver-checked)
     "q_split_train_test",
     "q_sample_stratified",
     "q_corpus_mix",
@@ -115,7 +177,6 @@ PRIORITY: tuple[str, ...] = (
     "q_pii_redact",
     "q_chunk_documents",
     "q_split_leakage_safe",
-    # -- analytics (never driver-checked)
     "q_funnel",
     "q_retention_cohorts",
     "q_time_weighted_avg",
@@ -123,46 +184,13 @@ PRIORITY: tuple[str, ...] = (
     "q_hist_equiwidth",
     "q_hist_equidepth",
     "q_rollup_cascade",
-    # -- graph (never driver-checked)
     "q_graph_ancestors",
     "q_graph_subtree_size",
     "q_graph_pagerank",
-    # -- remaining high-value extensions (never driver-checked)
     "q_join_asof_tolerance",
     "q_time_sliding",
     "q_kmeans_assign",
     "q_udtf_sentences",
-    "q_embed_centroid",
-    # ---- 50-entry budget line ----
-    # next rotation candidates (see trim note above), then the round-2
-    # green inventory in its round-2 order
-    "q_agg_grouping_sets",
-    "q_agg_filtered",
-    "q_win_distribution",
-    "q_win_ratio_to_report",
-    "q_except_all",
-    "q_intersect_all",
-    "q_agg_salted",
-    "q_join_salted",
-    "q_join_part_supplier",
-    "q_text_quality",
-    "q_text_lang_dist",
-    "q_lang_id",
-    "q_token_count",
-    "q_text_fingerprint",
-    "q_text_tfidf",
-    "q_text_repetition",
-    "q_text_lm_score",
-    "q_dedup_ngram",
-    "q_dedup_embed",
-    "q_dedup_boilerplate",
-    "q_dedup_incremental",
-    "q_dedup_clusters",
-    "q_embed_quantize",
-    "q_source_csv",
-    "q_source_jsonl",
-    "q_source_orc",
-    "q_stream_sessionize",
     # -- round-2 green inventory
     "q_union_all",
     "q_union_distinct",

@@ -33,6 +33,7 @@ commit N, same resolution rule as ``BucketTable.read(version=)``.
 from __future__ import annotations
 
 import json
+import math
 import os
 from typing import Iterator
 
@@ -202,6 +203,21 @@ def _read_bucket_dir(directory: str):
     return pads.dataset(directory, format="parquet").to_table().to_pylist()
 
 
+def _val_eq(a, b) -> bool:
+    """NaN-aware value equality (mirrors the DataFrame-side ``changes()``
+    eqNullSafe semantics): both-NaN compares EQUAL, so a NaN-bearing value
+    column doesn't re-emit its key as a spurious 'update' on every commit
+    (ADVICE r3)."""
+    if (
+        isinstance(a, float)
+        and isinstance(b, float)
+        and math.isnan(a)
+        and math.isnan(b)
+    ):
+        return True
+    return a == b
+
+
 def diff_commits(path: str, key_cols: list[str], start: int | None, end: int) -> list[tuple]:
     """Row-level diff between committed views (pure driver-side Python —
     the planning-only mirror of ``BucketTable.changes``): one tuple per
@@ -235,7 +251,7 @@ def diff_commits(path: str, key_cols: list[str], start: int | None, end: int) ->
                 out.append((*key, "insert", *[n[c] for c in val_cols]))
             elif n is None:
                 out.append((*key, "delete", *[None for _ in val_cols]))
-            elif any(o[c] != n[c] for c in val_cols):
+            elif any(not _val_eq(o[c], n[c]) for c in val_cols):
                 out.append((*key, "update", *[n[c] for c in val_cols]))
     return out
 
@@ -282,7 +298,12 @@ class BucketTableChangeFeedSource(DataSource):
         key_cols = list(meta["key_cols"])
         from pyspark.sql.types import StringType, StructField
 
-        fields = [f for f in table_schema.fields if f.name in key_cols]
+        # key fields in meta key_cols ORDER (not table-schema order):
+        # diff_commits emits tuples as (*key_cols, change_type, *values),
+        # so a table whose key_cols order differs from its column order
+        # would otherwise silently transpose same-type keys (ADVICE r3)
+        by_name = {f.name: f for f in table_schema.fields}
+        fields = [by_name[k] for k in key_cols]
         fields.append(StructField("change_type", StringType(), False))
         fields += [
             StructField(f.name, f.dataType, True)

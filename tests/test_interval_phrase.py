@@ -54,6 +54,32 @@ def test_interval_join_pair_spanning_many_chunks_emitted_once(spark):
     assert rows[0].overlap_us == 540 * 60 * 1_000_000
 
 
+def test_interval_join_degenerate_intervals_emit_nothing(spark):
+    """ADVICE r3: end <= start is empty under [start, end) — F.sequence
+    with start > stop would generate a DESCENDING chunk run and emit
+    spurious overlap_us=0 pairs; degenerate intervals must vanish."""
+    left = _iv(
+        spark,
+        [
+            (1, _t(60), _t(60)),   # empty: end == start
+            (2, _t(120), _t(0)),   # inverted: end < start (spans chunks 0-2 reversed)
+            (3, _t(0), _t(30)),    # real interval, sanity anchor
+        ],
+    )
+    right = _iv(
+        spark,
+        [
+            (10, _t(0), _t(180)),  # covers everything that exists
+            (11, _t(120), _t(120)),  # degenerate on the right side too
+        ],
+    )
+    got = {
+        (r.l_id, r.r_id): r.overlap_us
+        for r in interval_overlap_join(left, right, chunk_seconds=3600).collect()
+    }
+    assert got == {(3, 10): 30 * 60 * 1_000_000}
+
+
 def test_interval_join_no_nested_loop(spark):
     from graph_vulcan_assets_spark.plans.lint import plan_text
 

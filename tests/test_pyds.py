@@ -114,6 +114,59 @@ def test_diff_commits_matches_jvm_changes(spark, tmp_path):
         assert got == want, (since, until)
 
 
+def test_diff_commits_nan_values_are_not_spurious_updates(spark, tmp_path):
+    """ADVICE r3: Python ``!=`` says NaN != NaN, so a NaN-bearing value
+    column would re-emit its key as an 'update' on every commit touching
+    its bucket. Both-NaN must compare equal (eqNullSafe semantics)."""
+    from graph_vulcan_assets_spark.sources.pyds import diff_commits
+
+    p = str(tmp_path / "bt")
+    t = BucketTable(spark, p, key_cols=["k"], n_buckets=1)  # everything shares a bucket
+    v0 = t.upsert(
+        spark.createDataFrame(
+            [(1, float("nan")), (2, 2.0)], "k long, score double"
+        )
+    )
+    # touch the (shared) bucket with an unrelated key — key 1 is unchanged
+    v1 = t.upsert(spark.createDataFrame([(3, 3.0)], "k long, score double"))
+    got = sorted(diff_commits(p, ["k"], v0, v1))
+    assert got == [(3, "insert", 3.0)]
+    # a REAL change on the NaN row still surfaces
+    v2 = t.upsert(spark.createDataFrame([(1, 1.5)], "k long, score double"))
+    assert sorted(diff_commits(p, ["k"], v1, v2)) == [(1, "update", 1.5)]
+
+
+def test_change_feed_schema_key_order_matches_tuples(spark, tmp_path):
+    """ADVICE r3: the CDF schema must order key fields by meta key_cols
+    (the tuple layout diff_commits emits), not by table-schema column
+    order — a (long, long) composite key would otherwise silently
+    transpose values."""
+    from graph_vulcan_assets_spark.sources.pyds import BucketTableChangeFeedSource
+
+    p = str(tmp_path / "bt")
+    # schema column order (val, k2, k1) vs key_cols order (k1, k2)
+    t = BucketTable(spark, p, key_cols=["k1", "k2"], n_buckets=2)
+    t.upsert(
+        spark.createDataFrame([("a", 100, 1), ("b", 200, 2)], "val string, k2 long, k1 long")
+    )
+    spark.dataSource.register(BucketTableChangeFeedSource)
+    stream = spark.readStream.format("buckettable-cdf").option("path", p).load()
+    assert stream.columns[:3] == ["k1", "k2", "change_type"]
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("cdf_keyorder_sink")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r.k1, r.k2, r.change_type, r.val)
+        for r in spark.sql("SELECT * FROM cdf_keyorder_sink").collect()
+    )
+    assert got == [(1, 100, "insert", "a"), (2, 200, "insert", "b")]
+
+
 def test_stream_reader_offsets_and_replay(spark, tmp_path):
     from graph_vulcan_assets_spark.sources.pyds import BucketTableStreamReader
 

@@ -27,6 +27,36 @@ def test_fingerprint_stable_across_rebuilds_and_sensitive_to_query(spark, sf_dir
     assert plan_fingerprint(e1) != plan_fingerprint(e3)
 
 
+def test_fingerprint_distinguishes_hash_literals_and_expr_identity(spark, sf_dir):
+    """ADVICE r3 (medium): erasing '#<n>' tokens collapsed distinct plans.
+    Canonical renumbering must keep apart (a) literals whose TEXT matches
+    the expr-id pattern and (b) self-join conditions distinguished only by
+    which side's attribute is referenced — while still giving the same
+    key to the same query re-derived with fresh session expr ids."""
+    docs = load_table(spark, sf_dir, "documents")
+    lit1 = docs.where(F.col("lang") == "#1").select("doc_id")
+    lit2 = docs.where(F.col("lang") == "#2").select("doc_id")
+    assert plan_fingerprint(lit1) != plan_fingerprint(lit2)
+
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    a, b = e.alias("a"), e.alias("b")
+    fwd = a.join(b, F.col("a.user_id") < F.col("b.user_id")).select(
+        F.col("a.event_id")
+    )
+    rev = a.join(b, F.col("b.user_id") < F.col("a.user_id")).select(
+        F.col("a.event_id")
+    )
+    assert plan_fingerprint(fwd) != plan_fingerprint(rev)
+
+    # same self-join re-derived from scratch → fresh raw expr ids, same key
+    e2 = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    a2, b2 = e2.alias("a"), e2.alias("b")
+    fwd2 = a2.join(b2, F.col("a.user_id") < F.col("b.user_id")).select(
+        F.col("a.event_id")
+    )
+    assert plan_fingerprint(fwd) == plan_fingerprint(fwd2)
+
+
 def test_hit_serves_materialized_result_and_data_change_invalidates(spark, tmp_path):
     src = str(tmp_path / "src")
     rows1 = [(i, "a" if i % 2 == 0 else "b") for i in range(100)]
