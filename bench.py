@@ -70,6 +70,84 @@ def run_to_completion(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def bench_storage(spark, sf_dir: str, timings: dict[str, float]) -> None:
+    """Storage-layer timings (VERDICT r3 #7): the BucketTable MERGE store
+    had no timing history, so regressions in the round-3 flagship were
+    invisible. Four entries over the 100k-row events table:
+
+    - store_upsert_small_touch: MERGE of a batch hashing into ~1% of the
+      256 buckets — the O(touched) write path. Compare against…
+    - store_full_rewrite: the naive alternative (rewrite the whole table
+      per batch) — the gap between these two IS the design's value.
+    - store_cdf_read: change-feed read between two commits (bucket-pruned).
+    - store_index_refresh: secondary-index incremental refresh consuming
+      one small-touch commit's change feed.
+    """
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from graph_vulcan_assets_spark.sources.bucketstore import BucketTable
+    from graph_vulcan_assets_spark.sources.secondary_index import SecondaryIndex
+    from graph_vulcan_assets_spark.tables import load_table
+
+    root = tempfile.mkdtemp(prefix="gvas_bench_store_")
+    try:
+        events = load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", "value"
+        )
+        base = BucketTable(
+            spark, os.path.join(root, "events"), key_cols=["event_id"], n_buckets=256
+        )
+        base.upsert(events)  # setup: initial full load, untimed
+        v0 = base.commits()[-1]
+
+        # batch touching buckets {0,1,2} of 256 (~1.2%), values perturbed so
+        # every row registers as an update in the change feed
+        touch3 = events.where(
+            F.pmod(F.xxhash64("event_id"), F.lit(256)).cast("int") < 3
+        ).localCheckpoint(eager=True)
+
+        best = float("inf")
+        for i in range(3):
+            batch = touch3.withColumn("value", F.col("value") + F.lit(i + 1))
+            start = time.perf_counter()
+            base.upsert(batch)
+            best = min(best, time.perf_counter() - start)
+        timings["store_upsert_small_touch"] = round(best, 3)
+
+        best = float("inf")
+        for _ in range(3):
+            start = time.perf_counter()
+            events.write.mode("overwrite").parquet(os.path.join(root, "naive"))
+            best = min(best, time.perf_counter() - start)
+        timings["store_full_rewrite"] = round(best, 3)
+
+        head = base.commits()[-1]
+        best = float("inf")
+        for _ in range(3):
+            start = time.perf_counter()
+            run_to_completion(base.changes(v0, head))
+            best = min(best, time.perf_counter() - start)
+        timings["store_cdf_read"] = round(best, 3)
+
+        idx = SecondaryIndex(
+            spark, os.path.join(root, "idx"), base, column="user_id"
+        )
+        idx.refresh()  # initial build, untimed
+        best = float("inf")
+        for i in range(3):
+            base.upsert(touch3.withColumn("value", F.col("value") + F.lit(100 + i)))
+            start = time.perf_counter()
+            idx.refresh()
+            best = min(best, time.perf_counter() - start)
+        timings["store_index_refresh"] = round(best, 3)
+        gc.collect()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
@@ -132,6 +210,8 @@ def main() -> None:
             run_to_completion(tag_union_state(replay_raw(raw)))
             best = min(best, time.perf_counter() - start)
     timings["temporal_replay_20k_events"] = round(best, 3)
+
+    bench_storage(spark, sf_dir, timings)
 
     total = round(sum(timings.values()), 3)
     # the r1/r2 bench carried 17 entries; round 3 added 8 more, so the

@@ -220,3 +220,28 @@ def adversarial_messages(seed: int, n: int = 40) -> list[dict]:
         else:
             msgs.append(tombstone_msg(seq, minutes, team, atype, ident))
     return msgs
+
+
+def disjoint_messages(prefix: str, seq0: int, n: int) -> list[dict]:
+    """``n`` refreshes over ``n`` BRAND-NEW identifiers (``prefix``-scoped,
+    never reused): pure state growth that touches nothing pre-existing.
+    Drives the sink load rehearsal — accumulated state grows while each
+    subsequent batch's touched-key set stays constant-size. AWS-account
+    parents are prefix-scoped too: a REUSED parent is legitimately
+    O(its accumulated fan-out) to touch (its index pointers cover every
+    child bucket it ever gained), which would confound the pure
+    state-growth measurement."""
+    msgs: list[dict] = []
+    for i in range(n):
+        seq = seq0 + i
+        team = f"t{i % 4}"
+        anns = (
+            [(AWS_ANNOTATION_KEY, f"arn:aws:iam::{prefix}-{i % 3}:root")]
+            if i % 3 == 0
+            else []
+        )
+        msgs.append(
+            refresh_msg(seq, seq, team, f"Team {team}", "Hostname",
+                        f"{prefix}-{i}.example.com", anns, "v0.1.0")
+        )
+    return msgs

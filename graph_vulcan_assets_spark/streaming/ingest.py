@@ -178,6 +178,9 @@ class TemporalGraphStream:
                 os.environ.get("SPARK_GRAFT_STATE_BUCKETS", "32")
             )
             self._schemas = {}
+        # complete any index compaction interrupted by a crash (the swap
+        # protocol below is recoverable from every window)
+        self._finish_index_compaction()
 
     # ---- state I/O ------------------------------------------------------
     def _meta_path(self) -> str:
@@ -369,6 +372,73 @@ class TemporalGraphStream:
                     x.startswith("bucket=") for x in os.listdir(full)
                 ):
                     shutil.rmtree(full, ignore_errors=True)
+
+    # ---- index compaction (maintenance) ---------------------------------
+    def _index_staging_dir(self) -> str:
+        return os.path.join(self.state_dir, PARENT_IDX + ".compact")
+
+    def _finish_index_compaction(self) -> None:
+        """Complete (or discard) a staged index swap. Crash windows:
+        staging without its ``_ready`` marker is a half-written rebuild —
+        discarded; staging WITH the marker is a committed rebuild whose
+        swap didn't finish — the swap is redone idempotently (the marker
+        travels with the renamed dir and is cleared last, so the live
+        index is never left missing or partial)."""
+        staging = self._index_staging_dir()
+        live_dir = os.path.join(self.state_dir, PARENT_IDX)
+        if os.path.exists(os.path.join(staging, "_ready")):
+            shutil.rmtree(live_dir, ignore_errors=True)
+            os.rename(staging, live_dir)
+        elif os.path.isdir(staging):
+            shutil.rmtree(staging, ignore_errors=True)
+        leftover = os.path.join(live_dir, "_ready")
+        if os.path.exists(leftover):
+            os.remove(leftover)
+
+    def compact_parent_index(self) -> None:
+        """Bound PARENT_IDX growth: rebuild the index from LIVE edges only
+        (VERDICT r3 #5). The per-batch index write is append-only (union +
+        distinct), so pointers whose edges have ALL expired accumulate
+        forever — on a long-lived deployment the index would grow with
+        distinct (parent, child-bucket) pairs EVER seen, not currently
+        live. Dropping expired-only pointers is safe because parent-side
+        lookups exist solely to find edges a parent touch could mutate,
+        and a parent touch can only EXPIRE live edges — edge creation and
+        resurrection are child-keyed (the child bucket is already in the
+        touched set), and their state write re-adds the pointer.
+
+        Maintenance op: O(total edge state), run between micro-batches on
+        whatever cadence fan-out demands — never on the per-batch path.
+        The swap is staged and marker-committed: a crash at any point
+        leaves either the old index fully live or the rebuild fully
+        committed (recovery in __init__ finishes the swap); the live index
+        is never partial.
+        """
+        self._finish_index_compaction()
+        if PARENT_IDX not in self._schemas or not self._applied_batches():
+            return
+        live = self._read_buckets("parent_of", None).where(
+            F.col("expiration") == F.lit(UNEXPIRED).cast("timestamp")
+        )
+        rebuilt = self._index_pairs(live)
+        staging = self._index_staging_dir()
+        shutil.rmtree(staging, ignore_errors=True)
+        # versioned as the newest acknowledged batch: per-bucket resolution
+        # picks it now, and any later batch id supersedes its touched
+        # buckets exactly as with a normal write
+        newest = self._applied_batches()[-1]
+        (
+            rebuilt.withColumn(
+                "bucket", bucket_of(BUCKET_KEYS[PARENT_IDX], self.n_buckets)
+            )
+            .write.partitionBy("bucket")
+            .mode("overwrite")
+            .parquet(os.path.join(staging, f"batch={newest}"))
+        )
+        with open(os.path.join(staging, "_ready"), "w") as f:
+            f.write("ok")
+        self._finish_index_compaction()
+        _log.info("parent index compacted to live-edge pointers")
 
     # ---- incremental application ---------------------------------------
     def apply_batch(self, raw_batch: DataFrame, batch_id: int) -> None:

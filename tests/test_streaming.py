@@ -358,3 +358,164 @@ def test_parent_index_covers_every_edge_bucket(spark, tmp_path):
         for r in stream._read_buckets(PARENT_IDX, None).collect()
     }
     assert want <= have, f"index missing pointers: {want - have}"
+
+
+def _index_pointers(stream):
+    from graph_vulcan_assets_spark.streaming.ingest import PARENT_IDX
+
+    return {
+        (r["parent_type"], r["parent_identifier"], r["child_bucket"])
+        for r in stream._read_buckets(PARENT_IDX, None).collect()
+    }
+
+
+def _edge_pointers(stream, live_only=False):
+    from graph_vulcan_assets_spark.plans.temporal import UNEXPIRED
+    from graph_vulcan_assets_spark.streaming.ingest import BUCKET_KEYS, bucket_of
+
+    import pyspark.sql.functions as F
+
+    edges = stream.read_state()["parent_of"]
+    if live_only:
+        edges = edges.where(F.col("expiration") == F.lit(UNEXPIRED).cast("timestamp"))
+    return {
+        (r["parent_type"], r["parent_identifier"], r["b"])
+        for r in edges.select(
+            "parent_type",
+            "parent_identifier",
+            bucket_of(BUCKET_KEYS["parent_of"], stream.n_buckets).alias("b"),
+        ).collect()
+    }
+
+
+def test_parent_index_compaction_bounds_index_and_preserves_replay(spark, tmp_path):
+    """VERDICT r3 #5: the per-batch index write is append-only, so
+    pointers whose edges have all expired accumulate forever. compact()
+    must (a) rebuild the index to EXACTLY the live-edge pointer set —
+    strictly smaller here (the fixture's tombstone cascades expire whole
+    parents), and (b) leave subsequent incremental batches equivalent to
+    the sequential interpreter, including parent-side touches that now
+    resolve through the compacted index."""
+    from graph_vulcan_assets_spark.plans.temporal import RAW_SCHEMA as RS
+
+    msgs = fixtures.random_messages(21, n=160)
+    chunks = [msgs[:40], msgs[40:80], msgs[80:120], msgs[120:]]
+    stream = TemporalGraphStream(spark, str(tmp_path / "state"), n_buckets=8)
+    for bid, chunk in enumerate(chunks[:3]):
+        stream.apply_batch(spark.createDataFrame(chunk, schema=RS), bid)
+
+    before = _index_pointers(stream)
+    live_want = _edge_pointers(stream, live_only=True)
+    assert live_want, "no live edges — test is vacuous"
+    assert live_want < before, (
+        "fixture left no expired-only pointers — compaction test is vacuous"
+    )
+
+    stream.compact_parent_index()
+    assert _index_pointers(stream) == live_want  # exact rebuild, nothing stale
+
+    # incremental application continues correctly on the compacted index
+    stream.apply_batch(spark.createDataFrame(chunks[3], schema=RS), 3)
+    assert read_final_state(spark, stream) == state_from_interpreter(msgs)
+    # and the covering invariant holds again for live edges
+    assert _edge_pointers(stream, live_only=True) <= _index_pointers(stream)
+
+
+def test_parent_index_compaction_crash_recovery(spark, tmp_path):
+    """The staged swap must be recoverable from both crash windows: a
+    staging dir WITH its _ready marker (committed rebuild, swap unfinished)
+    is completed by the next construction; one WITHOUT the marker
+    (half-written rebuild) is discarded with the old index intact."""
+    import shutil
+
+    from graph_vulcan_assets_spark.plans.temporal import RAW_SCHEMA as RS
+
+    msgs = fixtures.random_messages(23, n=120)
+    state_dir = str(tmp_path / "state")
+    stream = TemporalGraphStream(spark, state_dir, n_buckets=8)
+    for bid, chunk in enumerate([msgs[:60], msgs[60:]]):
+        stream.apply_batch(spark.createDataFrame(chunk, schema=RS), bid)
+    live_want = _edge_pointers(stream, live_only=True)
+
+    # window 1: crash AFTER the rebuild committed (_ready) but BEFORE the
+    # swap — simulated by staging a committed rebuild by hand
+    staged = stream._index_staging_dir()
+    orig = _index_pointers(stream)
+    crashed = str(tmp_path / "crashed_copy")
+    shutil.copytree(os.path.join(state_dir, "parent_idx"), os.path.join(staged))
+    open(os.path.join(staged, "_ready"), "w").write("ok")
+    recovered = TemporalGraphStream(spark, state_dir)
+    assert not os.path.exists(staged)
+    assert _index_pointers(recovered) == orig  # swap completed, content live
+
+    # window 2: crash MID-rebuild (no marker) — staging discarded, index kept
+    os.makedirs(staged, exist_ok=True)
+    open(os.path.join(staged, "junk"), "w").write("partial")
+    recovered2 = TemporalGraphStream(spark, state_dir)
+    assert not os.path.exists(staged)
+    assert _index_pointers(recovered2) == orig
+
+    # a real compaction after recovery still lands on the live set
+    recovered2.compact_parent_index()
+    assert _index_pointers(recovered2) == live_want
+
+
+@pytest.mark.slow
+def test_sink_batch_time_independent_of_accumulated_state(spark, tmp_path):
+    """VERDICT r3 #6 — the O(touched) claim UNDER LOAD: a constant-size
+    micro-batch must cost the same whether the accumulated state holds
+    ~300 or ~3300 entities. An O(state) sink (full-state read, full-state
+    seed, or full rewrite) would scale ~10x between the two phases; the
+    bucketed sink reads+rewrites only the few buckets the batch touches.
+    Structural pin alongside the wall-clock: each tiny batch writes at
+    most as many bucket version dirs as its touched keys could hash to.
+    """
+    import time
+
+    from graph_vulcan_assets_spark.plans.temporal import RAW_SCHEMA as RS
+    from graph_vulcan_assets_spark.streaming.ingest import PARENT_IDX, STATE_TABLES
+
+    nb = 64
+    stream = TemporalGraphStream(spark, str(tmp_path / "state"), n_buckets=nb)
+    bid = 0
+
+    def apply(msgs):
+        nonlocal bid
+        stream.apply_batch(spark.createDataFrame(msgs, schema=RS), bid)
+        bid += 1
+
+    def tiny_round(prefix, k=8, rounds=5):
+        nonlocal bid
+        times = []
+        for r in range(rounds):
+            msgs = fixtures.disjoint_messages(f"{prefix}{r}", seq0=bid * 100_000, n=k)
+            t0 = time.monotonic()
+            apply(msgs)
+            times.append(time.monotonic() - t0)
+            # O(touched) write pin: this batch introduced k keys; each
+            # state table + the index can write at most k touched buckets
+            # (plus nothing else)
+            written = 0
+            for t in (*STATE_TABLES, PARENT_IDX):
+                d = os.path.join(str(tmp_path / "state"), t, f"batch={bid - 1}")
+                if os.path.isdir(d):
+                    written += sum(1 for x in os.listdir(d) if x.startswith("bucket="))
+            assert written <= 5 * k, (
+                f"batch of {k} keys wrote {written} bucket versions — "
+                "write amplification is O(state), not O(touched)"
+            )
+        times.sort()
+        return times[len(times) // 2]  # median: absorbs co-tenant noise
+
+    # phase A: ~400-entity state
+    apply(fixtures.disjoint_messages("cold", seq0=1, n=300))
+    t_small = tiny_round("a")
+
+    # phase B: grow state ~10x, same tiny-batch workload
+    apply(fixtures.disjoint_messages("warm", seq0=10_000_000, n=3000))
+    t_big = tiny_round("b")
+
+    assert t_big <= 2.5 * t_small + 0.5, (
+        f"tiny-batch time grew with state: {t_small:.2f}s -> {t_big:.2f}s "
+        "(an O(state) path would show ~10x; flat is the contract)"
+    )
