@@ -25,12 +25,22 @@ from graph_vulcan_assets_spark.tables import load_table
 
 
 def connected_components(
-    edges: DataFrame, src: str = "a_id", dst: str = "b_id", max_iter: int = 20
+    edges: DataFrame, src: str = "a_id", dst: str = "b_id", max_iter: int = 60
 ) -> DataFrame:
     """(node, component) with component = min node id reachable.
 
     `edges` is an undirected edge list; isolated vertices absent from it
     are their own components by definition (callers union them if needed).
+
+    Non-convergence within ``max_iter`` RAISES instead of returning the
+    partial labeling: min-label propagation moves the min one hop per
+    iteration, so a duplicate chain longer than ``max_iter`` hops would
+    otherwise come back silently SPLIT into several components — and the
+    leakage-safe splitter built on this (llm/curation.py) would then put
+    one near-dup group on both sides of a train/test cut, the exact
+    contamination it exists to prevent. Duplicate clusters have tiny
+    diameters in practice; a raise here means the data violated that
+    assumption and the caller should rerun with a higher ``max_iter``.
     """
     # localCheckpoint per iteration: truncates lineage — without it each
     # round's plan nests the previous round's and analysis/optimization
@@ -49,6 +59,7 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
 
+    changed = -1
     for _ in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym.v == labels.node)
@@ -74,6 +85,12 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} iterations "
+            f"({changed} labels still moving) — the graph has a component of "
+            f"diameter > {max_iter}; rerun with a higher max_iter"
+        )
     return labels
 
 
@@ -114,11 +131,11 @@ def q_dedup_clusters(spark, sf_dir) -> DataFrame:
     (min reachable id per node) — iterative dataflow vs recursive SQL,
     identical fixpoint.
     """
+    from graph_vulcan_assets_spark.llm.dedup import q_dedup_ngram
+
+    # reuse the exact n-gram Jaccard pairs (bounded, deterministic)
     pairs = (
-        # reuse the exact n-gram Jaccard pairs (bounded, deterministic)
-        __import__(
-            "graph_vulcan_assets_spark.llm.dedup", fromlist=["q_dedup_ngram"]
-        ).q_dedup_ngram(spark, sf_dir)
+        q_dedup_ngram(spark, sf_dir)
         .where(F.col("jaccard") >= 0.5)
         .select("a_id", "b_id")
     )
@@ -128,8 +145,10 @@ def q_dedup_clusters(spark, sf_dir) -> DataFrame:
 
 def keep_one_per_cluster(docs: DataFrame, components: DataFrame) -> DataFrame:
     """Final dedup: keep the lowest doc_id of each duplicate group plus
-    every unclustered document."""
-    keepers = components.groupBy("component").agg(F.min("doc_id").alias("doc_id"))
+    every unclustered document. The keeper IS the component label
+    (component = min reachable id by contract), so no per-group
+    aggregation is needed — just the rows labeled by themselves."""
+    keepers = components.where(F.col("doc_id") == F.col("component"))
     clustered = components.select("doc_id")
     survivors = docs.join(clustered, "doc_id", "left_anti").select("doc_id").unionByName(
         keepers.select("doc_id")

@@ -133,13 +133,13 @@ def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH binned AS (
       SELECT event_type,
-             least(CAST(floor(value / 10) AS BIGINT), 9) AS bin,
+             greatest(least(CAST(floor(value / 10) AS BIGINT), 9), 0) AS bin,
              count(*) FILTER (ts <  TIMESTAMP '2024-01-16') AS r,
              count(*) FILTER (ts >= TIMESTAMP '2024-01-16') AS c
-      FROM events GROUP BY 1, 2),
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
     spine AS (
       SELECT DISTINCT event_type, u.bin
-      FROM events, unnest(range(0, 10)) AS u(bin)),
+      FROM binned, unnest(range(0, 10)) AS u(bin)),
     filled AS (
       SELECT s.event_type, s.bin,
              COALESCE(b.r, 0) AS r, COALESCE(b.c, 0) AS c
@@ -169,24 +169,30 @@ def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Single-scan design like q_dq_checks: BOTH windows' bin counts come
     from one conditional aggregate over one pass (no second read of the
-    fact table); the 10-bin spine is types×10 rows regardless of fact
-    size; Laplace (+1) smoothing keeps every log finite without an
+    fact table — the types×10 spine derives from the already-aggregated
+    bin frame, since every type with any row appears there); the bin is
+    CLAMPED on both ends (out-of-range values land in the edge bins, so
+    a sign-flip or scale bug upstream shifts visible mass instead of
+    silently vanishing from both windows) and NULL values are excluded
+    explicitly (a NULL bin would otherwise drop rows from counts AND
+    totals). Laplace (+1) smoothing keeps every log finite without an
     epsilon branch. Per-bin PSI terms are one fixed IEEE expression over
     exact BIGINT counts rounded to integer micros BEFORE the only
     summation, so the driver hash-compare is exact at any partition
     count. drifted = PSI >= 0.2, the standard alert threshold.
     """
-    e = load_table(spark, sf_dir, "events")
+    e = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
     cut = F.lit("2024-01-16").cast("timestamp")
-    binned = e.groupBy(
-        "event_type",
-        F.least(F.floor(F.col("value") / 10).cast("long"), F.lit(9).cast("long")).alias("bin"),
-    ).agg(
+    bin_expr = F.greatest(
+        F.least(F.floor(F.col("value") / 10).cast("long"), F.lit(9).cast("long")),
+        F.lit(0).cast("long"),
+    )
+    binned = e.groupBy("event_type", bin_expr.alias("bin")).agg(
         F.count(F.when(F.col("ts") < cut, 1)).alias("r"),
         F.count(F.when(F.col("ts") >= cut, 1)).alias("c"),
     )
     spine = (
-        e.select("event_type")
+        binned.select("event_type")
         .distinct()
         .select("event_type", F.explode(F.sequence(F.lit(0), F.lit(9)).cast("array<long>")).alias("bin"))
     )

@@ -36,19 +36,31 @@ from graph_vulcan_assets_spark.tables import load_table
 def _collapse(events: DataFrame) -> DataFrame:
     """(user_id, attr, valid_from, valid_to, is_current) from
     (user_id, event_type, ts, event_id): keep only rows where the value
-    changes, then chain intervals with lead()."""
+    changes, then chain intervals with lead().
+
+    Zero-width versions are dropped: two changes sharing one timestamp
+    give every but the LAST same-ts row valid_to == valid_from — an
+    interval containing no time point, invisible to every [from, to)
+    point query, and a duplicate (user_id, valid_from) history key that
+    would violate BucketTable.upsert's key-unique precondition (history
+    content would then depend on replay order). Dropping them keeps
+    (user_id, valid_from) unique by construction."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     changes = (
         events.withColumn("prev", F.lag("event_type").over(w))
         .where(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
         .drop("prev")
     )
-    return changes.select(
-        "user_id",
-        F.col("event_type").alias("attr"),
-        F.col("ts").alias("valid_from"),
-        F.lead("ts").over(w).alias("valid_to"),
-    ).withColumn("is_current", F.col("valid_to").isNull())
+    return (
+        changes.select(
+            "user_id",
+            F.col("event_type").alias("attr"),
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(w).alias("valid_to"),
+        )
+        .where(F.col("valid_to").isNull() | (F.col("valid_to") != F.col("valid_from")))
+        .withColumn("is_current", F.col("valid_to").isNull())
+    )
 
 
 def scd2_build(events: DataFrame) -> DataFrame:
@@ -97,14 +109,18 @@ def scd2_apply(dim: DataFrame, batch: DataFrame) -> DataFrame:
       FROM events),
     changes AS (
       SELECT user_id, event_type, ts, event_id
-      FROM ordered WHERE prev IS NULL OR prev <> event_type)
-    SELECT user_id,
-           event_type AS attr,
-           ts AS valid_from,
-           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
-           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
-             AS is_current
-    FROM changes
+      FROM ordered WHERE prev IS NULL OR prev <> event_type),
+    chained AS (
+      SELECT user_id,
+             event_type AS attr,
+             ts AS valid_from,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS valid_to
+      FROM changes)
+    SELECT user_id, attr, valid_from, valid_to,
+           valid_to IS NULL AS is_current
+    FROM chained
+    WHERE valid_to IS NULL OR valid_to <> valid_from
     """,
 )
 def q_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:

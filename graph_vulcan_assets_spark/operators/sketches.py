@@ -120,8 +120,15 @@ def cms_build(df: DataFrame, col: str) -> DataFrame:
     most d·w cells before anything moves. The result is MERGEABLE by
     cell-wise sum: sketches from disjoint batches (or 1000 executors'
     partials) add, the same algebra the HLL leaf store exploits.
+
+    NULL keys are EXCLUDED (here and in cms_estimate, symmetrically):
+    a NULL key hashes to NULL cells that no probe can equi-join back,
+    which would make the estimate 0 for a positive true count — breaking
+    the never-underestimates invariant. Count NULLs with a plain
+    conditional aggregate if they matter; a sketch is for the keyed mass.
     """
     key = F.col(col).cast("string")
+    df = df.where(key.isNotNull())
     cells = df.select(
         F.explode(
             F.array(
@@ -150,8 +157,10 @@ def cms_estimate(sketch: DataFrame, keys: DataFrame, col: str) -> DataFrame:
     """Point-frequency estimates: min over the d counters each key maps
     to. The sketch side is d·w rows — Spark broadcasts it, so estimation
     is a map-side join against the key relation however large it is.
-    ``est >= true count`` always (CMS never underestimates)."""
+    ``est >= true count`` always (CMS never underestimates) — which is
+    why NULL keys are excluded on both build and probe (see cms_build)."""
     key = F.col(col).cast("string")
+    keys = keys.where(key.isNotNull())
     probes = keys.select(
         "*",
         F.explode(

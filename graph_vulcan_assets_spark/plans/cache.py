@@ -7,24 +7,29 @@ repeated-scan suppression — dashboards re-issuing the same rollup every
 few minutes re-read nothing.
 
 Fingerprint = sha256 over
-  - the ANALYZED logical plan string with expression ids CANONICALLY
-    RENUMBERED (#123 differs across sessions for the same query, so raw
-    ids can't key a cache — but ERASING them entirely collapses distinct
-    plans: ``s = '#1'`` vs ``s = '#2'`` literals, and self-join
-    conditions distinguished only by expression identity like
-    ``a#1 < a#5`` vs ``a#5 < a#1``, must NOT share a key. Each distinct
-    ``#<n>`` token maps to ``#e0``, ``#e1``, … in order of first
-    appearance, so attribute identity and literal text survive while
-    session-specific numbering cancels out), and
+  - Catalyst's CANONICALIZED analyzed plan (``QueryPlan.canonicalized`` —
+    the machinery Spark itself uses for plan equality: expression ids are
+    renumbered deterministically per plan, attribute names normalized,
+    literal text preserved). Session-specific expr ids cancel out while
+    ``s = '#1'`` vs ``s = '#2'`` literals — even ``'x#1'`` forms whose
+    text imitates an attribute reference — and self-join conditions
+    distinguished only by which side's attribute is referenced all stay
+    distinct. Regex normalization of the plan STRING cannot get this
+    right (any literal whose text matches the id pattern collides one way
+    or the other); the tree-level canonicalization can.
+  - the result schema json — canonicalization erases output aliases, and
+    a hit must serve the exact column names the caller's plan declares
+    (the materialized parquet is re-read by name), and
   - each input file's (path, size, mtime) — so ANY change to the backing
     data invalidates, while a byte-identical re-register hits.
 
 Correctness stance: the fingerprint is a conservative key — false MISSES
 (a cosmetic plan difference) cost a recompute; false HITS are prevented
-by hashing the full normalized plan, which encodes schema, filters,
-expressions, attribute identity, and input paths. Reference scope: the
-reference has no query cache (every read is an HTTP round trip,
-inventory/inventory.go); this is engine generalization.
+by hashing the full canonicalized plan, which encodes structure, filters,
+expressions, attribute identity, and literals, plus the output schema and
+input paths. Reference scope: the reference has no query cache (every
+read is an HTTP round trip, inventory/inventory.go); this is engine
+generalization.
 """
 
 from __future__ import annotations
@@ -32,32 +37,17 @@ from __future__ import annotations
 import hashlib
 import json
 import os
-import re
 
 from pyspark.sql import DataFrame, SparkSession
 
-# Attribute references print as ``name#id`` / ``sum(x)#id`` — only a
-# ``#<n>`` preceded by an identifier-ish char is an expression id; a bare
-# `` #1`` is literal text and must survive verbatim (else ``s = '#1'`` and
-# ``s = '#2'`` collide).
-_EXPR_ID = re.compile(r"(?<=[\w)\]])#(\d+)")
-
-
-def _renumber_expr_ids(plan: str) -> str:
-    """Map each distinct ``#<n>`` to ``#e0``, ``#e1``, … by first
-    appearance — canonical across sessions, collision-free within a plan."""
-    seen: dict[str, str] = {}
-
-    def sub(m: re.Match[str]) -> str:
-        return seen.setdefault(m.group(1), f"#e{len(seen)}")
-
-    return _EXPR_ID.sub(sub, plan)
-
 
 def plan_fingerprint(df: DataFrame) -> str:
-    """Stable digest of the analyzed plan + input-file state."""
-    plan = df._jdf.queryExecution().analyzed().toString()
-    normalized = _renumber_expr_ids(plan)
+    """Stable digest of the canonicalized plan + schema + input-file state."""
+    normalized = (
+        df._jdf.queryExecution().analyzed().canonicalized().toString()
+        + "\nschema:"
+        + df.schema.json()
+    )
     files = []
     for f in sorted(df.inputFiles()):
         local = f.removeprefix("file:")

@@ -236,7 +236,7 @@ def disjoint_messages(prefix: str, seq0: int, n: int) -> list[dict]:
         seq = seq0 + i
         team = f"t{i % 4}"
         anns = (
-            [(AWS_ANNOTATION_KEY, f"arn:aws:iam::{prefix}-{i % 3}:root")]
+            [(AWS_ANNOTATION_KEY, f"arn:aws:iam::{prefix}-{(i // 3) % 3}:root")]
             if i % 3 == 0
             else []
         )

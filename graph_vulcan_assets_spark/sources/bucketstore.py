@@ -109,6 +109,49 @@ class BucketTable:
         d = os.path.join(self.path, "_commits")
         return sorted(int(f) for f in os.listdir(d) if f.isdigit())
 
+    def _commit_buckets(self) -> dict[int, set[int] | None]:
+        """Commit id → the buckets that commit wrote (recorded in the
+        marker since round 4; legacy 'ok' markers → None = unknown)."""
+        d = os.path.join(self.path, "_commits")
+        out: dict[int, set[int] | None] = {}
+        for f in os.listdir(d):
+            if not f.isdigit():
+                continue
+            try:
+                with open(os.path.join(d, f)) as fh:
+                    out[int(f)] = set(json.load(fh)["buckets"])
+            except (ValueError, KeyError, TypeError):
+                out[int(f)] = None
+        return out
+
+    def _check_time_travel(self, version: int, buckets: set[int] | None) -> None:
+        """Raise if the as-of-``version`` view is no longer faithful: some
+        bucket's needed version dir was pruned (``keep_versions``) or
+        compacted away. Without this check a time-travel read silently
+        resolves pruned buckets to EMPTY — and a change-feed consumer
+        diffing against that empty before-image misses deletes/updates
+        (stale secondary indexes were the observed symptom). Skipped when
+        any in-range commit predates bucket recording (legacy markers)."""
+        recorded = self._commit_buckets()
+        expected: dict[int, int] = {}
+        for c in sorted(k for k in recorded if k <= version):
+            wrote = recorded[c]
+            if wrote is None:
+                return  # legacy marker in range: cannot verify, keep old behavior
+            for b in wrote:
+                expected[b] = c  # ascending → ends at newest write ≤ version
+        if buckets is not None:
+            expected = {b: v for b, v in expected.items() if b in buckets}
+        actual = self._bucket_versions(as_of=version)
+        pruned = sorted(b for b, v in expected.items() if actual.get(b) != v)
+        if pruned:
+            raise ValueError(
+                f"version {version} is outside the retained history: buckets "
+                f"{pruned[:8]}{'…' if len(pruned) > 8 else ''} lost their "
+                f"as-of version to pruning/compaction (keep_versions="
+                f"{self.keep_versions}); full-resync the consumer instead"
+            )
+
     def _bucket_col(self):
         return F.pmod(F.xxhash64(*[F.col(c) for c in self.bucket_cols]), F.lit(self.n_buckets)).cast("int")
 
@@ -136,7 +179,11 @@ class BucketTable:
     def read(self, version: int | None = None, buckets: set[int] | None = None) -> DataFrame:
         """Current table (or the view as of commit ``version``); with
         ``buckets``, only those buckets are opened (the pruned-read path a
-        key-scoped MERGE uses)."""
+        key-scoped MERGE uses). A ``version`` outside the retained history
+        raises ValueError instead of silently serving an empty view for
+        pruned buckets (see ``_check_time_travel``)."""
+        if version is not None:
+            self._check_time_travel(version, buckets)
         versions = self._bucket_versions(as_of=version)
         if buckets is not None:
             versions = {b: v for b, v in versions.items() if b in buckets}
@@ -175,9 +222,17 @@ class BucketTable:
                 os.makedirs(os.path.join(base, f"bucket={b}"), exist_ok=True)
         self._save_meta()
         # marker LAST: readers resolve only committed versions, so a crash
-        # anywhere above leaves the table at the previous commit
+        # anywhere above leaves the table at the previous commit. The
+        # marker records the buckets this version wrote (read back from
+        # the landed dirs — exact, including explicit empty buckets) so
+        # time-travel reads can detect a pruned-away as-of view.
+        written = sorted(
+            int(bd.split("=", 1)[1])
+            for bd in os.listdir(base)
+            if bd.startswith("bucket=")
+        )
         with open(os.path.join(self.path, "_commits", str(version)), "w") as f:
-            f.write("ok")
+            json.dump({"buckets": written}, f)
         self._prune()
 
     def upsert(self, batch: DataFrame) -> int:

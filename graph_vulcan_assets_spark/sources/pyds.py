@@ -205,16 +205,18 @@ def _read_bucket_dir(directory: str):
 
 def _val_eq(a, b) -> bool:
     """NaN-aware value equality (mirrors the DataFrame-side ``changes()``
-    eqNullSafe semantics): both-NaN compares EQUAL, so a NaN-bearing value
-    column doesn't re-emit its key as a spurious 'update' on every commit
-    (ADVICE r3)."""
-    if (
-        isinstance(a, float)
-        and isinstance(b, float)
-        and math.isnan(a)
-        and math.isnan(b)
-    ):
-        return True
+    eqNullSafe semantics, which treats NaN as equal inside nested types
+    too): both-NaN compares EQUAL — at any nesting depth — so a
+    NaN-bearing value column doesn't re-emit its key as a spurious
+    'update' on every commit (ADVICE r3)."""
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return True
+        return a == b
+    if isinstance(a, (list, tuple)) and isinstance(b, (list, tuple)):
+        return len(a) == len(b) and all(_val_eq(x, y) for x, y in zip(a, b))
+    if isinstance(a, dict) and isinstance(b, dict):
+        return a.keys() == b.keys() and all(_val_eq(v, b[k]) for k, v in a.items())
     return a == b
 
 

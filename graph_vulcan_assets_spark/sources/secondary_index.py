@@ -16,11 +16,25 @@ persisted marker-style AFTER both index commits; a crash mid-refresh
 re-runs the same diff, and both halves are idempotent (delete of absent
 entries and re-upsert of present ones are no-ops).
 
-Constraint inherited from the CDF: refresh must run within the base's
-version-pruning window (keep_versions); a refresh that falls behind it
-raises from the underlying time-travel read rather than silently missing
-changes. The reference has no index surface (every lookup is an HTTP
-call); this is engine generalization in the same family as the read API
+Two recovery paths (round 4):
+
+- A refresh that falls behind the base's version-pruning window
+  (keep_versions) gets a loud ValueError from the underlying time-travel
+  read (the base records per-commit bucket sets for exactly this) and
+  FULL-RESYNCS: rebuild the entry set from the current base and delete
+  every stale index row. Silently diffing against a pruned (empty)
+  before-image would leak deleted keys into lookups forever.
+- A crash after the index commits but before the high-water mark
+  advances, followed by the base moving on, would leak the intermediate
+  value's entry (the re-run diff's 'before' is the pre-crash value, not
+  the one actually indexed). refresh() therefore records its TARGET
+  commit before mutating; recovery first re-applies exactly the recorded
+  [hwm, target] window (same diff as the crashed attempt — idempotent),
+  then proceeds. Both halves of a window apply are idempotent (delete of
+  absent entries and re-upsert of present ones are no-ops).
+
+The reference has no index surface (every lookup is an HTTP call); this
+is engine generalization in the same family as the read API
 (plans/api.py).
 """
 
@@ -74,23 +88,62 @@ class SecondaryIndex:
             f.write(str(commit))
         os.replace(tmp, self._hwm_path())
 
+    def _target_path(self) -> str:
+        return os.path.join(self.path, "_refresh_target")
+
+    def _pending_target(self) -> int | None:
+        try:
+            with open(self._target_path()) as f:
+                return int(f.read())
+        except (FileNotFoundError, ValueError):
+            return None
+
+    def _set_target(self, commit: int) -> None:
+        tmp = self._target_path() + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(commit))
+        os.replace(tmp, self._target_path())
+
+    def _clear_target(self) -> None:
+        try:
+            os.remove(self._target_path())
+        except FileNotFoundError:
+            pass
+
     # -- maintenance ------------------------------------------------------
-    def refresh(self) -> int:
-        """Bring the index up to the base's head commit; returns it."""
-        commits = self.base.commits()
-        if not commits:
-            return -1
-        head = commits[-1]
-        last = self.indexed_through()
-        if head == last:
-            return head
+    def _full_resync(self, head: int) -> None:
+        """Rebuild from the CURRENT base: upsert every live (value, key)
+        entry and delete every index row not among them. O(base + index) —
+        the recovery path when the incremental window is gone."""
+        fresh = self.base.read().select(self.column, *self.base.key_cols)
+        fresh = fresh.localCheckpoint(eager=True)
+        if self.table._schema is not None:
+            stale = self.table.read().join(
+                fresh, [self.column, *self.base.key_cols], "left_anti"
+            )
+            if stale.take(1):
+                self.table.delete(stale)
+        if fresh.take(1):
+            self.table.upsert(fresh)
+
+    def _apply_window(self, last: int, until: int) -> None:
+        """Apply the base's [last → until] change feed to the index; falls
+        back to a full resync if that window left the retained history."""
         if last < 0:
             # initial build: one pass over the base, no feed needed
-            entries = self.base.read().select(self.column, *self.base.key_cols)
-            self.table.upsert(entries)
-            self._save_hwm(head)
-            return head
-        feed = self.base.changes(last, head).localCheckpoint(eager=True)
+            entries = self.base.read(version=until).select(
+                self.column, *self.base.key_cols
+            )
+            if entries.take(1):
+                self.table.upsert(entries)
+            return
+        try:
+            feed = self.base.changes(last, until).localCheckpoint(eager=True)
+        except ValueError:
+            # window pruned away — diffing against a silently-empty
+            # before-image would leak deleted keys into lookups forever
+            self._full_resync(until)
+            return
         val = lambda side: F.col(side)[self.column]  # noqa: E731
         stale = feed.where(
             (F.col("change_type") == "delete")
@@ -106,14 +159,51 @@ class SecondaryIndex:
             self.table.delete(stale)
         if fresh.take(1):
             self.table.upsert(fresh)
+
+    def refresh(self) -> int:
+        """Bring the index up to the base's head commit; returns it."""
+        commits = self.base.commits()
+        if not commits:
+            return -1
+        head = commits[-1]
+        last = self.indexed_through()
+        # recover an interrupted refresh FIRST: a crashed attempt may have
+        # applied part of [last, target] without advancing the hwm; if the
+        # base advanced since, a fresh [last, head] diff would compute
+        # 'before' values the crashed attempt already replaced and leak
+        # the intermediate entries. Re-apply exactly the recorded window
+        # (idempotent), commit its hwm, then continue.
+        target = self._pending_target()
+        if target is not None and target > last:
+            self._apply_window(last, target)
+            self._save_hwm(target)
+            self._clear_target()
+            last = target
+        if head == last:
+            self._clear_target()
+            return head
+        self._set_target(head)
+        self._apply_window(last, head)
         self._save_hwm(head)
+        self._clear_target()
         return head
 
     # -- reads ------------------------------------------------------------
     def lookup(self, value) -> DataFrame:
         """Base keys whose ``column`` equals ``value`` — opens exactly one
-        index bucket (the value's), never the base."""
+        index bucket (the value's), never the base. Before the first
+        refresh the index has no entries (and no schema): return a typed
+        empty frame instead of an opaque NoneType error."""
         entries = self.table
+        if entries._schema is None:
+            base_schema = self.base._schema
+            if base_schema is None:
+                raise ValueError("index not built and base is empty — call refresh()")
+            from pyspark.sql.types import StructType
+
+            return self.spark.createDataFrame(
+                [], StructType([base_schema[k] for k in self.base.key_cols])
+            )
         col_type = entries._schema[self.column].dataType.simpleString()
         keyed = self.spark.createDataFrame([(value,)], f"{self.column} {col_type}")
         buckets = entries._touched(keyed)

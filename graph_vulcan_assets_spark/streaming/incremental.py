@@ -41,18 +41,56 @@ def batch_aggregate(events: DataFrame) -> DataFrame:
     )
 
 
-def merge_aggregate_state(spark: SparkSession, state_dir: str, partial: DataFrame) -> None:
+def _applied_state_batches(state_dir: str) -> list[int]:
+    d = os.path.join(state_dir, "_applied")
+    os.makedirs(d, exist_ok=True)
+    return sorted(int(f) for f in os.listdir(d) if f.isdigit())
+
+
+def _read_live_state(spark: SparkSession, state_dir: str, schema: str) -> DataFrame:
+    applied = _applied_state_batches(state_dir)
+    if not applied:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(
+        os.path.join(state_dir, f"batch={applied[-1]}")
+    )
+
+
+def _commit_state(merged: DataFrame, state_dir: str, batch_id: int) -> None:
+    """Versioned marker-last commit (the entity sink's protocol): the new
+    state lands as ``batch=N`` and only then is acknowledged, so a crash
+    mid-write leaves an ignored orphan and the previous state intact —
+    never the rmtree-then-rename window where ALL accumulated state could
+    vanish silently. Keeps the newest two acknowledged versions (the
+    redelivered batch after a crash-before-marker must still find the
+    previous state to re-merge against)."""
+    import shutil
+
+    merged.write.mode("overwrite").parquet(
+        os.path.join(state_dir, f"batch={batch_id}")
+    )
+    with open(os.path.join(state_dir, "_applied", str(batch_id)), "w") as f:
+        f.write("ok")
+    for bid in _applied_state_batches(state_dir)[:-2]:
+        shutil.rmtree(os.path.join(state_dir, f"batch={bid}"), ignore_errors=True)
+
+
+def merge_aggregate_state(
+    spark: SparkSession, state_dir: str, partial: DataFrame, batch_id: int
+) -> None:
     """Merge one micro-batch's partial aggregate into the state table.
 
     Full-outer join + coalesce-add on the (tiny) groups table — the same
     MERGE emulation the entity sink uses (streaming/ingest.py). The state
-    rewrite is |groups|-sized, not history-sized.
+    rewrite is |groups|-sized, not history-sized. IDEMPOTENT under
+    at-least-once redelivery: an already-acknowledged ``batch_id`` is
+    skipped (foreachBatch can re-deliver a batch whose merge committed
+    but whose offsets didn't — without the guard the partial would
+    double-count into the totals permanently).
     """
-    cur_path = os.path.join(state_dir, "current")
-    if os.path.isdir(cur_path):
-        cur = spark.read.schema(_AGG_SCHEMA).parquet(cur_path)
-    else:
-        cur = spark.createDataFrame([], _AGG_SCHEMA)
+    if batch_id in _applied_state_batches(state_dir):
+        return
+    cur = _read_live_state(spark, state_dir, _AGG_SCHEMA)
     p = partial.select(
         F.col("event_type").alias("p_event_type"),
         F.col("n").alias("p_n"),
@@ -68,14 +106,7 @@ def merge_aggregate_state(spark: SparkSession, state_dir: str, partial: DataFram
             ),
         )
     )
-    nxt_path = os.path.join(state_dir, "next")
-    merged.write.mode("overwrite").parquet(nxt_path)
-    # atomic-enough swap for local emulation; a real deployment uses Delta
-    # MERGE (jars absent from this image — see NOTES_r1)
-    import shutil
-
-    shutil.rmtree(cur_path, ignore_errors=True)
-    os.replace(nxt_path, cur_path)
+    _commit_state(merged, state_dir, batch_id)
 
 
 def maintain_aggregate(
@@ -88,7 +119,9 @@ def maintain_aggregate(
     """
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        merge_aggregate_state(batch_df.sparkSession, state_dir, batch_aggregate(batch_df))
+        merge_aggregate_state(
+            batch_df.sparkSession, state_dir, batch_aggregate(batch_df), batch_id
+        )
 
     return (
         stream.writeStream.foreachBatch(_apply)
@@ -99,7 +132,7 @@ def maintain_aggregate(
 
 
 def read_aggregate_state(spark: SparkSession, state_dir: str) -> DataFrame:
-    return spark.read.schema(_AGG_SCHEMA).parquet(os.path.join(state_dir, "current"))
+    return _read_live_state(spark, state_dir, _AGG_SCHEMA)
 
 
 def join_within(
@@ -107,10 +140,16 @@ def join_within(
     right: DataFrame,
     lower: str = "INTERVAL 0 SECONDS",
     upper: str = "INTERVAL 1 HOUR",
+    left_type: str = "view",
+    right_type: str = "purchase",
 ) -> DataFrame:
-    """Stream-stream inner join: same user, right event follows left within
-    (lower, upper]. Both sides carry watermarks so the state store evicts
-    rows older than the join window — bounded state by construction.
+    """Stream-stream inner join: same user, a ``right_type`` event follows
+    a ``left_type`` event within (lower, upper]. Both sides carry
+    watermarks so the state store evicts rows older than the join window —
+    bounded state by construction. The event-type pair is a parameter
+    (defaults are the view→purchase funnel); pushing the type filter into
+    the join condition also shrinks each side's state store to the one
+    event type it needs.
     """
     l = left.withWatermark("ts", "2 hours").select(
         F.col("user_id").alias("l_user"),
@@ -128,8 +167,8 @@ def join_within(
         (F.col("l_user") == F.col("r_user"))
         & (F.col("r_ts") > F.col("l_ts") + F.expr(lower))
         & (F.col("r_ts") <= F.col("l_ts") + F.expr(upper))
-        & (F.col("l_type") == "view")
-        & (F.col("r_type") == "purchase")
+        & (F.col("l_type") == left_type)
+        & (F.col("r_type") == right_type)
     )
     return l.join(r, cond)
 
@@ -196,10 +235,14 @@ def gate_with_dq(
         )
         # batch_id-keyed dirs: a replayed batch overwrites its own output
         # instead of double-appending (effective exactly-once)
-        report.write.mode("overwrite").parquet(
-            os.path.join(report_dir, f"batch={batch_id}")
-        )
-        ok = all(r["passed"] for r in report.collect())
+        # evaluate the |checks|-row report ONCE: collect it, then write the
+        # collected rows (writing the plan and collecting it again would
+        # re-run the batch aggregation — doubling the gate's dominant cost)
+        rows = report.collect()
+        batch_df.sparkSession.createDataFrame(rows, report.schema).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(report_dir, f"batch={batch_id}"))
+        ok = all(r["passed"] for r in rows)
         dest = out_dir if ok else quarantine_dir
         batch_df.write.mode("overwrite").parquet(
             os.path.join(dest, f"batch={batch_id}")
@@ -217,7 +260,9 @@ def gate_with_dq(
 _HLL_SCHEMA = "event_type string, day date, sketch binary, n_rows bigint"
 
 
-def merge_hll_state(spark: SparkSession, state_dir: str, leaves: DataFrame) -> None:
+def merge_hll_state(
+    spark: SparkSession, state_dir: str, leaves: DataFrame, batch_id: int
+) -> None:
     """Merge one micro-batch's leaf sketches (operators/sketches.py
     hll_leaf_sketches shape) into the persisted sketch state.
 
@@ -226,13 +271,13 @@ def merge_hll_state(spark: SparkSession, state_dir: str, leaves: DataFrame) -> N
     re-reading history — union is register-wise on 4 KiB blobs, so the
     state rewrite is |groups|-sized. `hll_union` with strict lgK match
     (a silent precision downgrade in a long-lived state table is a
-    correctness hazard).
+    correctness hazard). Same idempotent versioned-commit protocol as
+    merge_aggregate_state (n_rows would double-count on redelivery; HLL
+    union itself is idempotent, but the protocol covers both).
     """
-    cur_path = os.path.join(state_dir, "current")
-    if os.path.isdir(cur_path):
-        cur = spark.read.schema(_HLL_SCHEMA).parquet(cur_path)
-    else:
-        cur = spark.createDataFrame([], _HLL_SCHEMA)
+    if batch_id in _applied_state_batches(state_dir):
+        return
+    cur = _read_live_state(spark, state_dir, _HLL_SCHEMA)
     p = leaves.select(
         F.col("event_type").alias("p_type"),
         F.col("day").alias("p_day"),
@@ -253,12 +298,7 @@ def merge_hll_state(spark: SparkSession, state_dir: str, leaves: DataFrame) -> N
             "n_rows"
         ),
     )
-    nxt_path = os.path.join(state_dir, "next")
-    merged.write.mode("overwrite").parquet(nxt_path)
-    import shutil
-
-    shutil.rmtree(cur_path, ignore_errors=True)
-    os.replace(nxt_path, cur_path)
+    _commit_state(merged, state_dir, batch_id)
 
 
 def maintain_hll(stream: DataFrame, state_dir: str, checkpoint_dir: str):
@@ -273,7 +313,7 @@ def maintain_hll(stream: DataFrame, state_dir: str, checkpoint_dir: str):
             ["event_type", "day"],
             "user_id",
         )
-        merge_hll_state(batch_df.sparkSession, state_dir, leaves)
+        merge_hll_state(batch_df.sparkSession, state_dir, leaves, batch_id)
 
     return (
         stream.writeStream.foreachBatch(_apply)
@@ -285,7 +325,7 @@ def maintain_hll(stream: DataFrame, state_dir: str, checkpoint_dir: str):
 
 def read_hll_state(spark: SparkSession, state_dir: str) -> DataFrame:
     """Current sketch state, with the estimate materialized per row."""
-    s = spark.read.schema(_HLL_SCHEMA).parquet(os.path.join(state_dir, "current"))
+    s = _read_live_state(spark, state_dir, _HLL_SCHEMA)
     return s.select(
         "event_type",
         "day",
@@ -342,10 +382,19 @@ def maintain_join_view(
     without the streaming harness, so equivalence to the full recompute
     is testable deterministically. Returns the final view; callers in a
     real pipeline would append each ΔJ to a stored table instead.
+
+    The sides must tick in lockstep (one ΔA per ΔB — pad with an empty
+    delta when a side has nothing); unequal lists would silently drop the
+    longer side's tail under zip, so they are rejected loudly.
     """
-    spark = (a_batches + b_batches)[0].sparkSession
-    a_cols = a_batches[0].columns
-    b_cols = b_batches[0].columns
+    if len(a_batches) != len(b_batches):
+        raise ValueError(
+            f"sides must have equal batch counts, got {len(a_batches)} vs "
+            f"{len(b_batches)} — pad the quiet side with empty deltas"
+        )
+    if not a_batches:
+        raise ValueError("no batches to fold")
+    spark = a_batches[0].sparkSession
     a_old = spark.createDataFrame([], a_batches[0].schema)
     b_old = spark.createDataFrame([], b_batches[0].schema)
     view = None

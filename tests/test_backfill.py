@@ -80,3 +80,36 @@ def test_crash_rerun_idempotent_and_restatement(spark, sf_dir, tmp_path):
     assert bf.run() == ["2024-01-05"]
     n_after = bf.read_output().agg(F.sum("n")).first()[0]
     assert n_after == 10
+
+
+def test_partition_admitted_only_after_landing_complete(spark, tmp_path):
+    """Round-4 fix: a scheduled run firing while upstream is still landing
+    a partition must NOT process the half-written directory (it would be
+    permanently marked done with files missing). _SUCCESS admits
+    immediately; otherwise the newest-file quiet period gates."""
+    import os
+    import time
+
+    from graph_vulcan_assets_spark.plans.backfill import PartitionBackfill
+
+    src = str(tmp_path / "src")
+    part = os.path.join(src, "day=2024-06-01")
+    spark.range(10).write.parquet(part)  # Spark write → has _SUCCESS
+    os.remove(os.path.join(part, "_SUCCESS"))  # simulate non-Spark lander
+
+    bf = PartitionBackfill(
+        spark, src, str(tmp_path / "out"), lambda df: df, settle_seconds=3600
+    )
+    # freshly-written files: inside the settle window → held back
+    assert bf.pending() == []
+    # quiet long enough → admitted
+    old = time.time() - 7200
+    for f in os.listdir(part):
+        os.utime(os.path.join(part, f), (old, old))
+    assert bf.pending() == ["2024-06-01"]
+    # _SUCCESS short-circuits the quiet period for fresh landings
+    part2 = os.path.join(src, "day=2024-06-02")
+    spark.range(5).write.parquet(part2)  # keeps its _SUCCESS
+    assert bf.pending() == ["2024-06-01", "2024-06-02"]
+    assert sorted(bf.run()) == ["2024-06-01", "2024-06-02"]
+    assert bf.read_output().count() == 15

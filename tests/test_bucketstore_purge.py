@@ -45,9 +45,18 @@ def test_purge_erases_from_all_retained_versions(spark, table):
     # live view: only 5 is gone
     live = {r["k"] for r in table.read().collect()}
     assert live == set(range(30)) - {5}
-    # time travel still works for surviving commits, minus the purged key
+    # time travel still works for retained commits, minus the purged key;
+    # commits whose as-of view lost a bucket to pruning now raise loudly
+    # (round-4 change) instead of silently serving a partial view
+    readable = 0
     for v in table.commits():
-        assert 5 not in {r["k"] for r in table.read(version=v).collect()}
+        try:
+            view = table.read(version=v)
+        except ValueError:
+            continue  # outside retained history — loud by design
+        readable += 1
+        assert 5 not in {r["k"] for r in view.collect()}
+    assert readable >= 1, "no commit remained time-travel-readable"
 
 
 def test_purge_leaves_untouched_buckets_byte_identical(spark, table):

@@ -41,3 +41,20 @@ def test_long_chain_converges(spark):
     comps = connected_components(edges, max_iter=40).collect()
     assert {r["component"] for r in comps} == {0}
     assert len(comps) == n + 1
+
+
+def test_non_convergence_raises_loudly(spark):
+    """Round-4 fix: exhausting max_iter used to return a silently SPLIT
+    labeling — downstream leakage-safe splits would then leak one
+    near-dup group across train/test. A chain of diameter > max_iter
+    must raise, and the same chain converges with enough iterations."""
+    import pytest
+
+    n = 12
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "a_id long, b_id long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=3)
+    ok = connected_components(chain, max_iter=n + 2)
+    assert {r.component for r in ok.collect()} == {0}

@@ -40,3 +40,19 @@ def test_heavy_hitters_nonvacuous(spark, sf_dir):
     rows = all_queries()["q_cms_heavy_hitters"](spark, sf_dir).collect()
     assert len(rows) > 0
     assert all(r.est >= 12 for r in rows)
+
+
+def test_null_keys_excluded_from_build_and_probe(spark):
+    """Round-4 fix: a NULL key hashed to NULL cells no probe could join
+    back, returning est=0 for a positive true count — an underestimate
+    from a structure guaranteed never to underestimate. NULLs are now
+    excluded symmetrically on build and probe."""
+    df = spark.createDataFrame(
+        [("a",)] * 5 + [(None,)] * 7 + [("b",)] * 2, "k string"
+    )
+    sk = cms_build(df, "k")
+    probes = spark.createDataFrame([("a",), (None,), ("b",)], "k string")
+    got = {r.k: r.est for r in cms_estimate(sk, probes, "k").collect()}
+    # NULL probe rows are dropped, keyed estimates hold the invariant
+    assert None not in got
+    assert got["a"] >= 5 and got["b"] >= 2

@@ -107,3 +107,32 @@ def test_observed_write_metrics_match_separate_scan(spark, sf_dir, tmp_path):
     assert got["max_value"] == want.max_value
     # and the write itself is complete
     assert spark.read.parquet(str(tmp_path / "out")).count() == want.n_rows
+
+
+def test_psi_sees_negative_value_mass(spark, sf_dir):
+    """Round-4 fix: bins were clamped only from above, so negative values
+    fell off the 0-9 spine and vanished from counts AND totals — a
+    sign-flip upstream was invisible to the drift monitor. With two-sided
+    clamping, shifting the current window negative must read as drift."""
+    from graph_vulcan_assets_spark.operators.dq import q_drift_psi
+    from graph_vulcan_assets_spark.tables import load_table
+    import pyspark.sql.functions as F
+
+    e = load_table(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16").cast("timestamp")
+    # sign-flip the current window only (the upstream-bug scenario)
+    broken = e.withColumn(
+        "value", F.when(F.col("ts") >= cut, -F.col("value")).otherwise(F.col("value"))
+    )
+    base = {r.event_type: r.psi_micros for r in q_drift_psi(spark, sf_dir).collect()}
+
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as td:
+        for t in ("events",):
+            broken.write.mode("overwrite").parquet(os.path.join(td, f"{t}.parquet"))
+        drifted = {r.event_type: r.drifted for r in q_drift_psi(spark, td).collect()}
+    assert any(drifted.values()), (
+        "sign-flipped current window not flagged as drift — negative mass "
+        "is invisible again"
+    )
+    assert base, "baseline PSI empty — vacuous"

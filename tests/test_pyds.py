@@ -135,6 +135,16 @@ def test_diff_commits_nan_values_are_not_spurious_updates(spark, tmp_path):
     v2 = t.upsert(spark.createDataFrame([(1, 1.5)], "k long, score double"))
     assert sorted(diff_commits(p, ["k"], v1, v2)) == [(1, "update", 1.5)]
 
+    # NaN NESTED in an array value column: same rule (eqNullSafe treats
+    # NaN as equal inside nested types too)
+    p2 = str(tmp_path / "bt2")
+    t2 = BucketTable(spark, p2, key_cols=["k"], n_buckets=1)
+    w0 = t2.upsert(
+        spark.createDataFrame([(1, [float("nan"), 2.0])], "k long, vec array<double>")
+    )
+    w1 = t2.upsert(spark.createDataFrame([(2, [3.0])], "k long, vec array<double>"))
+    assert sorted(diff_commits(p2, ["k"], w0, w1)) == [(2, "insert", [3.0])]
+
 
 def test_change_feed_schema_key_order_matches_tuples(spark, tmp_path):
     """ADVICE r3: the CDF schema must order key fields by meta key_cols

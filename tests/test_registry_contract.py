@@ -56,7 +56,9 @@ def test_oracle_outputs_are_driver_hashable(spark, sf_dir):
     ``sort_values`` before hashing, which raises ``TypeError: unhashable
     type`` on list-valued columns — exactly how q_embed_centroid shipped
     red in round 3 while the list-normalizing local parity suite stayed
-    green. Schema-only check: builds each DataFrame, never executes it."""
+    green. Only schemas are asserted; note that CONSTRUCTING some
+    iterative queries (kmeans/PQ/BPE/graph) runs their eager training
+    jobs at the test SF, so this sweep costs about a minute, not zero."""
     from pyspark.sql import types as T
 
     oracles = all_oracle_sql()

@@ -37,6 +37,19 @@ def test_fingerprint_distinguishes_hash_literals_and_expr_identity(spark, sf_dir
     lit1 = docs.where(F.col("lang") == "#1").select("doc_id")
     lit2 = docs.where(F.col("lang") == "#2").select("doc_id")
     assert plan_fingerprint(lit1) != plan_fingerprint(lit2)
+    # literal TEXT imitating an attribute reference (word char before the
+    # '#') — the case string-level regex normalization cannot distinguish
+    lit3 = docs.where(F.col("lang") == "x#1").select("doc_id")
+    lit4 = docs.where(F.col("lang") == "x#2").select("doc_id")
+    assert plan_fingerprint(lit3) != plan_fingerprint(lit4)
+
+    # canonicalization erases aliases; the schema term must keep apart two
+    # queries differing only in output column names (a hit re-reads the
+    # materialized parquet BY NAME — serving x-named files to a y-named
+    # plan would return nulls)
+    ax = docs.select(F.col("doc_id").alias("x"))
+    ay = docs.select(F.col("doc_id").alias("y"))
+    assert plan_fingerprint(ax) != plan_fingerprint(ay)
 
     e = load_table(spark, sf_dir, "events").select("event_id", "user_id")
     a, b = e.alias("a"), e.alias("b")

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import datetime
 
-from graph_vulcan_assets_spark.operators.scd import scd2_apply, scd2_build
+from graph_vulcan_assets_spark.operators.scd import Scd2Store, scd2_apply, scd2_build
 from graph_vulcan_assets_spark.tables import load_table
 
 
@@ -54,11 +54,14 @@ def test_collapse_and_chain(spark):
 
 
 def test_same_ts_ties_break_on_event_id(spark):
+    """Ordering is (ts, event_id): at a shared timestamp the higher
+    event_id wins the instant; the loser's version is zero-width
+    ([t0, t0) — no containable time point) and is dropped (round-4 fix:
+    zero-width rows duplicated the (user_id, valid_from) history key)."""
     ev = _ev(spark, [(1, "a", _t(0), 2), (1, "b", _t(0), 1)])
     rows = _norm(scd2_build(ev))
     assert rows == [
         (1, "a", _t(0), None, True),
-        (1, "b", _t(0), _t(0), False),
     ]
 
 
@@ -186,3 +189,34 @@ def test_scd2_stream_end_to_end(spark, sf_dir, tmp_path):
     q = run_scd2_stream(store, src + "/b*", e.schema, str(tmp_path / "ckpt"))
     assert q.awaitTermination(300), "scd2 stream did not finish"
     assert _store_norm(store) == _norm(scd2_build(e))
+
+
+def test_same_timestamp_changes_keep_history_keys_unique(spark, tmp_path):
+    """Round-4 fix: two attribute changes sharing one timestamp used to
+    emit a zero-width closed row PLUS the survivor, both keyed
+    (user_id, ts) — violating BucketTable.upsert's key-unique
+    precondition and making history content replay-order-dependent.
+    Zero-width versions (no containable time point) are now dropped."""
+    import datetime
+
+    t = lambda m: datetime.datetime(2024, 5, 1) + datetime.timedelta(minutes=m)  # noqa: E731
+    events = spark.createDataFrame(
+        [
+            (7, "A", t(5), 1),
+            (7, "B", t(5), 2),   # same ts, later event_id: B wins the instant
+            (7, "C", t(9), 3),
+        ],
+        "user_id long, event_type string, ts timestamp, event_id long",
+    )
+    dim = scd2_build(events).collect()
+    rows = sorted((r.attr, r.valid_from, r.valid_to) for r in dim)
+    # A's zero-width [5,5) is gone; B holds [5,9); C is current
+    assert rows == [("B", t(5), t(9)), ("C", t(9), None)]
+    keys = [(r.user_id, r.valid_from) for r in dim]
+    assert len(keys) == len(set(keys))
+
+    # and the persisted store accepts the same batch without key collisions
+    store = Scd2Store(spark, str(tmp_path / "scd"), n_buckets=4)
+    store.apply(events)
+    got = sorted((r.attr, r.valid_from, r.valid_to) for r in store.read().collect())
+    assert got == rows

@@ -88,3 +88,67 @@ def test_indexing_a_key_column_rejected(spark, tmp_path):
     base.upsert(_rows(spark, (1, "oslo", 10)))
     with pytest.raises(ValueError):
         SecondaryIndex(spark, str(tmp_path / "idx"), base, "k")
+
+
+def test_crash_then_base_advances_does_not_leak_intermediate_value(spark, tmp_path):
+    """Round-4 fix: a refresh that applied its window but crashed before
+    the hwm advanced, followed by MORE base commits, used to leak the
+    intermediate value's entry forever (the re-run diff's 'before' was
+    the pre-crash value, not the one actually indexed). The pending
+    target marker makes recovery re-apply exactly the crashed window."""
+    base = BucketTable(spark, str(tmp_path / "base"), key_cols=["k"], n_buckets=4)
+    c0 = base.upsert(_rows(spark, (1, "v0", 10)))
+    idx = SecondaryIndex(spark, str(tmp_path / "idx"), base, "city", n_buckets=4)
+    idx.refresh()
+
+    # crashed attempt: window [c0 -> c1] fully applied, hwm NOT advanced
+    c1 = base.upsert(_rows(spark, (1, "v1", 11)))
+    idx._set_target(c1)
+    idx._apply_window(c0, c1)
+    # (crash here: no _save_hwm, no _clear_target)
+
+    # base advances again before the next refresh
+    base.upsert(_rows(spark, (1, "v2", 12)))
+    idx.refresh()
+    _check_consistent(idx, base)
+    assert idx.lookup("v1").count() == 0  # the leak the old code left
+    assert sorted(r.k for r in idx.lookup("v2").collect()) == [1]
+
+
+def test_refresh_outside_pruning_window_full_resyncs(spark, tmp_path):
+    """Round-4 fix: when the index falls behind the base's keep_versions
+    window, the change feed's before-image is gone — the old code diffed
+    against a silently-EMPTY view, so deletes never produced index
+    removals and stale entries answered lookups forever. The time-travel
+    read now raises and refresh() falls back to a full resync."""
+    base = BucketTable(
+        spark, str(tmp_path / "base"), key_cols=["k"], n_buckets=2, keep_versions=2
+    )
+    base.upsert(_rows(spark, (1, "oslo", 10), (2, "lima", 20)))
+    idx = SecondaryIndex(spark, str(tmp_path / "idx"), base, "city", n_buckets=2)
+    idx.refresh()
+
+    # three commits touching the same buckets: the index's hwm version is
+    # pruned out of retention (keep_versions=2)
+    base.upsert(_rows(spark, (1, "pune", 11)))
+    base.delete(spark.createDataFrame([(2,)], "k long"))
+    base.upsert(_rows(spark, (3, "oslo", 30)))
+
+    # non-vacuity: the incremental window really is unreadable now
+    with pytest.raises(ValueError):
+        base.read(version=idx.indexed_through())
+
+    idx.refresh()
+    _check_consistent(idx, base)
+    # the deleted key must NOT answer lookups through a stale entry
+    assert idx.lookup("lima").count() == 0
+    assert sorted(r.k for r in idx.lookup("oslo").collect()) == [3]
+    assert sorted(r.k for r in idx.lookup("pune").collect()) == [1]
+
+
+def test_lookup_before_first_refresh_is_typed_empty(spark, tmp_path):
+    base = BucketTable(spark, str(tmp_path / "base"), key_cols=["k"], n_buckets=4)
+    base.upsert(_rows(spark, (1, "oslo", 10)))
+    idx = SecondaryIndex(spark, str(tmp_path / "idx"), base, "city", n_buckets=4)
+    empty = idx.lookup("oslo")
+    assert empty.columns == ["k"] and empty.count() == 0

@@ -441,8 +441,7 @@ def test_parent_index_compaction_crash_recovery(spark, tmp_path):
     # swap — simulated by staging a committed rebuild by hand
     staged = stream._index_staging_dir()
     orig = _index_pointers(stream)
-    crashed = str(tmp_path / "crashed_copy")
-    shutil.copytree(os.path.join(state_dir, "parent_idx"), os.path.join(staged))
+    shutil.copytree(os.path.join(state_dir, "parent_idx"), staged)
     open(os.path.join(staged, "_ready"), "w").write("ok")
     recovered = TemporalGraphStream(spark, state_dir)
     assert not os.path.exists(staged)

@@ -83,6 +83,55 @@ def test_maintenance_is_incremental_across_restart(spark, sf_dir, tmp_path):
     assert got == want
 
 
+def test_aggregate_merge_redelivery_and_crash_are_safe(spark, sf_dir, tmp_path):
+    """foreachBatch is at-least-once: re-delivering an already-merged
+    batch_id must be a no-op (without the guard the partial double-counts
+    into the totals permanently), and a crash mid-write — a state version
+    dir without its marker — must leave the previous state intact, with
+    the redelivered batch re-merging cleanly over it."""
+    import os
+    import shutil
+
+    events = load_table(spark, sf_dir, "events")
+    state = str(tmp_path / "state")
+    half = events.where(F.pmod("event_id", F.lit(2)) == 0)
+
+    incremental.merge_aggregate_state(spark, state, incremental.batch_aggregate(half), 0)
+    once = {
+        r["event_type"]: (r["n"], r["sum_micros"])
+        for r in incremental.read_aggregate_state(spark, state).collect()
+    }
+    # redelivery of batch 0: must not double-count
+    incremental.merge_aggregate_state(spark, state, incremental.batch_aggregate(half), 0)
+    again = {
+        r["event_type"]: (r["n"], r["sum_micros"])
+        for r in incremental.read_aggregate_state(spark, state).collect()
+    }
+    assert again == once
+
+    # crash window: batch=1's data landed but its marker didn't — the live
+    # view must still be batch 0's, and the re-applied batch 1 must
+    # produce exactly the full total (merged once)
+    other = events.where(F.pmod("event_id", F.lit(2)) == 1)
+    partial = incremental.batch_aggregate(other)
+    partial.write.mode("overwrite").parquet(os.path.join(state, "batch=1"))  # no marker
+    assert {
+        r["event_type"]: (r["n"], r["sum_micros"])
+        for r in incremental.read_aggregate_state(spark, state).collect()
+    } == once
+    incremental.merge_aggregate_state(spark, state, partial, 1)
+    got = {
+        r["event_type"]: (r["n"], r["sum_micros"])
+        for r in incremental.read_aggregate_state(spark, state).collect()
+    }
+    want = {
+        r["event_type"]: (r["n"], r["sum_micros"])
+        for r in incremental.batch_aggregate(events).collect()
+    }
+    assert got == want
+    shutil.rmtree(state, ignore_errors=True)
+
+
 def test_stream_stream_join_matches_batch(spark, sf_dir, tmp_path):
     """view→purchase conversion join: streaming result (two watermarked
     file streams) equals the same join run in batch."""
