@@ -114,17 +114,16 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH rated AS (
       SELECT doc_id, lang, source,
-             CASE WHEN lang = 'en' THEN 'ff'
-                  WHEN lang IN ('de', 'fr') THEN '80'
-                  ELSE '40' END AS keep_below,
-             md5(CAST(doc_id AS VARCHAR)) AS fp
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS p
       FROM documents)
     SELECT doc_id, lang, source,
            CAST(CASE WHEN lang = 'en' THEN 1.0
                      WHEN lang IN ('de', 'fr') THEN 0.5
                      ELSE 0.25 END AS DOUBLE) AS mix_rate
     FROM rated
-    WHERE substr(fp, 1, 2) <= keep_below
+    WHERE lang = 'en'
+       OR (lang IN ('de', 'fr') AND p < '80')
+       OR (lang NOT IN ('en', 'de', 'fr') AND p < '40')
     """,
 )
 def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -135,25 +134,25 @@ def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     weight others) as a stateless filter: keep a row iff its hash prefix
     falls below the stratum's rate threshold. Constant memory, map-only,
     no shuffle — the scale path when strata are too big to rank
-    (cf. q_sample_stratified). Rates here: en 1.0, de/fr ~0.5, rest ~0.25.
+    (cf. q_sample_stratified). Rates: en 1.0, de/fr 0.5, rest 0.25 —
+    EXACT bucket fractions (strict '<' over the 256 two-hex-digit
+    prefixes keeps 128/256 and 64/256; an inclusive '<=' would keep
+    129/256 and 65/256, silently disagreeing with the emitted mix_rate
+    any loss-reweighting consumer divides by).
     """
     d = load_table(spark, sf_dir, "documents")
-    keep_below = (
-        F.when(F.col("lang") == "en", "ff")
-        .when(F.col("lang").isin("de", "fr"), "80")
-        .otherwise("40")
-    )
     mix_rate = (
         F.when(F.col("lang") == "en", F.lit(1.0))
         .when(F.col("lang").isin("de", "fr"), F.lit(0.5))
         .otherwise(F.lit(0.25))
     )
-    fp = _fingerprint(F.col("doc_id"))
-    return (
-        d.withColumn("__keep", F.substring(fp, 1, 2) <= keep_below)
-        .where(F.col("__keep"))
-        .select("doc_id", "lang", "source", mix_rate.alias("mix_rate"))
+    p = F.substring(_fingerprint(F.col("doc_id")), 1, 2)
+    keep = (
+        F.when(F.col("lang") == "en", F.lit(True))
+        .when(F.col("lang").isin("de", "fr"), p < "80")
+        .otherwise(p < "40")
     )
+    return d.where(keep).select("doc_id", "lang", "source", mix_rate.alias("mix_rate"))
 
 
 @query(
@@ -192,22 +191,10 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     contaminated docs / ~180 overlap hits in the answer.
     """
     d = load_table(spark, sf_dir, "documents")
-    toks = F.col("t")
-    shingle = lambda i: F.concat_ws(  # noqa: E731
-        " ", *[F.element_at(toks, i + j) for j in range(1, 6)]
-    )
-    shingled = (
-        d.select("doc_id", F.split("text", " ").alias("t"))
-        .where(F.size(toks) >= 5)
-        .select(
-            "doc_id",
-            F.explode(
-                F.array_distinct(
-                    F.transform(F.sequence(F.lit(0), F.size(toks) - 5), shingle)
-                )
-            ).alias("s"),
-        )
-    )
+    # the shared shingle pipeline (_shingle5) — the exact and Bloom
+    # decontamination paths must flag the SAME shingle universe, so
+    # neither re-implements the gram definition
+    shingled = _shingle5(d)
     ev = shingled.where(F.col("doc_id") % 19 == 0).select("s").distinct()
     tr = shingled.where(F.col("doc_id") % 19 != 0)
     return (
@@ -618,11 +605,23 @@ _KNUTH = 2654435761  # Knuth multiplicative hash constant (2^32 / phi)
 _SHARDS = 16
 
 
+def _knuth32(col):
+    """((doc_id mod 2^31) * K) mod 2^32 — the multiplicative hash with an
+    overflow guard: a raw doc_id * K exceeds int64 once doc_id passes
+    ~3.47e9 (reachable in a 100 TB corpus), which ANSI engines reject and
+    non-ANSI ones silently wrap NEGATIVE — breaking shard in [0,16) and
+    every u < t acceptance test. Reducing mod 2^31 first caps the product
+    at ~5.7e18 < 2^63 on both engines; for doc_id < 2^31 the value is
+    bit-identical to the unreduced form. The oracles apply the same
+    reduction (interpolated)."""
+    return (F.pmod(col, F.lit(2147483648)) * F.lit(_KNUTH)) % F.lit(4294967296)
+
+
 @query(
     "q_corpus_shuffle",
     oracle=f"""
     WITH h AS (
-      SELECT doc_id, lang, (doc_id * {_KNUTH}) % 4294967296 AS h
+      SELECT doc_id, lang, ((doc_id % 2147483648) * {_KNUTH}) % 4294967296 AS h
       FROM documents)
     SELECT doc_id, lang,
            CAST(h // 268435456 AS BIGINT) AS shard,
@@ -646,7 +645,7 @@ def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     funnel). Reproducible: same corpus → same order, no RNG state.
     """
     d = load_table(spark, sf_dir, "documents")
-    h = (F.col("doc_id") * F.lit(_KNUTH)) % F.lit(4294967296)
+    h = _knuth32(F.col("doc_id"))
     shard = F.floor(h / F.lit(268435456)).cast("long")
     w = Window.partitionBy("shard").orderBy("h", "doc_id")
     return (
@@ -673,7 +672,7 @@ def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     perdoc AS (
       SELECT d.doc_id, d.lang, r.rate,
              CAST(floor(r.rate) AS BIGINT) AS base_copies,
-             (d.doc_id * {_KNUTH}) % 65536 AS u,
+             ((d.doc_id % 2147483648) * {_KNUTH}) % 65536 AS u,
              CAST(floor((r.rate - floor(r.rate)) * 65536) AS BIGINT) AS t
       FROM documents d JOIN rates r USING (lang))
     SELECT doc_id, lang,
@@ -706,7 +705,7 @@ def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sqrt(F.col("n_max").cast("double") / F.col("n_lang")).alias("rate"),
     )
     base = F.floor("rate").cast("long")
-    u = (F.col("doc_id") * F.lit(_KNUTH)) % F.lit(65536)
+    u = _knuth32(F.col("doc_id")) % F.lit(65536)
     t = F.floor((F.col("rate") - F.floor("rate")) * 65536).cast("long")
     out = (
         d.join(F.broadcast(rates), "lang")
@@ -718,6 +717,35 @@ def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_copies") > 0)
     )
     return out
+
+
+def _counting_rank(lens: DataFrame, value_col: str = "n_tokens") -> DataFrame:
+    """Distributed counting rank shared by q_length_buckets and
+    q_quantile_filter: global rank equivalent to ORDER BY (value, doc_id)
+    without a single-partition window. Rows rank WITHIN their own value
+    (window partitioned by the value — one task per distinct value); a
+    tiny value histogram supplies each value's cumulative offset via
+    broadcast; rank = offset + intra-rank. The only serial window runs
+    over the histogram (distinct-value-sized at any scale). Returns the
+    input columns + (rn, n). Shared so a fix to the rank machinery cannot
+    apply to one caller and silently skip the other."""
+    hist = lens.groupBy(value_col).agg(F.count("*").alias("cnt"))
+    wh = Window.orderBy(value_col).rowsBetween(Window.unboundedPreceding, -1)
+    offsets = hist.select(
+        value_col,
+        F.coalesce(F.sum("cnt").over(wh), F.lit(0)).alias("offset"),
+        F.sum("cnt").over(
+            Window.orderBy(value_col).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
+    )
+    wi = Window.partitionBy(value_col).orderBy("doc_id")
+    return lens.join(F.broadcast(offsets), value_col).select(
+        *lens.columns,
+        (F.col("offset") + F.row_number().over(wi)).alias("rn"),
+        "n",
+    )
 
 
 @query(
@@ -762,24 +790,7 @@ def q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     lens = d.select(
         "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
     )
-    hist = lens.groupBy("n_tokens").agg(F.count("*").alias("cnt"))
-    wh = Window.orderBy("n_tokens").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = hist.select(
-        "n_tokens",
-        F.coalesce(F.sum("cnt").over(wh), F.lit(0)).alias("offset"),
-        F.sum("cnt").over(
-            Window.orderBy("n_tokens").rowsBetween(
-                Window.unboundedPreceding, Window.unboundedFollowing
-            )
-        ).alias("n"),
-    )
-    wi = Window.partitionBy("n_tokens").orderBy("doc_id")
-    ranked = lens.join(F.broadcast(offsets), "n_tokens").select(
-        "doc_id",
-        "n_tokens",
-        (F.col("offset") + F.row_number().over(wi)).alias("rn"),
-        "n",
-    )
+    ranked = _counting_rank(lens).select("doc_id", "n_tokens", "rn", "n")
     bucketed = ranked.withColumn(
         "bucket", F.floor(((F.col("rn") - 1) * 8) / F.col("n")).cast("long")
     )
@@ -824,25 +835,7 @@ def q_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     lens = d.select(
         "doc_id", "lang", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
     )
-    hist = lens.groupBy("n_tokens").agg(F.count("*").alias("cnt"))
-    wh = Window.orderBy("n_tokens").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = hist.select(
-        "n_tokens",
-        F.coalesce(F.sum("cnt").over(wh), F.lit(0)).alias("offset"),
-        F.sum("cnt").over(
-            Window.orderBy("n_tokens").rowsBetween(
-                Window.unboundedPreceding, Window.unboundedFollowing
-            )
-        ).alias("n"),
-    )
-    wi = Window.partitionBy("n_tokens").orderBy("doc_id")
-    ranked = lens.join(F.broadcast(offsets), "n_tokens").select(
-        "doc_id",
-        "lang",
-        "n_tokens",
-        (F.col("offset") + F.row_number().over(wi)).alias("rn"),
-        "n",
-    )
+    ranked = _counting_rank(lens)
     lo = F.floor(F.col("n") * 5 / 100)
     hi = F.floor(F.col("n") * 95 / 100)
     return ranked.where((F.col("rn") > lo) & (F.col("rn") <= hi)).select(
@@ -862,7 +855,7 @@ def q_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     perdoc AS (
       SELECT d.doc_id, d.lang,
              CAST(floor(r.rate) AS BIGINT)
-               + CASE WHEN (d.doc_id * {_KNUTH}) % 65536
+               + CASE WHEN ((d.doc_id % 2147483648) * {_KNUTH}) % 65536
                            < CAST(floor((r.rate - floor(r.rate)) * 65536) AS BIGINT)
                       THEN 1 ELSE 0 END AS n_copies
       FROM documents d JOIN rates r USING (lang))
@@ -882,28 +875,15 @@ def q_mix_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
     is still map-only per input row; output volume equals the resampled
     corpus size by construction.
     """
-    d = load_table(spark, sf_dir, "documents")
-    counts = d.groupBy("lang").agg(F.count("*").cast("long").alias("n_lang"))
-    n_max = counts.agg(F.max("n_lang").alias("n_max"))
-    rates = counts.crossJoin(F.broadcast(n_max)).select(
+    # compose the assignment query — one sampling rule, one place to
+    # change it; this is literally its explode step
+    assigned = q_mix_temperature(spark, sf_dir)
+    return assigned.select(
+        "doc_id",
         "lang",
-        F.sqrt(F.col("n_max").cast("double") / F.col("n_lang")).alias("rate"),
-    )
-    base = F.floor("rate").cast("long")
-    u = (F.col("doc_id") * F.lit(_KNUTH)) % F.lit(65536)
-    t = F.floor((F.col("rate") - F.floor("rate")) * 65536).cast("long")
-    n_copies = base + F.when(u < t, 1).otherwise(0)
-    return (
-        d.join(F.broadcast(rates), "lang")
-        .select("doc_id", "lang", n_copies.alias("n_copies"))
-        .where(F.col("n_copies") > 0)
-        .select(
-            "doc_id",
-            "lang",
-            F.explode(F.sequence(F.lit(0).cast("long"), F.col("n_copies") - 1)).alias(
-                "copy_idx"
-            ),
-        )
+        F.explode(F.sequence(F.lit(0).cast("long"), F.col("n_copies") - 1)).alias(
+            "copy_idx"
+        ),
     )
 
 

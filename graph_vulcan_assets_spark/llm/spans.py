@@ -27,7 +27,7 @@ the brief asks for beyond reference parity.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from graph_vulcan_assets_spark.registry import query
@@ -146,12 +146,12 @@ def excise_foreign_spans(docs: DataFrame, k: int = SPAN_K) -> DataFrame:
 
 @query(
     "q_dedup_spans",
-    oracle="""
+    oracle=f"""
     WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
     grams AS (
-      SELECT doc_id, i AS pos, array_to_string(t[i+1:i+8], ' ') AS g
-      FROM toks, unnest(range(0, len(t) - 7)) AS u(i)
-      WHERE len(t) >= 8),
+      SELECT doc_id, i AS pos, array_to_string(t[i+1:i+{SPAN_K}], ' ') AS g
+      FROM toks, unnest(range(0, len(t) - {SPAN_K - 1})) AS u(i)
+      WHERE len(t) >= {SPAN_K}),
     dup AS (SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
     hits AS (SELECT doc_id, pos FROM grams WHERE g IN (SELECT g FROM dup)),
     isl AS (SELECT doc_id, pos,
@@ -159,8 +159,8 @@ def excise_foreign_spans(docs: DataFrame, k: int = SPAN_K) -> DataFrame:
             FROM hits)
     SELECT doc_id,
            CAST(min(pos) AS BIGINT) AS span_start,
-           CAST(max(pos) + 7 AS BIGINT) AS span_end,
-           CAST(max(pos) - min(pos) + 8 AS BIGINT) AS span_len
+           CAST(max(pos) + {SPAN_K - 1} AS BIGINT) AS span_end,
+           CAST(max(pos) - min(pos) + {SPAN_K} AS BIGINT) AS span_len
     FROM isl GROUP BY doc_id, grp
     """,
 )
@@ -178,12 +178,12 @@ def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_dedup_span_clean",
-    oracle="""
+    oracle=f"""
     WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
     grams AS (
-      SELECT doc_id, i AS pos, array_to_string(t[i+1:i+8], ' ') AS g
-      FROM toks, unnest(range(0, len(t) - 7)) AS u(i)
-      WHERE len(t) >= 8),
+      SELECT doc_id, i AS pos, array_to_string(t[i+1:i+{SPAN_K}], ' ') AS g
+      FROM toks, unnest(range(0, len(t) - {SPAN_K - 1})) AS u(i)
+      WHERE len(t) >= {SPAN_K}),
     dup AS (SELECT g, min(doc_id) AS owner FROM grams
             GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
     fr AS (
@@ -191,7 +191,7 @@ def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE grams.doc_id > dup.owner),
     covered AS (
       SELECT DISTINCT doc_id, tpos
-      FROM fr, unnest(range(pos, pos + 8)) AS c(tpos)),
+      FROM fr, unnest(range(pos, pos + {SPAN_K})) AS c(tpos)),
     tokens AS (
       SELECT doc_id,
              unnest(range(0, len(t))) AS tpos,

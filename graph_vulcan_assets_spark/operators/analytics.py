@@ -208,6 +208,27 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def _hour_spine(hourly):
+    """Complete (event_type x hour) spine over the global hour bounds —
+    shared by the gap-fill and interpolation queries so both fill
+    policies agree about which hours are gaps (a spine-semantics change
+    applied to one but not the other would make locf and linear fill
+    disagree about gap positions). types x hours rows; bounds broadcast."""
+    bounds = hourly.agg(F.min("hour").alias("h0"), F.max("hour").alias("h1"))
+    return (
+        hourly.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+            ).alias("hour"),
+        )
+    )
+
+
 @query(
     "q_timeseries_gapfill",
     oracle="""
@@ -267,20 +288,7 @@ def q_timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("sum_value_milli"),
     )
-    bounds = hourly.agg(
-        F.min("hour").alias("h0"), F.max("hour").alias("h1")
-    )
-    spine = (
-        hourly.select("event_type")
-        .distinct()
-        .crossJoin(F.broadcast(bounds))
-        .select(
-            "event_type",
-            F.explode(
-                F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
-            ).alias("hour"),
-        )
-    )
+    spine = _hour_spine(hourly)
     joined = spine.join(hourly, ["event_type", "hour"], "left").select(
         "event_type",
         "hour",
@@ -444,18 +452,7 @@ def q_timeseries_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("v_milli")
     )
-    bounds = hourly.agg(F.min("hour").alias("h0"), F.max("hour").alias("h1"))
-    spine = (
-        hourly.select("event_type")
-        .distinct()
-        .crossJoin(F.broadcast(bounds))
-        .select(
-            "event_type",
-            F.explode(
-                F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
-            ).alias("hour"),
-        )
-    )
+    spine = _hour_spine(hourly)
     joined = spine.join(hourly, ["event_type", "hour"], "left").select(
         "event_type", "hour", "v_milli", F.col("v_milli").isNull().alias("gap")
     )

@@ -189,3 +189,23 @@ def test_bloom_probe_bag_semantics(spark):
     by_key = {r["s"]: r["n"] for r in hits}
     assert by_key.get("alpha") == 2, by_key  # bag: both duplicates kept
     assert "__probe_id" not in out.columns
+
+
+def test_knuth_hash_survives_large_doc_ids(spark):
+    """Round-4 fix: raw doc_id * 2654435761 overflows int64 past
+    doc_id ~3.47e9 (ANSI engines reject; non-ANSI wraps negative, putting
+    shards in [-15, 0] and silently skewing every u < t acceptance).
+    The mod-2^31 pre-reduction keeps the product in range at any id."""
+    import pyspark.sql.functions as F
+
+    from graph_vulcan_assets_spark.llm.curation import _knuth32
+
+    df = spark.createDataFrame(
+        [(5,), (2**31 - 1,), (2**40,), (2**62,), (2**63 - 1,)], "doc_id long"
+    )
+    rows = df.select("doc_id", _knuth32(F.col("doc_id")).alias("h")).collect()
+    assert all(0 <= r.h < 2**32 for r in rows), rows
+    # below 2^31 the guarded form is bit-identical to the raw product
+    small = [r for r in rows if r.doc_id < 2**31]
+    for r in small:
+        assert r.h == (r.doc_id * 2654435761) % 2**32
