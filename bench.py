@@ -73,7 +73,7 @@ def run_to_completion(df) -> None:
 def bench_storage(spark, sf_dir: str, timings: dict[str, float]) -> None:
     """Storage-layer timings (VERDICT r3 #7): the BucketTable MERGE store
     had no timing history, so regressions in the round-3 flagship were
-    invisible. Four entries over the 100k-row events table:
+    invisible. Four entries over a replicated events table:
 
     - store_upsert_small_touch: MERGE of a batch hashing into ~1% of the
       256 buckets — the O(touched) write path. Compare against…
@@ -82,6 +82,12 @@ def bench_storage(spark, sf_dir: str, timings: dict[str, float]) -> None:
     - store_cdf_read: change-feed read between two commits (bucket-pruned).
     - store_index_refresh: secondary-index incremental refresh consuming
       one small-touch commit's change feed.
+
+    The base table is events × 32 replicas (~3.2M rows at sf0.1): at raw
+    events size the naive full rewrite wins on fixed job overhead alone
+    and the comparison says nothing; the replicated table is the smallest
+    size where the asymptotics (rewrite grows linearly with the table,
+    small-touch MERGE stays flat) separate from scheduling noise.
     """
     import shutil
     import tempfile
@@ -94,8 +100,18 @@ def bench_storage(spark, sf_dir: str, timings: dict[str, float]) -> None:
 
     root = tempfile.mkdtemp(prefix="gvas_bench_store_")
     try:
-        events = load_table(spark, sf_dir, "events").select(
+        raw = load_table(spark, sf_dir, "events").select(
             "event_id", "user_id", "event_type", "value"
+        )
+        events = (
+            raw.crossJoin(F.broadcast(spark.range(32).select(F.col("id").alias("rep"))))
+            .select(
+                (F.col("event_id") * 32 + F.col("rep")).alias("event_id"),
+                "user_id",
+                "event_type",
+                "value",
+            )
+            .localCheckpoint(eager=True)
         )
         base = BucketTable(
             spark, os.path.join(root, "events"), key_cols=["event_id"], n_buckets=256
