@@ -45,6 +45,24 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def token_shingles(tokens, n: int, distinct: bool = True):
+    """Array of n-token space-joined shingles over a pre-split token array
+    column — THE shingle builder, shared by the exact-Jaccard, boilerplate
+    and containment dedup queries and q_text_repetition (llm/text.py).
+    One definition so a fix to the windowing arithmetic (the sequence
+    upper bound is the classic off-by-one) cannot reach one caller and
+    silently skip another. Caller filters ``F.size(tokens) >= n`` first
+    (an undersized array would otherwise yield one partial shingle).
+    minhash_signatures keeps its slice-based variant (it needs the
+    empty-doc guard and materialized token column for its own reasons)."""
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(tokens, i + k) for k in range(1, n + 1)]
+    )
+    arr = F.transform(F.sequence(F.lit(0), F.size(tokens) - n), gram)
+    return F.array_distinct(arr) if distinct else arr
+
+
 def minhash_signatures(docs: DataFrame, n_hashes: int = _MINHASH_HASHES) -> DataFrame:
     """Per-document MinHash signature over 3-token shingles.
 
@@ -169,18 +187,7 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
     toks = F.split(F.col("text"), " ")
     shingled = d.select("doc_id", toks.alias("t")).where(F.size("t") >= 3).select(
-        "doc_id",
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(0), F.size("t") - 3),
-                lambda i: F.concat_ws(
-                    " ",
-                    F.element_at("t", i + 1),
-                    F.element_at("t", i + 2),
-                    F.element_at("t", i + 3),
-                ),
-            )
-        ).alias("shingles"),
+        "doc_id", token_shingles(F.col("t"), 3).alias("shingles")
     )
     a = shingled.select(F.col("doc_id").alias("a_id"), F.col("shingles").alias("a_sh"))
     b = shingled.select(F.col("doc_id").alias("b_id"), F.col("shingles").alias("b_sh"))
@@ -303,10 +310,7 @@ def q_dedup_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load_table(spark, sf_dir, "documents")
     t = F.split("text", " ")
-    gram = lambda i: F.concat_ws(  # noqa: E731
-        " ", *[F.element_at(F.col("t"), i + k) for k in range(1, 6)]
-    )
-    grams = F.array_distinct(F.transform(F.sequence(F.lit(0), F.size("t") - 5), gram))
+    grams = token_shingles(F.col("t"), 5)
     pairs = (
         d.select("doc_id", t.alias("t"))
         .where(F.size("t") >= 5)
@@ -430,22 +434,7 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     posts = (
         d.select("doc_id", toks.alias("t"))
         .where(F.size("t") >= 3)
-        .select(
-            "doc_id",
-            F.explode(
-                F.array_distinct(
-                    F.transform(
-                        F.sequence(F.lit(0), F.size("t") - 3),
-                        lambda i: F.concat_ws(
-                            " ",
-                            F.element_at("t", i + 1),
-                            F.element_at("t", i + 2),
-                            F.element_at("t", i + 3),
-                        ),
-                    )
-                )
-            ).alias("s"),
-        )
+        .select("doc_id", F.explode(token_shingles(F.col("t"), 3)).alias("s"))
     )
     kept = posts.groupBy("s").agg(F.count("*").alias("df")).where(F.col("df") <= 50)
     posts = posts.join(kept.select("s"), "s")

@@ -241,11 +241,15 @@ def q_sim_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = nearest_cells(qids, nprobe).select(
         F.col("vec_id").alias("qid"), "cell"
     )
+    # (qid, vec_id) pairs are unique by construction — each vec_id maps to
+    # exactly ONE cell (nearest_cells k=1) and a qid probes nprobe DISTINCT
+    # cells, so the equi-join emits each pair at most once; a .distinct()
+    # here would add a full shuffle over the largest intermediate for
+    # nothing
     candidates = (
         probes.join(assigned, "cell")
         .where(F.col("vec_id") != F.col("qid"))
         .select("qid", "vec_id")
-        .distinct()
     )
 
     # ---- stage 2: ADC over the PQ codes

@@ -163,8 +163,15 @@ def q_sim_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
 
     def hyperplane_component(dim_idx: Column, plane: int) -> Column:
-        h = F.xxhash64(dim_idx, F.lit(plane))
-        return (h % 1000).cast("double") / 500.0 - 1.0
+        # pmod, NOT %: Spark's % keeps the dividend's sign and xxhash64 is
+        # negative half the time, so (h % 1000)/500 - 1 would have mean -1
+        # instead of 0 — every projection then shares the correlated term
+        # -sum(v), the 8 sign bits collapse toward all-0/all-1 buckets
+        # (measured: 92 of 500 vectors in two buckets, ~5x the candidate
+        # pairs), and collision probability tracks sign(sum(v)) rather
+        # than angular similarity (round-4 fix, test-pinned)
+        h = F.pmod(F.xxhash64(dim_idx, F.lit(plane)), F.lit(1000))
+        return h.cast("double") / 500.0 - 1.0
 
     def signature(vec: Column) -> Column:
         projections = [

@@ -132,6 +132,21 @@ _STOPWORDS = {
 }
 
 
+def _lang_scores(tokens):
+    """Stopword-hit scores + argmax prediction — THE classifier expression,
+    shared by q_lang_id (the predictor) and q_lang_confusion (its eval):
+    a change to the scoring logic must reach both, or the confusion
+    matrix silently evaluates a stale classifier."""
+
+    def hits(words):
+        arr = F.array(*[F.lit(w) for w in words])
+        return F.size(F.filter(tokens, lambda t: F.array_contains(arr, t)))
+
+    en, es = hits(_STOPWORDS["en"]), hits(_STOPWORDS["es"])
+    predicted = F.when(en > es, "en").when(es > en, "es").otherwise("unknown")
+    return en, es, predicted
+
+
 @query(
     "q_lang_id",
     oracle="""
@@ -160,19 +175,13 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     readable; the pattern extends to any list of languages.)
     """
     d = load_table(spark, sf_dir, "documents")
-    tokens = F.split(F.col("text"), " ")
-
-    def hits(words: list[str]):
-        arr = F.array(*[F.lit(w) for w in words])
-        return F.size(F.filter(tokens, lambda t: F.array_contains(arr, t)))
-
-    en, es = hits(_STOPWORDS["en"]), hits(_STOPWORDS["es"])
+    en, es, predicted = _lang_scores(F.split(F.col("text"), " "))
     return d.select(
         "doc_id",
         "lang",
         en.cast("long").alias("en_hits"),
         es.cast("long").alias("es_hits"),
-        F.when(en > es, "en").when(es > en, "es").otherwise("unknown").alias("lang_guess"),
+        predicted.alias("lang_guess"),
     )
 
 
@@ -322,15 +331,11 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     expressions only — no explode, no shuffle; the corpus streams through
     a single map stage.
     """
+    from graph_vulcan_assets_spark.llm.dedup import token_shingles
+
     d = load_table(spark, sf_dir, "documents")
     toks = F.col("t")
-    gram = lambda i: F.concat_ws(  # noqa: E731
-        " ",
-        F.element_at(toks, i + 1),
-        F.element_at(toks, i + 2),
-        F.element_at(toks, i + 3),
-    )
-    grams = F.transform(F.sequence(F.lit(0), F.size(toks) - 3), gram)
+    grams = token_shingles(toks, 3, distinct=False)
     g = (
         d.select("doc_id", "lang", F.split("text", " ").alias("t"))
         .where(F.size(toks) >= 3)
@@ -515,13 +520,17 @@ def q_text_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Okapi parameters, interpolated into BOTH the Spark expression and the
+# oracle SQL (f-string) so tuning the constant actually changes the score
+# on both sides. k1+1 and 1-b are exact in IEEE doubles for these values.
 _BM25_K1 = 1.2
+_BM25_B = 0.75
 _BM25_TERMS = ("dup", "merge", "scan")
 
 
 @query(
     "q_text_bm25",
-    oracle="""
+    oracle=f"""
     WITH tok AS (
       SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
     dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
@@ -537,9 +546,10 @@ _BM25_TERMS = ("dup", "merge", "scan")
              CAST(round(
                ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
                         / (CAST(df AS DOUBLE) + 0.5))
-               * ((CAST(tf AS DOUBLE) * 2.2)
+               * ((CAST(tf AS DOUBLE) * {_BM25_K1 + 1.0})
                   / (CAST(tf AS DOUBLE)
-                     + 1.2 * (0.25 + (0.75 * CAST(dl AS DOUBLE)) / avgdl)))
+                     + {_BM25_K1} * ({1.0 - _BM25_B}
+                                     + ({_BM25_B} * CAST(dl AS DOUBLE)) / avgdl)))
                * 1000000.0, 0) AS BIGINT) AS s_micros
       FROM tf JOIN df USING (token) JOIN dl USING (doc_id) CROSS JOIN stats)
     SELECT doc_id,
@@ -587,7 +597,10 @@ def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     ndd = F.col("n_docs").cast("double")
     score = (
         F.log(1.0 + (ndd - dfd + 0.5) / (dfd + 0.5))
-        * ((tfd * 2.2) / (tfd + 1.2 * (0.25 + (0.75 * dld) / F.col("avgdl"))))
+        * (
+            (tfd * (_BM25_K1 + 1.0))
+            / (tfd + _BM25_K1 * ((1.0 - _BM25_B) + (_BM25_B * dld) / F.col("avgdl")))
+        )
         * 1000000.0
     )
     scored = (
@@ -634,16 +647,7 @@ def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-for-bit.
     """
     d = load_table(spark, sf_dir, "documents")
-    tokens = F.split(F.col("text"), " ")
-
-    def hits(words: list[str]):
-        arr = F.array(*[F.lit(w) for w in words])
-        return F.size(F.filter(tokens, lambda t: F.array_contains(arr, t)))
-
-    en, es = hits(_STOPWORDS["en"]), hits(_STOPWORDS["es"])
-    predicted = (
-        F.when(en > es, "en").when(es > en, "es").otherwise("unknown")
-    )
+    _, _, predicted = _lang_scores(F.split(F.col("text"), " "))
     return (
         d.select(F.col("lang").alias("declared"), predicted.alias("predicted"))
         .groupBy("declared", "predicted")
