@@ -262,3 +262,15 @@ def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.map_keys("m")).cast("long").alias("n_keys"),
         F.array_join(F.map_keys("m"), ",").alias("keys_joined"),
     )
+
+def md5_prefix_long(col) -> "Column":
+    """First 8 hex chars of md5 as a BIGINT — THE cross-engine hash
+    bridge: Spark ``conv(substring(md5(x),1,8),16,10)`` equals DuckDB
+    ``CAST('0x' || substr(md5(x),1,8) AS BIGINT)`` (32 hex bits fit a
+    BIGINT, so no sign/overflow divergence). One definition shared by the
+    hashed classifier (llm/quality.py), feature hashing (llm/features.py)
+    and the count-min sketch (operators/sketches.py) — widening or
+    changing this in one place used to silently break only the modules
+    left behind, invisible until the driver rotation re-checked them.
+    Every oracle that consumes it must use the DuckDB twin verbatim."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")

@@ -46,6 +46,19 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+
+def prefix_fingerprint(text_col: str = "text", n_tokens: int = 5):
+    """5-token-prefix SHA-256 — the incremental-dedup key (catches
+    re-crawls differing only in trailing boilerplate). ONE definition,
+    shared by q_dedup_incremental and the streaming CorpusIngest sink
+    (streaming/corpus_ingest.py): if the two keys diverge, the batch
+    query and the streaming intake silently disagree about what counts
+    as a duplicate."""
+    return F.sha2(
+        F.concat_ws(" ", F.slice(F.split(F.col(text_col), " "), 1, n_tokens)), 256
+    )
+
+
 def token_shingles(tokens, n: int, distinct: bool = True):
     """Array of n-token space-joined shingles over a pre-split token array
     column — THE shingle builder, shared by the exact-Jaccard, boilerplate
@@ -373,8 +386,7 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     and non-degenerate at every sf.
     """
     d = load_table(spark, sf_dir, "documents")
-    fp = F.sha2(F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 5)), 256)
-    keyed = d.select("doc_id", "lang", "source", fp.alias("fp"))
+    keyed = d.select("doc_id", "lang", "source", prefix_fingerprint().alias("fp"))
     hist = keyed.where(F.col("doc_id") % 5 < 4).select("fp").distinct()
     batch = keyed.where(F.col("doc_id") % 5 == 4)
     fresh = batch.join(hist, "fp", "left_anti")

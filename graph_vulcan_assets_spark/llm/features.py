@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from graph_vulcan_assets_spark.functions.scalars import md5_prefix_long
 from graph_vulcan_assets_spark.registry import query
 from graph_vulcan_assets_spark.tables import load_table
 
@@ -37,7 +38,7 @@ _WSHIFT = 11
 
 
 def _dim_of(term: Column) -> Column:
-    h = F.conv(F.substring(F.md5(term), 1, 8), 16, 10).cast("long")
+    h = md5_prefix_long(term)
     return h % N_DIMS
 
 
@@ -63,11 +64,7 @@ def topic_codebook(spark: SparkSession) -> DataFrame:
         "topic",
         "dim",
         (
-            F.conv(
-                F.substring(F.md5(F.concat_ws(":", "topic", "dim")), 1, 8), 16, 10
-            ).cast("long")
-            % _WMOD
-            - _WSHIFT
+            md5_prefix_long(F.concat_ws(":", "topic", "dim")) % _WMOD - _WSHIFT
         ).alias("w"),
     )
 

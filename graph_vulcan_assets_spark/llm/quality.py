@@ -51,7 +51,9 @@ def _token_weight(term: Column) -> Column:
     Stand-in for ``weight_table[hash(token) % buckets]``; both engines
     compute the identical BIGINT, so every downstream sum is exact.
     """
-    h = F.conv(F.substring(F.md5(term), 1, 8), 16, 10).cast("long")
+    from graph_vulcan_assets_spark.functions.scalars import md5_prefix_long
+
+    h = md5_prefix_long(term)
     return (h % _MOD) - _SHIFT
 
 

@@ -108,8 +108,10 @@ def _cms_slot(key, j: int):
     ``CAST('0x'||substr(md5(...),1,8) AS BIGINT) % w`` — 32 hex bits fit a
     BIGINT, so no sign/overflow divergence.
     """
-    h = F.conv(F.substring(F.md5(F.concat(F.lit(f"{j}:"), key)), 1, 8), 16, 10)
-    return (h.cast("long") % CMS_WIDTH).alias(f"c{j}")
+    from graph_vulcan_assets_spark.functions.scalars import md5_prefix_long
+
+    h = md5_prefix_long(F.concat(F.lit(f"{j}:"), key))
+    return (h % CMS_WIDTH).alias(f"c{j}")
 
 
 def cms_build(df: DataFrame, col: str) -> DataFrame:

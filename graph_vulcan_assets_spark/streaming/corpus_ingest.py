@@ -30,26 +30,29 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from graph_vulcan_assets_spark.llm.dedup import prefix_fingerprint
 from graph_vulcan_assets_spark.log import get_logger
 from graph_vulcan_assets_spark.sources.bucketstore import BucketTable
 
 _log = get_logger("streaming.corpus_ingest")
 
 
-def prefix_fingerprint(text_col: str = "text", n_tokens: int = 5):
-    """5-token-prefix SHA-256 — the q_dedup_incremental key: catches
-    re-crawls differing only in trailing boilerplate."""
-    return F.sha2(
-        F.concat_ws(" ", F.slice(F.split(F.col(text_col), " "), 1, n_tokens)), 256
-    )
-
-
 class CorpusIngest:
-    """foreachBatch sink maintaining (corpus parquet, fingerprint store)."""
+    """foreachBatch sink maintaining (corpus parquet, fingerprint store).
+
+    Batch identity is (stream namespace, batch id), NOT the bare batch
+    id: foreachBatch batch ids restart at 0 with a fresh checkpoint, so
+    a bare-id marker would make a re-checkpointed stream silently SKIP
+    its first batches as "already ingested" (and its crash-heal stamp
+    would collide with the old stream's). The namespace derives from the
+    checkpoint path (``run_file_stream``); direct ``apply_batch`` callers
+    get the 'default' namespace.
+    """
 
     def __init__(self, spark: SparkSession, root: str, n_buckets: int = 32):
         self.spark = spark
         self.root = root
+        self.ns = "default"
         self.corpus_dir = os.path.join(root, "corpus")
         self.store = BucketTable(
             spark, os.path.join(root, "fingerprints"), key_cols=["fp"], n_buckets=n_buckets
@@ -57,23 +60,29 @@ class CorpusIngest:
         os.makedirs(os.path.join(root, "_applied"), exist_ok=True)
         os.makedirs(self.corpus_dir, exist_ok=True)
 
-    def _applied(self) -> set[int]:
-        d = os.path.join(self.root, "_applied")
-        return {int(f) for f in os.listdir(d) if f.isdigit()}
+    def _applied(self) -> set[str]:
+        return set(os.listdir(os.path.join(self.root, "_applied")))
+
+    def _stamp(self, batch_id: int) -> str:
+        return f"{self.ns}-{batch_id}"
 
     def apply_batch(self, batch: DataFrame, batch_id: int) -> None:
-        if batch_id in self._applied():
-            _log.info("batch %d already ingested, skipping (idempotent replay)", batch_id)
+        stamp = self._stamp(batch_id)
+        if stamp in self._applied():
+            _log.info("batch %s already ingested, skipping (idempotent replay)", stamp)
             return
-        keyed = batch.withColumn("fp", prefix_fingerprint())
+        # eager checkpoint BEFORE the bucket probe: _touched collects over
+        # keyed, and the dedup pipeline reuses it — without this the batch
+        # is fingerprinted (sha2 over full text) twice per application
+        keyed = batch.withColumn("fp", prefix_fingerprint()).localCheckpoint(eager=True)
         if self.store.commits():
             touched = self.store._touched(keyed)
-            # rows stamped with THIS batch id come from a crashed earlier
-            # attempt of the same batch — treat them as unseen so the
-            # re-apply reproduces the original kept-set
+            # rows stamped with THIS (namespace, batch) come from a crashed
+            # earlier attempt of the same batch — treat them as unseen so
+            # the re-apply reproduces the original kept-set
             seen = (
                 self.store.read(buckets=touched)
-                .where(F.col("batch_id") != F.lit(batch_id))
+                .where(F.col("batch_id") != F.lit(stamp))
                 .select("fp")
             )
             fresh = keyed.join(seen, "fp", "left_anti")
@@ -87,28 +96,36 @@ class CorpusIngest:
             .drop("__rn")
             .localCheckpoint(eager=True)  # one computation feeds two writes
         )
-        # 1. corpus append: a deterministic per-batch path — a re-applied
-        # batch overwrites its own partial output, never another batch's
+        # 1. corpus append: a deterministic per-(namespace, batch) path —
+        # a re-applied batch overwrites its own partial output, never
+        # another batch's (or another stream's batch 0)
         fresh.drop("fp").write.mode("overwrite").parquet(
-            os.path.join(self.corpus_dir, f"batch={batch_id}")
+            os.path.join(self.corpus_dir, f"batch={stamp}")
         )
         # 2. fingerprint upsert (replace-by-key: idempotent on re-apply)
         self.store.upsert(
             fresh.select(
                 "fp",
                 F.col("doc_id").alias("first_doc_id"),
-                F.lit(batch_id).alias("batch_id"),
+                F.lit(stamp).alias("batch_id"),
             )
         )
         # 3. marker LAST (commit-after-process)
-        with open(os.path.join(self.root, "_applied", str(batch_id)), "w") as f:
+        with open(os.path.join(self.root, "_applied", stamp), "w") as f:
             f.write("ok")
-        _log.info("batch %d ingested", batch_id)
+        _log.info("batch %s ingested", stamp)
 
     def corpus(self) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self.corpus_dir, "batch=*"))
 
     def run_file_stream(self, input_dir: str, schema, checkpoint_dir: str):
+        import hashlib
+
+        # namespace = checkpoint identity: batch ids are only meaningful
+        # within one checkpoint's lineage
+        self.ns = hashlib.sha256(
+            os.path.abspath(checkpoint_dir).encode()
+        ).hexdigest()[:12]
         raw = (
             self.spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", 1)

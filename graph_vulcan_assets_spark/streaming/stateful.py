@@ -179,8 +179,16 @@ def replay_sessionize(spark, sf_dir: str, checkpoint_dir: str, source_dir: str) 
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        finished = q.awaitTermination(300)
         q.stop()
+        if not finished:
+            # stopping an unfinished availableNow run leaves a PARTIAL
+            # memory sink — returning it would surface as a wrong-answer
+            # mismatch (or a vacuous pass) instead of the timeout it is
+            raise TimeoutError(
+                "stream sessionize did not finish within 300s — partial "
+                "results discarded"
+            )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
     return spark.table(name)

@@ -65,14 +65,34 @@ def dead_letter_split(raw: DataFrame) -> tuple[DataFrame, DataFrame]:
     Reasons mirror the reference's error strings: missing metadata
     (vulcan/vulcan.go:136-156), unsupported version (vulcan.go:160-180),
     malformed key (vulcan.go:127-133).
+
+    Hardened (round 4) so malformed input can NEVER crash the stream —
+    crashing on a bad row is exactly the halt-on-first-malformed-event
+    behavior this gate exists to replace:
+    - headers are extracted per key with last-wins (Kafka allows
+      duplicate header keys; ``map_from_entries`` raises
+      DUPLICATED_MAP_KEY and kills the query for ALL rows),
+    - the major version parses via ``try_cast`` (ANSI mode makes a plain
+      cast of 'vX.1.2' throw CAST_INVALID_INPUT), and a non-numeric
+      major is rejected as unsupported, not NULL-skipped,
+    - a NULL key is malformed (``size(split(NULL))`` is NULL, and a NULL
+      predicate silently fell through to VALID before).
     """
-    meta = F.map_from_entries(F.col("metadata"))
-    version = F.element_at(meta, "version")
-    htype = F.element_at(meta, "type")
-    hident = F.element_at(meta, "identifier")
+
+    def header(name: str):
+        matches = F.filter(F.col("metadata"), lambda h: h["key"] == name)
+        return F.try_element_at(matches, F.lit(-1))["value"]
+
+    version = header("version")
+    htype = header("type")
+    hident = header("identifier")
     ver_parts = F.split(F.regexp_replace(version, "^v", ""), r"\.")
-    version_ok = (F.size(ver_parts) >= 3) & (F.element_at(ver_parts, 1).cast("int") == 0)
-    key_ok = F.size(F.split(F.col("key"), "/")) == 2
+    version_ok = F.coalesce(
+        (F.size(ver_parts) >= 3)
+        & (F.try_element_at(ver_parts, F.lit(1)).try_cast("int") == 0),
+        F.lit(False),
+    )
+    key_ok = F.coalesce(F.size(F.split(F.col("key"), "/")) == 2, F.lit(False))
 
     reason = (
         F.when(version.isNull(), "missing metadata entry: version")

@@ -75,7 +75,7 @@ def test_crash_after_upsert_before_marker_self_heals(spark, sf_dir, tmp_path):
     expected = sorted(r["doc_id"] for r in ingest.corpus().select("doc_id").collect())
 
     # crash: everything of batch 1 persisted EXCEPT the marker
-    os.remove(os.path.join(str(tmp_path / "store"), "_applied", "1"))
+    os.remove(os.path.join(str(tmp_path / "store"), "_applied", ingest._stamp(1)))
     ingest.apply_batch(b1, 1)  # redelivery
     got = sorted(r["doc_id"] for r in ingest.corpus().select("doc_id").collect())
     assert got == expected
@@ -84,3 +84,50 @@ def test_crash_after_upsert_before_marker_self_heals(spark, sf_dir, tmp_path):
         docs.withColumn("fp", prefix_fingerprint()).select("fp").distinct().count()
     )
     assert ingest.store.read().count() == n_fp
+
+
+def test_fresh_checkpoint_does_not_skip_or_collide(spark, sf_dir, tmp_path):
+    """Round-4 fix: markers were keyed by bare batch_id, so a stream
+    restarted with a NEW checkpoint (batch ids restart at 0) silently
+    skipped its first batches as 'already ingested' and its crash-heal
+    stamp collided with the old stream's batch 0. Batch identity is now
+    (checkpoint namespace, batch id): the second stream must ingest its
+    new documents AND still dedup against the first stream's corpus."""
+    docs = load_table(spark, sf_dir, "documents").limit(200).localCheckpoint(eager=True)
+    first = docs.where(F.pmod("doc_id", F.lit(2)) == 0)
+    second = docs  # includes first's docs (dupes) + the odd half (new)
+
+    root = str(tmp_path / "store")
+    ingest = CorpusIngest(spark, root, n_buckets=8)
+
+    src1 = str(tmp_path / "in1")
+    first.coalesce(1).write.parquet(src1 + "/b0")
+    q = ingest.run_file_stream(src1 + "/b*", docs.schema, str(tmp_path / "ckpt1"))
+    assert q.awaitTermination(180)
+    n_first = ingest.corpus().count()
+    assert n_first > 0
+
+    # brand-new checkpoint: batch ids restart at 0
+    ingest2 = CorpusIngest(spark, root, n_buckets=8)
+    src2 = str(tmp_path / "in2")
+    second.coalesce(1).write.parquet(src2 + "/b0")
+    q2 = ingest2.run_file_stream(src2 + "/b*", docs.schema, str(tmp_path / "ckpt2"))
+    assert q2.awaitTermination(180)
+
+    got = sorted(r["doc_id"] for r in ingest2.corpus().select("doc_id").collect())
+    # every fingerprint ingested exactly once across both streams, keeper
+    # chosen stream-arrival-first: stream 1 saw the evens, so an even doc
+    # wins its fingerprint group; a fingerprint whose docs are all odd is
+    # ingested by stream 2 with its lowest doc_id. No skips, no dupes.
+    keyed = docs.withColumn("fp", prefix_fingerprint())
+    groups = {}
+    for r in keyed.select("doc_id", "fp").collect():
+        groups.setdefault(r.fp, []).append(r.doc_id)
+    want = sorted(
+        min([d for d in ds if d % 2 == 0], default=None)
+        if any(d % 2 == 0 for d in ds)
+        else min(ds)
+        for ds in groups.values()
+    )
+    assert got == want
+    assert len(got) < docs.count()  # non-vacuous: dedup really collapsed

@@ -55,3 +55,36 @@ def test_dead_letter_split(spark):
     assert reasons[12].startswith("malformed message key")
     assert set(reasons) == {10, 11, 12}
     assert valid.count() == len(msgs) - 3
+
+
+def test_dead_letter_gate_survives_malformed_input(spark):
+    """Round-4 hardening: under ANSI mode a non-numeric major version
+    crashed the stream (CAST_INVALID_INPUT), a duplicated header key
+    crashed it (DUPLICATED_MAP_KEY via map_from_entries), and a NULL key
+    fell through a NULL predicate into the VALID stream. All three must
+    dead-letter with a reason — never crash, never pass."""
+    from graph_vulcan_assets_spark.streaming.windows import dead_letter_split
+
+    rows = [
+        ("t1/asset-a", [("version", "v0.1.2"), ("type", "H"), ("identifier", "x")]),
+        ("t1/asset-b", [("version", "vX.1.2"), ("type", "H"), ("identifier", "x")]),
+        (
+            "t1/asset-c",
+            [
+                ("version", "v0.1.2"),
+                ("version", "v9.9.9"),  # duplicate header: LAST wins
+                ("type", "H"),
+                ("identifier", "x"),
+            ],
+        ),
+        (None, [("version", "v0.1.2"), ("type", "H"), ("identifier", "x")]),
+    ]
+    df = spark.createDataFrame(
+        rows, "key string, metadata array<struct<key:string,value:string>>"
+    )
+    valid, dead = dead_letter_split(df)
+    assert [r.key for r in valid.collect()] == ["t1/asset-a"]
+    reasons = {r.key: r.reject_reason for r in dead.collect()}
+    assert reasons["t1/asset-b"] == "unsupported version: vX.1.2"
+    assert reasons["t1/asset-c"] == "unsupported version: v9.9.9"
+    assert reasons[None] == "malformed message key: <null>"
