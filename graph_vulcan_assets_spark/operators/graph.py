@@ -43,9 +43,18 @@ def doc_hierarchy_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def transitive_ancestors(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+def transitive_ancestors(edges: DataFrame, max_iter: int = 40) -> DataFrame:
     """(node, ancestor, depth) for every ancestor reachable over child→parent
-    edges. Works for trees and DAGs (keeps the minimum depth per pair)."""
+    edges. Works for trees and DAGs (keeps the minimum depth per pair).
+
+    Each frontier level is DEDUPED to (node, ancestor, min depth): on a
+    diamond-shaped DAG the undeduped frontier enumerates paths — 2^k rows
+    per pair after k stacked diamonds — before the final aggregate; the
+    per-level dedup keeps every frontier at most pairs-sized. A frontier
+    still non-empty after ``max_iter`` RAISES: that means depth >
+    max_iter (or a cycle, whose frontier never empties) and returning the
+    partial closure would silently diverge from the recursive-CTE oracle.
+    """
     level = edges.select(
         F.col("child").alias("node"),
         F.col("parent").alias("ancestor"),
@@ -64,12 +73,21 @@ def transitive_ancestors(edges: DataFrame, max_iter: int = 20) -> DataFrame:
                 F.col("h_parent").alias("ancestor"),
                 (F.col("depth") + 1).alias("depth"),
             )
+            .groupBy("node", "ancestor")
+            .agg(F.min("depth").alias("depth"))
             .localCheckpoint(eager=True)
         )
         if nxt.count() == 0:
             break
         out.append(nxt)
         level = nxt
+    else:
+        raise RuntimeError(
+            f"transitive_ancestors frontier still non-empty after {max_iter} "
+            "iterations — graph depth exceeds max_iter, or the edge set has "
+            "a cycle (whose closure is not well-defined here); raise "
+            "max_iter for deep acyclic graphs"
+        )
 
     all_pairs = out[0]
     for lv in out[1:]:

@@ -22,7 +22,7 @@ from graph_vulcan_assets_spark.tables import load_table
 
 
 def salted_count_sum(
-    df: DataFrame, key: str, value: str, salt_buckets: int = 16
+    df: DataFrame, key: str, value: str, salt_col: str, salt_buckets: int = 16
 ) -> DataFrame:
     """Two-phase aggregation: groupBy(key, salt) → groupBy(key).
 
@@ -30,8 +30,16 @@ def salted_count_sum(
     combines `salt_buckets` partial rows per key — bounded work per
     reducer regardless of key skew. Decomposable aggregates only
     (count/sum/min/max); the result is identical to a direct groupBy.
+
+    ``salt_col`` must be a DETERMINISTIC high-cardinality column (a row
+    id, an event id). A nondeterministic salt such as
+    ``monotonically_increasing_id`` is a correctness bug as a shuffle
+    grouping key: a partial map-stage retry recomputes rows with
+    DIFFERENT salts than the copies already fetched, double-counting or
+    dropping them — which is why the parameter is required, not
+    defaulted.
     """
-    salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets))
+    salt = F.pmod(F.xxhash64(salt_col), F.lit(salt_buckets))
     partial = (
         df.withColumn("__salt", salt)
         .groupBy(key, "__salt")
@@ -77,25 +85,32 @@ def salted_join(
     fact: DataFrame,
     dim: DataFrame,
     key: str,
+    fact_salt_col: str,
     salt_buckets: int = 16,
-    fact_salt_col: str | None = None,
 ) -> DataFrame:
     """Skew-safe equi-join for when BOTH sides are too big to broadcast.
 
     The fact side gets a deterministic salt (hash of ``fact_salt_col``, a
-    high-cardinality column); the dim side is exploded ``salt_buckets``×
-    so every (key, salt) bucket finds its dim row. The join key becomes
-    (key, salt), so a hot key's rows spread over ``salt_buckets``
-    reducers instead of one. Result is row-identical to ``fact.join(dim,
-    key)``; cost is the dim-side blowup — use only when the dim is
-    modest (≪ fact / salt_buckets) yet above the broadcast threshold.
-    AQE's skew-join split is the first line of defense (enabled in
-    session.py); this is the logical-plan fix for when AQE can't help,
-    e.g. a skewed key feeding a downstream bucketed write.
+    high-cardinality column — REQUIRED: salting by the join key itself
+    gives every row of a hot key the identical salt, leaving the hot key
+    on one reducer while still paying the dim explosion); the dim side is
+    exploded ``salt_buckets``× so every (key, salt) bucket finds its dim
+    row. The join key becomes (key, salt), so a hot key's rows spread
+    over ``salt_buckets`` reducers instead of one. Result is
+    row-identical to ``fact.join(dim, key)``; cost is the dim-side
+    blowup — use only when the dim is modest (≪ fact / salt_buckets) yet
+    above the broadcast threshold. AQE's skew-join split is the first
+    line of defense (enabled in session.py); this is the logical-plan fix
+    for when AQE can't help, e.g. a skewed key feeding a downstream
+    bucketed write.
     """
-    salt_src = fact_salt_col or key
+    if fact_salt_col == key:
+        raise ValueError(
+            "fact_salt_col must differ from the join key — salting by the "
+            "key gives a hot key one salt value, defeating the spread"
+        )
     salted_fact = fact.withColumn(
-        "__salt", F.pmod(F.xxhash64(salt_src), F.lit(salt_buckets))
+        "__salt", F.pmod(F.xxhash64(fact_salt_col), F.lit(salt_buckets))
     )
     exploded_dim = dim.withColumn(
         "__salt", F.explode(F.array([F.lit(i) for i in range(salt_buckets)]))

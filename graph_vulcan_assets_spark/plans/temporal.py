@@ -127,14 +127,30 @@ def decode_events(raw: DataFrame, annotation_key: str = AWS_ANNOTATION_KEY) -> D
     Rows failing the mandatory-header or semver checks are dropped here
     (the engine's dead-letter split; the reference instead halts —
     vulcan/vulcan.go:88-106).
+
+    Hardened (round 4) so a malformed message can never crash the batch —
+    under ANSI mode (Spark 4 default) a crash here poisons a streaming
+    micro-batch PERMANENTLY (the checkpoint replays the same message on
+    every restart): headers extract per key with last-wins instead of
+    ``map_from_entries`` (Kafka allows duplicate header keys;
+    map_from_entries raises DUPLICATED_MAP_KEY), and the semver major
+    parses via ``try_cast`` (a plain cast of 'vX.2.0' raises
+    CAST_INVALID_INPUT); a non-numeric major fails the version gate.
+    Same pattern as streaming/windows.dead_letter_split.
     """
-    meta = F.map_from_entries(F.col("metadata"))
-    version = F.element_at(meta, "version")
-    header_type = F.element_at(meta, "type")
-    header_identifier = F.element_at(meta, "identifier")
+
+    def header(name: str):
+        matches = F.filter(F.col("metadata"), lambda h: h["key"] == name)
+        return F.try_element_at(matches, F.lit(-1))["value"]
+
+    version = header("version")
+    header_type = header("type")
+    header_identifier = header("identifier")
     ver_parts = F.split(F.regexp_replace(version, "^v", ""), r"\.")
-    version_ok = (F.size(ver_parts) >= 3) & (
-        F.element_at(ver_parts, 1).cast("int") == 0
+    version_ok = F.coalesce(
+        (F.size(ver_parts) >= 3)
+        & (F.try_element_at(ver_parts, F.lit(1)).try_cast("int") == 0),
+        F.lit(False),
     )
 
     key_parts = F.split(F.col("key"), "/")

@@ -91,7 +91,9 @@ def q_cascade_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_time_tumbling",
     oracle="""
     SELECT date_trunc('hour', ts) AS bucket_start, event_type,
-           count(*) AS n, round(sum(value), 2) AS sum_value
+           count(*) AS n,
+           round(sum(CAST(round(value * 1000000, 0) AS BIGINT)) / 1000000.0, 2)
+             AS sum_value
     FROM events GROUP BY date_trunc('hour', ts), event_type
     """,
 )
@@ -104,9 +106,18 @@ def q_time_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     expression runs with a watermark (see streaming module).
     """
     e = load_table(spark, sf_dir, "events")
+    # integer-micros quantization BEFORE the sum (the discipline every
+    # other query in this file uses): summing raw doubles depends on
+    # accumulation order, so the 2-decimal round could flip near a .005
+    # boundary between engines/partition counts — a nondeterministic
+    # oracle mismatch waiting for the right row count
+    micros = F.round(F.col("value") * 1000000, 0).cast("long")
     return (
         e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(micros) / 1000000.0, 2).alias("sum_value"),
+        )
         .select(
             F.col("w.start").alias("bucket_start"),
             "event_type",

@@ -116,7 +116,15 @@ def write_zordered(
     to readers, and lets an engine range-prune on the curve directly.
     """
     keyed = df.withColumn("_zkey", zorder_key(dims))
-    clustered = keyed.repartitionByRange(n_files, "_zkey").sortWithinPartitions("_zkey")
+    # partition columns must LEAD the within-partition sort: a dynamic-
+    # partition write re-sorts each task by the partition columns alone,
+    # which scrambles a bare _zkey order and silently defeats the
+    # row-group clustering this function promises (same discipline as
+    # write_clustered; verified file-by-file in tests/test_layout.py)
+    sort_cols = [*(partition_by or []), "_zkey"]
+    clustered = keyed.repartitionByRange(n_files, "_zkey").sortWithinPartitions(
+        *sort_cols
+    )
     w = clustered.write.mode("overwrite")
     if partition_by:
         w = w.partitionBy(*partition_by)

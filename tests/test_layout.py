@@ -232,3 +232,33 @@ def test_compaction_merges_small_files(spark, sf_dir, tmp_path):
     bands.sort()
     for (_, hi), (lo, _) in zip(bands, bands[1:]):
         assert hi <= lo  # range-partitioned: consecutive files don't interleave
+
+
+def test_zordered_partitioned_write_keeps_zkey_sorted_per_file(spark, tmp_path):
+    """Round-4 fix: with partition_by, the dynamic-partition write used to
+    re-sort each task by the partition columns alone, scrambling _zkey
+    inside every file — full-width row-group min/max bands, statistics
+    skipping defeated. Partition columns must lead the sort."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from graph_vulcan_assets_spark.sources.layout import write_zordered
+    from graph_vulcan_assets_spark.tables import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    out = str(tmp_path / "z")
+    write_zordered(
+        e,
+        out,
+        dims=[("user_id", 0.0, 1000.0), ("value", 0.0, 500.0)],
+        n_files=4,
+        partition_by=["event_type"],
+    )
+    files = glob.glob(out + "/event_type=*/*.parquet")
+    assert files, "no partitioned output files"
+    for f in files:
+        zk = pq.read_table(f, columns=["_zkey"]).column("_zkey").to_pylist()
+        assert zk == sorted(zk), f"_zkey not sorted within {f}"

@@ -276,3 +276,29 @@ def test_keyset_page_multi_column_cursor(spark, sf_dir):
         ).collect()
     ]
     assert got == want
+
+
+def test_transitive_ancestors_diamond_min_depth_and_cycle_raise(spark):
+    """Round-4 fix: (a) each frontier level dedupes to (node, ancestor) —
+    on stacked diamonds the undeduped frontier enumerates 2^k paths per
+    pair; (b) a frontier still alive after max_iter RAISES instead of
+    silently returning a partial closure (a cycle never empties)."""
+    from graph_vulcan_assets_spark.operators.graph import transitive_ancestors
+
+    # two stacked diamonds: 0→{1,2}→3→{4,5}→6 (child→parent edges)
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 3), (2, 3), (3, 4), (3, 5), (4, 6), (5, 6)],
+        "child long, parent long",
+    )
+    got = {
+        (r.node, r.ancestor): r.depth
+        for r in transitive_ancestors(edges, max_iter=10).collect()
+    }
+    # min depth per pair: 0 reaches 3 via two 2-hop paths → depth 2;
+    # 0 reaches 6 via four 4-hop paths → depth 4
+    assert got[(0, 3)] == 2 and got[(0, 6)] == 4 and got[(0, 1)] == 1
+    assert got[(1, 6)] == 3 and got[(3, 6)] == 2
+
+    cycle = spark.createDataFrame([(1, 2), (2, 1)], "child long, parent long")
+    with pytest.raises(RuntimeError, match="frontier still non-empty"):
+        transitive_ancestors(cycle, max_iter=3)

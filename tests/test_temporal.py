@@ -139,3 +139,29 @@ def test_adversarial_equivalence_100_streams(spark):
             got = state_from_replay(spark, msgs)
         want = state_from_interpreter(msgs)
         assert got == want, f"replay diverges from interpreter at seed={seed}"
+
+
+def test_decode_survives_poison_messages(spark):
+    """Round-4 hardening: under ANSI mode a non-numeric semver major
+    (CAST_INVALID_INPUT) or a duplicated header key (DUPLICATED_MAP_KEY
+    via map_from_entries) crashed decode — in streaming that poisons the
+    micro-batch permanently, since the checkpoint replays the same
+    message on every restart. Both must be gate-dropped (bad version) or
+    decoded last-wins (duplicate headers), never crash."""
+    from graph_vulcan_assets_spark.plans import fixtures
+    from graph_vulcan_assets_spark.plans.temporal import RAW_SCHEMA, decode_events
+
+    good = fixtures.refresh_msg(1, 0, "t1", "Team One", "Hostname", "ok.example.com")
+    bad_ver = fixtures.refresh_msg(
+        2, 1, "t1", "Team One", "Hostname", "bad.example.com", version="vX.2.0"
+    )
+    dup_hdr = fixtures.refresh_msg(3, 2, "t1", "Team One", "Hostname", "dup.example.com")
+    # duplicate 'version' header, LAST wins (v9 → gate-dropped)
+    dup_hdr["metadata"] = dup_hdr["metadata"] + [{"key": "version", "value": "v9.0.0"}]
+    dup_ok = fixtures.refresh_msg(4, 3, "t1", "Team One", "Hostname", "dup2.example.com")
+    dup_ok["metadata"] = [{"key": "version", "value": "v9.9.9"}] + dup_ok["metadata"]
+
+    df = spark.createDataFrame([good, bad_ver, dup_hdr, dup_ok], schema=RAW_SCHEMA)
+    decoded = decode_events(df)
+    idents = sorted(r.identifier for r in decoded.collect())
+    assert idents == ["dup2.example.com", "ok.example.com"]
