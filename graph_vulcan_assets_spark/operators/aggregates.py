@@ -232,7 +232,9 @@ def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_agg_cube",
     oracle="""
     SELECT event_type, user_id % 3 AS user_bucket,
-           round(sum(value), 2) AS sum_value, count(*) AS n
+           round(sum(CAST(round(value * 1000000, 0) AS BIGINT)) / 1000000.0, 2)
+             AS sum_value,
+           count(*) AS n
     FROM events GROUP BY CUBE (event_type, user_id % 3)
     """,
 )
@@ -241,8 +243,9 @@ def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").withColumn(
         "user_bucket", F.col("user_id") % 3
     )
+    micros = F.round(F.col("value") * 1000000, 0).cast("long")
     return e.cube("event_type", "user_bucket").agg(
-        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.round(F.sum(micros) / 1000000.0, 2).alias("sum_value"),
         F.count("*").alias("n"),
     )
 
@@ -251,7 +254,8 @@ def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_agg_having",
     oracle="""
     SELECT o_custkey, count(*) AS n_orders,
-           round(sum(o_totalprice), 2) AS total_spent
+           round(sum(CAST(round(o_totalprice * 1000000, 0) AS BIGINT))
+                 / 1000000.0, 2) AS total_spent
     FROM orders GROUP BY o_custkey HAVING count(*) >= 12
     """,
 )
@@ -262,7 +266,11 @@ def q_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.groupBy("o_custkey")
         .agg(
             F.count("*").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_spent"),
+            F.round(
+                F.sum(F.round(F.col("o_totalprice") * 1000000, 0).cast("long"))
+                / 1000000.0,
+                2,
+            ).alias("total_spent"),
         )
         .where(F.col("n_orders") >= 12)
     )

@@ -120,9 +120,10 @@ def q_win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_win_running_sum",
     oracle="""
     SELECT event_id, user_id, ts,
-           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-                 4) AS running_sum,
+           round(sum(CAST(round(value * 1000000, 0) AS BIGINT))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 / 1000000.0, 4) AS running_sum,
            count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_n
     FROM events
@@ -140,7 +141,14 @@ def q_win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         "ts",
-        F.round(F.sum("value").over(w), 4).alias("running_sum"),
+        # integer-micros before the cumulative sum: a raw-double running
+        # total depends on accumulation order, so the 4-decimal round can
+        # flip between engines on long partitions
+        F.round(
+            F.sum(F.round(F.col("value") * 1000000, 0).cast("long")).over(w)
+            / 1000000.0,
+            4,
+        ).alias("running_sum"),
         F.count("*").over(w).alias("running_n"),
     )
 
@@ -149,9 +157,10 @@ def q_win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_win_range_frame",
     oracle="""
     SELECT event_id, event_type, ts,
-           round(sum(value) OVER (PARTITION BY event_type ORDER BY epoch_sec
-                                  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW),
-                 4) AS hour_sum
+           round(sum(CAST(round(value * 1000000, 0) AS BIGINT))
+                   OVER (PARTITION BY event_type ORDER BY epoch_sec
+                         RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+                 / 1000000.0, 4) AS hour_sum
     FROM (SELECT event_id, event_type, ts, value,
                  CAST(floor(epoch(ts)) AS BIGINT) AS epoch_sec
           FROM events)
@@ -175,7 +184,11 @@ def q_win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "event_type",
         "ts",
-        F.round(F.sum("value").over(w), 4).alias("hour_sum"),
+        F.round(
+            F.sum(F.round(F.col("value") * 1000000, 0).cast("long")).over(w)
+            / 1000000.0,
+            4,
+        ).alias("hour_sum"),
     )
 
 

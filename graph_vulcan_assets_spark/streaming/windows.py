@@ -19,12 +19,22 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _sum_value_micros():
+    # integer-micros before the sum: streaming partial aggregates merge in
+    # a different order than the batch plan, so a raw-double sum could
+    # round differently between the two — which would make the
+    # streaming≡batch equivalence tests (and q_time_tumbling's oracle)
+    # flaky near .005 boundaries
+    micros = F.round(F.col("value") * 1000000, 0).cast("long")
+    return F.round(F.sum(micros) / 1000000.0, 2).alias("sum_value")
+
+
 def tumbling_counts(events: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
     """Tumbling event-time window; works on batch and streaming frames."""
     src = events.withWatermark("ts", watermark) if events.isStreaming else events
     return (
         src.groupBy(F.window("ts", window).alias("w"), "event_type")
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .agg(F.count("*").alias("n"), _sum_value_micros())
         .select(F.col("w.start").alias("bucket_start"), "event_type", "n", "sum_value")
     )
 
@@ -48,7 +58,7 @@ def session_counts(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     src = events.withWatermark("ts", "2 hours") if events.isStreaming else events
     return (
         src.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .agg(F.count("*").alias("n"), _sum_value_micros())
         .select(
             F.col("w.start").alias("session_start"),
             F.col("w.end").alias("session_end"),
