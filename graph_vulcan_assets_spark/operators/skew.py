@@ -67,17 +67,14 @@ def q_agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum uses the exact integer micro-unit form so the two-phase combine is
     order-independent.
     """
-    e = load_table(spark, sf_dir, "events")
-    salt = F.pmod(F.xxhash64("event_id"), F.lit(16))
-    micros = F.round(F.col("value") * 1000000, 0).cast("long")
-    partial = (
-        e.withColumn("__salt", salt)
-        .groupBy("event_type", "__salt")
-        .agg(F.count("*").alias("__n"), F.sum(micros).alias("__s"))
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "value_micros", F.round(F.col("value") * 1000000, 0).cast("long")
     )
-    return partial.groupBy("event_type").agg(
-        F.sum("__n").alias("n"),
-        (F.sum("__s") / 1000000.0).alias("sum_value"),
+    agg = salted_count_sum(e, "event_type", "value_micros", salt_col="event_id")
+    return agg.select(
+        "event_type",
+        F.col("n"),
+        (F.col("s") / 1000000.0).alias("sum_value"),
     )
 
 
