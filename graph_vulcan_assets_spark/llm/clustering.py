@@ -66,23 +66,23 @@ def connected_components(
             .groupBy("u")
             .agg(F.min("component").alias("nbr_component"))
         )
-        new_labels = (
+        # the update join already sees old and new labels side by side, so
+        # the convergence count reads the checkpointed 3-column frame —
+        # not a second node-sized equi-join of new labels against old,
+        # which at scale doubled the per-iteration shuffle volume
+        joined = (
             labels.join(neighbor_min, labels.node == neighbor_min.u, "left")
             .select(
                 "node",
+                F.col("component").alias("old_component"),
                 F.least(
                     F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))
                 ).alias("component"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
-            .where(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = new_labels
+        changed = joined.where(F.col("component") != F.col("old_component")).count()
+        labels = joined.select("node", "component")
         if changed == 0:
             break
     if changed != 0:
