@@ -50,81 +50,27 @@ def load_all() -> None:
 
 # Exposure order for ``queries()`` / ``oracle_sql()``. The driver runs its
 # 50-entry correctness budget over queries in iteration order, so each round
-# rotates never-driver-checked oracle queries to the front (round-2 verdict
-# item #1: budget rotation, not code). Round-4 order (VERDICT r3 items #1/#2):
-# the 66 oracle-bearing keys with no green driver row in r1∪r2∪r3, led by
-# q_embed_centroid (the round-3 red row, output reshaped to a driver-hashable
-# string — see llm/embeddings.py). Positions 1-50 fit the budget; positions
-# 51-66 are the RECORDED SPILL for the round-5 rotation: q_corpus_shuffle,
-# q_mix_temperature, q_length_buckets, q_quantile_filter, q_mix_materialize,
-# q_cap_per_source, q_multimodal_framesample, q_embed_matryoshka, q_pq_codes,
-# q_pq_adc_topk, q_quality_classifier, q_classifier_route, q_text_normalize,
-# q_dedup_semantic, q_feature_hashing, q_topic_assign — chosen as the spill
-# because each carries redundant local evidence beyond the DuckDB parity
-# suite (recall/determinism gates, bit-exact Python-reference pins).
-# Everything with a green driver row in any round sits behind the rotation —
-# it loses nothing if the fixed-size budget cuts off.
+# rotates the highest-value checks to the front (round-2 verdict item #1:
+# budget rotation, not code). Round-5 order (VERDICT r4 items #1/#2):
+#
+#   positions 1-16  = the round-4 RECORDED SPILL — the last 16 oracle-bearing
+#                     keys with no driver row ever; green rows close oracle
+#                     coverage at 174/174.
+#   positions 17-50 = staleness re-greens — all 34 keys whose latest driver
+#                     row is r2 AND whose implementing module changed in
+#                     round 4. 16+34 fills the budget exactly.
+#   positions 51+   = recorded spill for round 6, then the rest ordered by
+#                     (code-changed-since-last-row, evidence age): r1-era
+#                     changed first (oldest evidence), then unchanged keys
+#                     oldest-first, then the r3/r4 driver-green inventory
+#                     (freshest evidence last — it loses nothing if the
+#                     fixed-size budget cuts off).
+#
+# Standing rule (VERDICT r4 item #2): after any round's spill, order by
+# (module-changed-since-last-driver-row, evidence age).
 PRIORITY: tuple[str, ...] = (
-    # 1 -- the round-3 red row, fixed: must re-check first
-    "q_embed_centroid",
-    # 2-10 -- round-2-era debt (oldest never-checked keys)
-    "q_agg_grouping_sets",
-    "q_agg_filtered",
-    "q_win_distribution",
-    "q_win_ratio_to_report",
-    "q_except_all",
-    "q_intersect_all",
-    "q_agg_salted",
-    "q_join_salted",
-    "q_join_part_supplier",
-    # 11-18 -- text-analysis family
-    "q_text_quality",
-    "q_text_lang_dist",
-    "q_lang_id",
-    "q_token_count",
-    "q_text_fingerprint",
-    "q_text_tfidf",
-    "q_text_repetition",
-    "q_text_lm_score",
-    # 19-23 -- dedup-oracle family
-    "q_dedup_ngram",
-    "q_dedup_embed",
-    "q_dedup_boilerplate",
-    "q_dedup_incremental",
-    "q_dedup_clusters",
-    # 24-28 -- embeddings + file sources + streaming sessionize
-    "q_embed_quantize",
-    "q_source_csv",
-    "q_source_jsonl",
-    "q_source_orc",
-    "q_stream_sessionize",
-    # 29-34 -- round-3 wave: API / windows / search / recursion / intervals
-    "q_keyset_page",
-    "q_session_window",
-    "q_dedup_containment",
-    "q_text_search_indexed",
-    "q_recursive_cte",
-    "q_join_interval",
-    # 35-40 -- hypertable + data-quality monitors
-    "q_timeseries_gapfill",
-    "q_timeseries_interpolate",
-    "q_anomaly_zscore",
-    "q_cms_heavy_hitters",
-    "q_dq_checks",
-    "q_drift_psi",
-    # 41-50 -- graph pairs, SCD2, ANN rerank, text ranking, span dedup, BPE
-    "q_entity_pairs",
-    "q_scd2_build",
-    "q_sim_mrl_rerank",
-    "q_vocab_topn",
-    "q_text_bm25",
-    "q_lang_confusion",
-    "q_text_search_phrase",
-    "q_dedup_spans",
-    "q_dedup_span_clean",
-    "q_bpe_pairs",
-    # ---- 50-entry budget line ----
-    # 51-66 -- recorded spill for the round-5 rotation (see module comment)
+    # 1-16 -- round-4 recorded spill: the last 16 never-driver-checked oracle
+    # keys. Green rows here close oracle coverage at 174/174.
     "q_corpus_shuffle",
     "q_mix_temperature",
     "q_length_buckets",
@@ -141,22 +87,95 @@ PRIORITY: tuple[str, ...] = (
     "q_dedup_semantic",
     "q_feature_hashing",
     "q_topic_assign",
-    # -- driver-green inventory (r1∪r2∪r3), r3 rotation order then r2 order
-    "q_win_first_seen",
-    "q_win_rank",
-    "q_win_lag_lead",
-    "q_win_running_sum",
-    "q_win_range_frame",
-    "q_win_topk_group",
-    "q_sort_multi",
-    "q_topk",
-    "q_shape_q2",
-    "q_shape_q3",
-    "q_shape_q4",
-    "q_shape_q5",
-    "q_shape_q6",
-    "q_shape_q7",
-    "q_shape_q8",
+    # 17-50 -- staleness re-greens: every key whose latest driver row is r2 AND
+    # whose implementing module changed in round 4 (the integer-micros
+    # quantization pass and join/window/scalar touch-ups, commits 6a086ba..80e56b4).
+    # 16+34 fills the 50-slot budget exactly; grouped by module.
+    "q_array_funcs",
+    "q_case_when",
+    "q_date_funcs",
+    "q_json_extract",
+    "q_map_funcs",
+    "q_math_funcs",
+    "q_str_funcs",
+    "q_dedup_exact",
+    "q_sim_topk",
+    "q_text_search",
+    "q_text_stats",
+    "q_agg_any_active",
+    "q_agg_cube",
+    "q_agg_distinct",
+    "q_agg_groupby",
+    "q_agg_having",
+    "q_agg_minmax",
+    "q_agg_rollup",
+    "q_agg_stats",
+    "q_dup_detect",
+    "q_join_anti",
+    "q_join_asof",
+    "q_join_broadcast",
+    "q_join_inner",
+    "q_join_left",
+    "q_join_multiway",
+    "q_join_range",
+    "q_join_semi",
+    "q_upsert_merge",
+    "q_sessionize",
+    "q_win_last_event",
+    "q_cascade_expire",
+    "q_time_tumbling",
+    "q_tombstone_expire",
+    # ---- 50-entry budget line ----
+        # 51-57 -- RECORDED SPILL for the round-6 rotation: r1-era evidence
+        # (oldest of all) whose modules (aggregates/joins) also changed in r4.
+        # They rank below the r2 block only because the round-5 verdict fixed
+        # the budget arithmetic at 16 spill + 34 r2-era re-greens.
+    "q_agg_listagg",
+    "q_agg_mode",
+    "q_agg_percentile",
+    "q_agg_pivot",
+    "q_unpivot",
+    "q_join_cross",
+    "q_join_full",
+    # 58-59 -- r1-era evidence, module unchanged since
+    "q_subquery_exists_corr",
+    "q_subquery_scalar",
+    # 60-75 -- r2-era evidence, module unchanged in r4
+    "q_except",
+    "q_explode_filter",
+    "q_filter_eq",
+    "q_filter_in_like",
+    "q_filter_notnull",
+    "q_filter_range",
+    "q_intersect",
+    "q_limit_offset",
+    "q_regex_normalize",
+    "q_scan_events",
+    "q_scan_pruned",
+    "q_semver_gate",
+    "q_split_key",
+    "q_union_all",
+    "q_union_distinct",
+    "q_valid_at",
+    # -- r3 driver-green inventory (fresher evidence)
+    "q_chunk_documents",
+    "q_corpus_mix",
+    "q_decontaminate",
+    "q_funnel",
+    "q_graph_ancestors",
+    "q_graph_pagerank",
+    "q_graph_subtree_size",
+    "q_hist_equidepth",
+    "q_hist_equiwidth",
+    "q_join_asof_tolerance",
+    "q_join_lateral",
+    "q_kmeans_assign",
+    "q_pack_sequences",
+    "q_pii_redact",
+    "q_profile_columns",
+    "q_retention_cohorts",
+    "q_rollup_cascade",
+    "q_sample_stratified",
     "q_shape_q10",
     "q_shape_q13",
     "q_shape_q14",
@@ -164,84 +183,81 @@ PRIORITY: tuple[str, ...] = (
     "q_shape_q17",
     "q_shape_q18",
     "q_shape_q19",
+    "q_shape_q2",
     "q_shape_q20",
     "q_shape_q21",
     "q_shape_q22",
-    "q_subquery_not_in",
-    "q_join_lateral",
-    "q_split_train_test",
-    "q_sample_stratified",
-    "q_corpus_mix",
-    "q_decontaminate",
-    "q_pack_sequences",
-    "q_pii_redact",
-    "q_chunk_documents",
+    "q_shape_q3",
+    "q_shape_q4",
+    "q_shape_q5",
+    "q_shape_q6",
+    "q_shape_q7",
+    "q_shape_q8",
+    "q_sort_multi",
     "q_split_leakage_safe",
-    "q_funnel",
-    "q_retention_cohorts",
-    "q_time_weighted_avg",
-    "q_profile_columns",
-    "q_hist_equiwidth",
-    "q_hist_equidepth",
-    "q_rollup_cascade",
-    "q_graph_ancestors",
-    "q_graph_subtree_size",
-    "q_graph_pagerank",
-    "q_join_asof_tolerance",
+    "q_split_train_test",
+    "q_subquery_not_in",
     "q_time_sliding",
-    "q_kmeans_assign",
+    "q_time_weighted_avg",
+    "q_topk",
     "q_udtf_sentences",
-    # -- round-2 green inventory
-    "q_union_all",
-    "q_union_distinct",
-    "q_intersect",
-    "q_except",
-    "q_str_funcs",
-    "q_date_funcs",
-    "q_math_funcs",
-    "q_case_when",
-    "q_json_extract",
-    "q_array_funcs",
-    "q_map_funcs",
-    "q_tombstone_expire",
-    "q_time_tumbling",
-    "q_cascade_expire",
-    "q_dedup_exact",
-    "q_sim_topk",
-    "q_text_stats",
-    "q_text_search",
-    "q_sessionize",
-    "q_explode_filter",
-    "q_join_anti",
-    "q_agg_groupby",
-    "q_scan_events",
-    "q_scan_pruned",
-    "q_limit_offset",
-    "q_filter_notnull",
-    "q_semver_gate",
-    "q_split_key",
-    "q_regex_normalize",
-    "q_filter_eq",
-    "q_valid_at",
-    "q_filter_range",
-    "q_filter_in_like",
-    "q_join_inner",
-    "q_join_multiway",
-    "q_join_broadcast",
-    "q_join_left",
-    "q_join_semi",
-    "q_join_range",
-    "q_join_asof",
-    "q_upsert_merge",
-    "q_dup_detect",
-    "q_agg_any_active",
-    "q_agg_minmax",
-    "q_agg_distinct",
-    "q_agg_rollup",
-    "q_agg_cube",
-    "q_agg_having",
-    "q_agg_stats",
-    "q_win_last_event",
+    "q_win_first_seen",
+    "q_win_lag_lead",
+    "q_win_range_frame",
+    "q_win_rank",
+    "q_win_running_sum",
+    "q_win_topk_group",
+    # -- r4 driver-green inventory (freshest evidence, last)
+    "q_agg_filtered",
+    "q_agg_grouping_sets",
+    "q_agg_salted",
+    "q_anomaly_zscore",
+    "q_bpe_pairs",
+    "q_cms_heavy_hitters",
+    "q_dedup_boilerplate",
+    "q_dedup_clusters",
+    "q_dedup_containment",
+    "q_dedup_embed",
+    "q_dedup_incremental",
+    "q_dedup_ngram",
+    "q_dedup_span_clean",
+    "q_dedup_spans",
+    "q_dq_checks",
+    "q_drift_psi",
+    "q_embed_centroid",
+    "q_embed_quantize",
+    "q_entity_pairs",
+    "q_except_all",
+    "q_intersect_all",
+    "q_join_interval",
+    "q_join_part_supplier",
+    "q_join_salted",
+    "q_keyset_page",
+    "q_lang_confusion",
+    "q_lang_id",
+    "q_recursive_cte",
+    "q_scd2_build",
+    "q_session_window",
+    "q_sim_mrl_rerank",
+    "q_source_csv",
+    "q_source_jsonl",
+    "q_source_orc",
+    "q_stream_sessionize",
+    "q_text_bm25",
+    "q_text_fingerprint",
+    "q_text_lang_dist",
+    "q_text_lm_score",
+    "q_text_quality",
+    "q_text_repetition",
+    "q_text_search_indexed",
+    "q_text_search_phrase",
+    "q_text_tfidf",
+    "q_timeseries_gapfill",
+    "q_timeseries_interpolate",
+    "q_token_count",
+    "q_vocab_topn",
+    "q_win_distribution",
+    "q_win_ratio_to_report",
 )
 
 

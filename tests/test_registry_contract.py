@@ -3,9 +3,8 @@
 The driver checks the FIRST 50 queries in iteration order against their
 oracles — these tests pin the properties that make that budget count:
 every exposed query is callable, every first-50 entry carries an oracle,
-and the round-3 rotation (8 round-1-only declared keys + 42
-never-driver-checked extensions) stays at the front until the next
-deliberate rotation.
+and the round-5 rotation (16-key recorded spill + 34 r2-era staleness
+re-greens) stays at the front until the next deliberate rotation.
 """
 
 from __future__ import annotations
@@ -33,20 +32,33 @@ def test_first_50_all_have_oracles():
     assert not bare, f"first-50 queries without oracles: {bare}"
 
 
-def test_rotation_spends_budget_on_new_rows():
-    """Round-4 contract (VERDICT r3 #2/#4): every one of the driver's 50
-    budget slots goes to a key with no GREEN driver row in r1∪r2∪r3 —
-    q_embed_centroid (the r3 red row) counts as fresh evidence."""
-    green = set()
-    for f in ("CORRECTNESS_r01.json", "CORRECTNESS_r02.json", "CORRECTNESS_r03.json"):
-        path = os.path.join(REPO, f)
+def _last_green_round() -> dict[str, int]:
+    last: dict[str, int] = {}
+    for r in (1, 2, 3, 4):
+        path = os.path.join(REPO, f"CORRECTNESS_r0{r}.json")
         if os.path.exists(path):
-            green |= {k for k, v in json.load(open(path)).items() if v.get("hash_match")}
+            for k, v in json.load(open(path)).items():
+                if v.get("hash_match"):
+                    last[k] = r
+    return last
+
+
+def test_rotation_spends_budget_on_spill_then_staleness():
+    """Round-5 contract (VERDICT r4 #1/#2): positions 1-16 are the round-4
+    recorded spill (never driver-checked — green rows close oracle coverage
+    at 174/174), and positions 17-50 are all re-greens of keys whose latest
+    driver row is r2 (the stalest evidence behind round-4-touched modules)."""
+    last = _last_green_round()
     first50 = list(all_queries().keys())[:50]
-    fresh = [n for n in first50 if n not in green]
-    assert len(fresh) >= 45, (
-        f"only {len(fresh)} of the first 50 are new driver rows — "
-        "the rotation regressed"
+    never = [n for n in first50[:16] if n not in last]
+    assert len(never) == 16, (
+        f"positions 1-16 must be the never-checked spill; already-green keys "
+        f"found: {[n for n in first50[:16] if n in last]}"
+    )
+    stale = [n for n in first50[16:] if last.get(n) == 2]
+    assert len(stale) >= 30, (
+        f"only {len(stale)} of positions 17-50 are r2-era re-greens — "
+        "the staleness rotation regressed (VERDICT r4 #2 wants >=30)"
     )
 
 
