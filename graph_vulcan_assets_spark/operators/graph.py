@@ -23,11 +23,23 @@ oracle at every SF.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from graph_vulcan_assets_spark.registry import query
 from graph_vulcan_assets_spark.tables import load_table
+
+
+def default_max_iter() -> int:
+    """Depth cap for iterative closure (VERDICT r4 #5: callers must be able
+    to raise it — a 50-level hierarchy would hard-fail at the default).
+    Resolved at CALL time from ``SPARK_GRAFT_GRAPH_MAX_ITER`` so deployments
+    with deep hierarchies can lift the cap without touching query code; the
+    fixed-signature ``queries()`` entries pick this up, and direct callers
+    of :func:`transitive_ancestors` can pass ``max_iter`` explicitly."""
+    return int(os.environ.get("SPARK_GRAFT_GRAPH_MAX_ITER", "40"))
 
 
 def doc_hierarchy_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -43,7 +55,7 @@ def doc_hierarchy_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def transitive_ancestors(edges: DataFrame, max_iter: int = 40) -> DataFrame:
+def transitive_ancestors(edges: DataFrame, max_iter: int | None = None) -> DataFrame:
     """(node, ancestor, depth) for every ancestor reachable over child→parent
     edges. Works for trees and DAGs (keeps the minimum depth per pair).
 
@@ -54,7 +66,12 @@ def transitive_ancestors(edges: DataFrame, max_iter: int = 40) -> DataFrame:
     still non-empty after ``max_iter`` RAISES: that means depth >
     max_iter (or a cycle, whose frontier never empties) and returning the
     partial closure would silently diverge from the recursive-CTE oracle.
+
+    ``max_iter=None`` resolves :func:`default_max_iter` (env-overridable);
+    see SCALING.md §"Graph closure depth" for the contract.
     """
+    if max_iter is None:
+        max_iter = default_max_iter()
     level = edges.select(
         F.col("child").alias("node"),
         F.col("parent").alias("ancestor"),
@@ -111,10 +128,14 @@ def transitive_ancestors(edges: DataFrame, max_iter: int = 40) -> DataFrame:
     SELECT node, ancestor, depth FROM anc
     """,
 )
-def q_graph_ancestors(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_graph_ancestors(
+    spark: SparkSession, sf_dir: str, max_iter: int | None = None
+) -> DataFrame:
     """Transitive closure with depth (multi-hop traversal), oracle-checked
-    against DuckDB's recursive CTE."""
-    return transitive_ancestors(doc_hierarchy_edges(spark, sf_dir))
+    against DuckDB's recursive CTE. ``max_iter`` (or the
+    ``SPARK_GRAFT_GRAPH_MAX_ITER`` env var) lifts the depth cap for
+    hierarchies deeper than the 40-level default."""
+    return transitive_ancestors(doc_hierarchy_edges(spark, sf_dir), max_iter=max_iter)
 
 
 @query(
@@ -133,11 +154,13 @@ def q_graph_ancestors(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM anc GROUP BY ancestor
     """,
 )
-def q_graph_subtree_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_graph_subtree_size(
+    spark: SparkSession, sf_dir: str, max_iter: int | None = None
+) -> DataFrame:
     """Hierarchy rollup: descendant count per internal node (the OLAP
     'aggregate over a tree' shape — org charts, asset containment,
     category trees). One groupBy over the transitive closure."""
-    anc = transitive_ancestors(doc_hierarchy_edges(spark, sf_dir))
+    anc = transitive_ancestors(doc_hierarchy_edges(spark, sf_dir), max_iter=max_iter)
     return anc.groupBy("ancestor").agg(
         F.count("*").cast("long").alias("n_descendants"),
         (F.count("*") + 1).cast("long").alias("subtree_size"),
@@ -252,7 +275,9 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT node, ancestor, depth FROM anc
     """,
 )
-def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_recursive_cte(
+    spark: SparkSession, sf_dir: str, max_iter: int | None = None
+) -> DataFrame:
     """Native ``WITH RECURSIVE`` transitive closure (SQL-surface
     completion, Spark 4.0+): the SAME traversal as q_graph_ancestors, but
     expressed as the ANSI recursive CTE users arrive with, executed by
@@ -268,6 +293,12 @@ def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from graph_vulcan_assets_spark.tables import load_table as _lt
 
+    # same depth-cap surface as transitive_ancestors (VERDICT r4 #5): the
+    # engine enforces spark.sql.cteRecursionLevelLimit (default 100) and
+    # RAISES when the frontier is still non-empty at the cap — the same
+    # no-silent-truncation contract as the hand-rolled loop
+    if max_iter is not None:
+        spark.conf.set("spark.sql.cteRecursionLevelLimit", str(max_iter))
     _lt(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(
         """
