@@ -15,6 +15,52 @@ from graph_vulcan_assets_spark.registry import all_queries  # noqa: E402
 from graph_vulcan_assets_spark.session import get_spark  # noqa: E402
 
 
+def _nonquery_plan_dfs(spark, sf_dir):
+    """Plan-audit rows for the bench entries that are not registry queries
+    (VERDICT r4 #4): the temporal replay and the four storage-layer ops.
+    Built over a SMALL store (plan shape is SF-independent; the timed
+    bench sizes them for asymptotics, this audit only needs the dataflow)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from graph_vulcan_assets_spark.plans.fixtures import random_messages
+    from graph_vulcan_assets_spark.plans.temporal import (
+        RAW_SCHEMA,
+        replay_raw,
+        tag_union_state,
+    )
+    from graph_vulcan_assets_spark.sources.bucketstore import BucketTable
+    from graph_vulcan_assets_spark.sources.secondary_index import SecondaryIndex
+    from graph_vulcan_assets_spark.tables import load_table
+
+    raw = spark.createDataFrame(random_messages(7, n=500), schema=RAW_SCHEMA)
+    yield "temporal_replay_20k_events", tag_union_state(replay_raw(raw))
+
+    root = tempfile.mkdtemp(prefix="gvas_plans_store_")
+    try:
+        events = load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", "value"
+        )
+        t = BucketTable(spark, os.path.join(root, "ev"), key_cols=["event_id"], n_buckets=16)
+        t.upsert(events)
+        batch = events.where(
+            F.pmod(F.xxhash64("event_id"), F.lit(16)).cast("int") < 1
+        ).withColumn("value", F.col("value") + F.lit(1))
+        yield "store_upsert_small_touch", t.merge_plan(batch)
+        yield "store_full_rewrite", events
+        t.upsert(batch)
+        prev, head = t.commits()[-2], t.commits()[-1]
+        feed = t.changes(prev, head)
+        yield "store_cdf_read", feed
+        idx = SecondaryIndex(spark, os.path.join(root, "idx"), t, column="user_id")
+        stale, fresh = idx.delta_plans(feed)
+        yield "store_index_refresh", stale.unionByName(fresh)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def main() -> None:
     rnd = os.environ.get("SPARK_GRAFT_ROUND", "2")
     spark = get_spark(master="local[8]")
@@ -65,10 +111,15 @@ def main() -> None:
         "q_timeseries_interpolate",
         "q_anomaly_zscore",
     ]
-    for name in HEADLINE + [x for x in extra if x in qs]:
+    def plan_dfs():
+        for name in HEADLINE + [x for x in extra if x in qs]:
+            yield name, qs[name](spark, sf_dir)
+        yield from _nonquery_plan_dfs(spark, sf_dir)
+
+    for name, df in plan_dfs():
         buf = io.StringIO()
         with contextlib.redirect_stdout(buf):
-            qs[name](spark, sf_dir).explain("formatted")
+            df.explain("formatted")
         p = buf.getvalue()
         joins = sorted(set(re.findall(r"(\w+Join\w*) ", p)))
         aggs = len(re.findall(r"\(\d+\) \w*Aggregate", p))

@@ -248,14 +248,23 @@ class BucketTable:
         if version == 0:
             self._commit(batch, version, touched)
             return version
-        current = self.read(buckets=touched)
-        survivors = current.join(
+        self._commit(self.merge_plan(batch, touched=touched), version, touched)
+        return version
+
+    def merge_plan(self, batch: DataFrame, touched: set[int] | None = None) -> DataFrame:
+        """The MERGE dataflow :meth:`upsert` commits, as an unexecuted
+        DataFrame (plan-audit surface): read ONLY the touched buckets,
+        anti-join out rows the batch replaces (batch keys broadcast), union
+        the batch. Scale shape: cost is O(touched buckets), the join never
+        shuffles the store side."""
+        if touched is None:
+            touched = self._touched(batch)
+        survivors = self.read(buckets=touched).join(
             F.broadcast(batch.select(self.key_cols).distinct()),
             self.key_cols,
             "left_anti",
         )
-        self._commit(survivors.unionByName(batch), version, touched)
-        return version
+        return survivors.unionByName(batch)
 
     def delete(self, keys: DataFrame) -> int:
         """MERGE WHEN MATCHED THEN DELETE: remove rows whose key appears in

@@ -144,6 +144,21 @@ class SecondaryIndex:
             # before-image would leak deleted keys into lookups forever
             self._full_resync(until)
             return
+        stale, fresh = self.delta_plans(feed)
+        # delete stale entries first, then add fresh — both idempotent, so
+        # a crash anywhere re-runs safely (hwm advances only at the end)
+        if stale.take(1):
+            self.table.delete(stale)
+        if fresh.take(1):
+            self.table.upsert(fresh)
+
+    def delta_plans(self, feed: DataFrame) -> tuple[DataFrame, DataFrame]:
+        """(stale, fresh) index-entry deltas derived from a base change
+        feed, as unexecuted DataFrames (plan-audit surface; the refresh
+        path commits them via delete+upsert). Stale = entries whose indexed
+        value was deleted or changed away; fresh = inserted or
+        changed-to values. Both are narrow projections of the feed — no
+        extra shuffle beyond the feed's own bucket-pruned diff."""
         val = lambda side: F.col(side)[self.column]  # noqa: E731
         stale = feed.where(
             (F.col("change_type") == "delete")
@@ -153,12 +168,7 @@ class SecondaryIndex:
             (F.col("change_type") == "insert")
             | ((F.col("change_type") == "update") & ~val("before").eqNullSafe(val("after")))
         ).select(val("after").alias(self.column), *self.base.key_cols)
-        # delete stale entries first, then add fresh — both idempotent, so
-        # a crash anywhere re-runs safely (hwm advances only at the end)
-        if stale.take(1):
-            self.table.delete(stale)
-        if fresh.take(1):
-            self.table.upsert(fresh)
+        return stale, fresh
 
     def refresh(self) -> int:
         """Bring the index up to the base's head commit; returns it."""
