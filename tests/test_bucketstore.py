@@ -177,3 +177,30 @@ def test_bitemporal_as_of(spark, tmp_path):
     # business-time boundary: valid_to is exclusive, valid_from inclusive
     assert [r.attr for r in bitemporal_as_of(t, v2, d(2024, 1, 1)).collect()] == ["a"]
     assert bitemporal_as_of(t, v2, d(2024, 1, 10)).collect() == []
+
+
+def test_merge_plan_broadcasts_batch_and_prunes_buckets(spark, table):
+    """Plan guard on the MERGE surface (PLANS_r5 row store_upsert_small_touch):
+    the anti-join's batch side must be BROADCAST (never a shuffle of the
+    store side on key), and the store-side scan must read only the touched
+    buckets — the two properties that make upsert O(touched) at any state
+    size."""
+    table.upsert(spark.createDataFrame([(i, f"v{i}") for i in range(200)], ["k", "v"]))
+    batch = spark.createDataFrame([(5, "V5"), (6, "V6")], ["k", "v"])
+
+    plan = table.merge_plan(batch)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    assert "SortMergeJoin" not in plan, f"store side shuffled on key:\n{plan}"
+
+    touched = table._touched(batch)
+    # the plan reads exactly the touched buckets' files, not the table
+    import re as _re
+
+    scanned = {
+        int(m)
+        for f in table.merge_plan(batch).inputFiles()
+        for m in _re.findall(r"bucket=(\d+)", f)
+    }
+    assert scanned and scanned <= set(touched), (
+        f"scan covers buckets {scanned}, touched set is {touched}"
+    )
