@@ -333,3 +333,20 @@ def test_transitive_ancestors_deep_chain_max_iter_surfaced(spark, monkeypatch):
     assert default_max_iter() == 60
     got_env = transitive_ancestors(chain)
     assert got_env.where("node = 0 AND ancestor = 50").first().depth == 50
+
+
+def test_recursive_cte_max_iter_sets_engine_recursion_limit(spark, sf_dir):
+    """The SQL-surface twin of the depth cap: q_recursive_cte(max_iter=…)
+    must reach Spark's cteRecursionLevelLimit (the engine raises at the
+    cap, same no-silent-truncation contract), and the result must be
+    unaffected when the cap exceeds the actual depth."""
+    from graph_vulcan_assets_spark.operators.graph import q_recursive_cte
+
+    before = spark.conf.get("spark.sql.cteRecursionLevelLimit")
+    try:
+        n_default = q_recursive_cte(spark, sf_dir).count()
+        n_lifted = q_recursive_cte(spark, sf_dir, max_iter=77).count()
+        assert spark.conf.get("spark.sql.cteRecursionLevelLimit") == "77"
+        assert n_default == n_lifted > 0
+    finally:
+        spark.conf.set("spark.sql.cteRecursionLevelLimit", before)
