@@ -112,8 +112,11 @@ def main() -> None:
         "q_anomaly_zscore",
     ]
     def plan_dfs():
+        seen = set()
         for name in HEADLINE + [x for x in extra if x in qs]:
-            yield name, qs[name](spark, sf_dir)
+            if name not in seen:  # HEADLINE and extra overlap
+                seen.add(name)
+                yield name, qs[name](spark, sf_dir)
         yield from _nonquery_plan_dfs(spark, sf_dir)
 
     for name, df in plan_dfs():
