@@ -34,6 +34,73 @@ from pyspark.sql import types as T
 from graph_vulcan_assets_spark.registry import query
 from graph_vulcan_assets_spark.tables import load_table
 
+# ---------------------------------------------------------------------------
+# Corrupt-vector gates (round-5 hostile-input sweep)
+#
+# At 100 TB, one NaN/Inf component or NULL vector in a trillion-row
+# embeddings table must not kill a training job (integer-micros
+# quantization casts NaN→BIGINT, which ANSI mode rightly refuses) or —
+# worse — silently corrupt it (numpy's NaN→int64 cast yields INT64_MIN
+# garbage with no error). Likewise a zero vector has no direction, so
+# cosine similarity against it divides by zero (ANSI raises).
+#
+# These gates make the contract explicit and identical on both engines:
+# every embedding-consuming query filters through one of them, and its
+# DuckDB oracle applies the matching *_SQL fragment, so Spark and oracle
+# agree on dirty data by construction — not just on clean fixtures.
+# On clean data the gates drop nothing and results are bit-identical.
+# ---------------------------------------------------------------------------
+
+# The corpus embedding dimensionality — a TABLE contract, not a guess:
+# the PQ subspace split (llm/pq.py M*SUB_DIM) and the projection matmul
+# already assume it structurally. A vector of any other length is corrupt
+# (a ragged np.vstack crashes; a short vector silently skews subspace
+# code assignment).
+EMBED_DIM = 64
+
+
+def finite_sql(col: str = "embedding", dim: int = EMBED_DIM) -> str:
+    """DuckDB mirror of :func:`finite_embeddings`."""
+    return (
+        f"{col} IS NOT NULL AND len({col}) = {dim}"
+        f" AND len(list_filter({col}, e -> NOT isfinite(e))) = 0"
+    )
+
+
+def cosine_sql(col: str = "embedding", dim: int = EMBED_DIM) -> str:
+    """DuckDB mirror of :func:`cosine_embeddings`."""
+    return finite_sql(col, dim) + f" AND len(list_filter({col}, e -> e <> 0)) > 0"
+
+
+def _finite_pred(col: str, dim: int):
+    e = F.col(col)
+    inf = F.lit(float("inf"))
+    return (
+        e.isNotNull()
+        & (F.size(e) == dim)
+        & F.forall(e, lambda x: ~F.isnan(x) & (F.abs(x) < inf))
+    )
+
+
+def finite_embeddings(
+    df: DataFrame, col: str = "embedding", dim: int = EMBED_DIM
+) -> DataFrame:
+    """Drop NULL, wrong-dimension, and NaN/±Inf-component vectors — the
+    gate for quantization / L2 / training paths (k-means, PQ, centroid,
+    SemDeDup). Oracle mirror: :func:`finite_sql`."""
+    return df.where(_finite_pred(col, dim))
+
+
+def cosine_embeddings(
+    df: DataFrame, col: str = "embedding", dim: int = EMBED_DIM
+) -> DataFrame:
+    """:func:`finite_embeddings` plus the all-zero vector (norm 0 — its
+    cosine against anything is 0/0, which ANSI mode rightly refuses to
+    divide). Gate for cosine-similarity paths. Oracle mirror:
+    :func:`cosine_sql`."""
+    e = F.col(col)
+    return df.where(_finite_pred(col, dim) & F.exists(e, lambda x: x != F.lit(0.0)))
+
 
 @query(
     "q_embed_quantize",
@@ -141,16 +208,20 @@ def q_embed_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_embed_centroid",
     oracle="""
-    WITH ex AS (
+    WITH clean AS (
+      SELECT label, embedding FROM embeddings
+      WHERE label IS NOT NULL AND embedding IS NOT NULL AND len(embedding) = 64
+        AND len(list_filter(embedding, e -> NOT isfinite(e))) = 0),
+    ex AS (
       SELECT label,
              unnest(range(len(embedding))) AS dim,
              CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000, 0)
                   AS BIGINT) AS comp_micros
-      FROM embeddings),
+      FROM clean),
     per_dim AS (
       SELECT label, dim, sum(comp_micros) AS s
       FROM ex GROUP BY label, dim),
-    n AS (SELECT label, count(*) AS n_vectors FROM embeddings GROUP BY label)
+    n AS (SELECT label, count(*) AS n_vectors FROM clean GROUP BY label)
     SELECT label, n_vectors,
            (SELECT string_agg(CAST(CAST(s AS BIGINT) AS VARCHAR), ','
                               ORDER BY dim)
@@ -184,8 +255,16 @@ def q_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     The kernel is a self-contained closure (imports inside) so it
     cloudpickles by value — executors never need this package importable
     (the driver loads __spark_entry__.py by file path).
+
+    Corrupt-vector contract: NULL labels and NULL/non-finite vectors are
+    gated out (mirrored in the oracle's ``clean`` CTE) — without the gate
+    a NaN component reaches numpy's int64 cast, which emits INT64_MIN
+    garbage WITHOUT an error (a silent wrong answer, the worst class),
+    and a NULL label crashes ``int(...)`` in the kernel.
     """
-    e = load_table(spark, sf_dir, "embeddings")
+    e = finite_embeddings(load_table(spark, sf_dir, "embeddings")).where(
+        F.col("label").isNotNull()
+    )
 
     def _centroid(pdf):
         import numpy as np

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.column import Column
 
+from graph_vulcan_assets_spark.llm.embeddings import cosine_embeddings, cosine_sql
 from graph_vulcan_assets_spark.registry import query
 from graph_vulcan_assets_spark.tables import load_table
 
@@ -34,9 +35,10 @@ def l2_norm(a: Column) -> Column:
 
 @query(
     "q_sim_topk",
-    oracle="""
+    oracle=f"""
     WITH dv AS (
-      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+      WHERE {cosine_sql("embedding")}),
     q AS (SELECT vec_id AS qid, e AS qe FROM dv WHERE vec_id < 10),
     pairs AS (
       SELECT q.qid, dv.vec_id AS nid,
@@ -60,7 +62,7 @@ def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     which is the right baseline shape at 100 TB (queries ≪ corpus).
     Top-k per query via the W6 window pattern.
     """
-    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    e = cosine_embeddings(load_table(spark, sf_dir, "embeddings")).select("vec_id", "embedding")
     queries = e.where(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
     )
@@ -101,7 +103,7 @@ def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
        probing touches ~nprobe/k of the corpus.
     """
     nprobe = 3
-    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    e = cosine_embeddings(load_table(spark, sf_dir, "embeddings")).select("vec_id", "embedding")
     centroids = e.where(F.col("vec_id") % 25 == 0).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
     )
@@ -160,7 +162,7 @@ def q_sim_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     the all-pairs comparison never materializes.
     """
     planes = 8
-    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    e = cosine_embeddings(load_table(spark, sf_dir, "embeddings")).select("vec_id", "embedding")
 
     def hyperplane_component(dim_idx: Column, plane: int) -> Column:
         # pmod, NOT %: Spark's % keeps the dividend's sign and xxhash64 is
@@ -224,7 +226,9 @@ _MRL_SHORTLIST = 20
     "q_sim_mrl_rerank",
     oracle=f"""
     WITH dv AS (
-      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+      WHERE {cosine_sql("embedding")}
+        AND len(list_filter(embedding[1:{_MRL_HEAD}], x -> x <> 0)) > 0),
     q AS (SELECT vec_id AS qid, e AS qe FROM dv WHERE vec_id < 10),
     head AS (
       SELECT q.qid, dv.vec_id AS nid, q.qe, dv.e,
@@ -272,8 +276,18 @@ def q_sim_mrl_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     Deterministic: both stages order by (cosine DESC, nid) with cosines
     computed as identical sequential double folds in both engines — the
     same discipline q_sim_topk pins.
+
+    Corrupt-vector contract: the cosine gate (llm/embeddings.py) drops
+    NULL/non-finite/zero/wrong-dim vectors, and the MRL coarse pass
+    additionally requires a nonzero HEAD prefix — a vector whose head
+    slice is all zeros has no coarse direction (its
+    head cosine is 0/0, which ANSI refuses; and NULL cosines would sort
+    differently in Spark vs DuckDB DESC order). Mirrored in the oracle.
     """
-    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    e = cosine_embeddings(load_table(spark, sf_dir, "embeddings")).select("vec_id", "embedding")
+    e = e.where(
+        F.exists(F.slice(F.col("embedding"), 1, _MRL_HEAD), lambda x: x != F.lit(0.0))
+    )
     queries = e.where(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
     )
