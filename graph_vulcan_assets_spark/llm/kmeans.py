@@ -41,11 +41,17 @@ K = 8
 ITERS = 3
 _SCALE = 1_000_000
 
+# the corrupt-vector gate (llm/embeddings.py finite_sql) is inlined so the
+# SQL stays a plain string reusable by llm/semdedup.py's oracle: without it
+# a single NaN component crashes the micros CAST on both engines, and a
+# wrong-dimension vector silently skews its own distance sums
 _VECS_SQL = """
       SELECT vec_id,
              unnest(range(len(embedding))) AS pos,
              CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000, 0) AS BIGINT) AS q
       FROM embeddings
+      WHERE embedding IS NOT NULL AND len(embedding) = 64
+        AND len(list_filter(embedding, e -> NOT isfinite(e))) = 0
 """
 
 
@@ -85,8 +91,11 @@ def quantize_vectors(emb: DataFrame) -> DataFrame:
     """embeddings → exploded integer-micro (vec_id, pos, q), checkpointed
     once so every Lloyd iteration (and any reuser, e.g. llm/semdedup.py)
     reads the materialized quantization instead of re-exploding."""
+    from graph_vulcan_assets_spark.llm.embeddings import finite_embeddings
+
     return (
-        emb.select("vec_id", F.posexplode("embedding").alias("pos", "e"))
+        finite_embeddings(emb)
+        .select("vec_id", F.posexplode("embedding").alias("pos", "e"))
         .select(
             "vec_id",
             F.col("pos").cast("long").alias("pos"),

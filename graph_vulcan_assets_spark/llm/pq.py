@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from graph_vulcan_assets_spark.registry import query
+from graph_vulcan_assets_spark.llm.embeddings import finite_embeddings, finite_sql
 from graph_vulcan_assets_spark.tables import load_table
 
 M = 4  # subspaces
@@ -37,12 +38,12 @@ _SCALE = 1_000_000
 def _pq_oracle() -> str:
     """Unrolled per-subspace Lloyd chains (the llm/kmeans.py oracle
     pattern ×M), pivoted to one row per vector."""
-    sql = """
+    sql = f"""
     WITH vecs AS (
       SELECT vec_id,
              unnest(range(len(embedding))) AS pos,
              CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000, 0) AS BIGINT) AS q
-      FROM embeddings)"""
+      FROM embeddings WHERE {finite_sql("embedding")})"""
     for s in range(M):
         lo, hi = s * SUB_DIM, (s + 1) * SUB_DIM
         sql += f""",
@@ -76,7 +77,7 @@ def _pq_oracle() -> str:
 
 
 def _quantized_vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = finite_embeddings(load_table(spark, sf_dir, "embeddings"))
     return (
         emb.select("vec_id", F.posexplode("embedding").alias("pos", "e"))
         .select(
