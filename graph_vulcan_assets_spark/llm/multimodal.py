@@ -80,12 +80,16 @@ def extract_features(media: DataFrame, batch_rows: int = 256) -> DataFrame:
         for pdf in batches:
             for start in range(0, len(pdf), batch_rows):
                 part = pdf.iloc[start : start + batch_rows]
+                # NULL payloads reach real pipelines (failed fetches,
+                # tombstoned blobs): treat as zero-byte media instead of
+                # crashing the batch on len(None) (round-5 hostile sweep)
+                payloads = part["payload"].map(lambda p: b"" if p is None else p)
                 yield pd.DataFrame(
                     {
                         "media_id": part["media_id"],
                         "kind": part["kind"],
-                        "n_bytes": part["payload"].map(len).astype("int64"),
-                        "feature": part["payload"].map(fake_feature),
+                        "n_bytes": payloads.map(len).astype("int64"),
+                        "feature": payloads.map(fake_feature),
                     }
                 )
 

@@ -98,13 +98,31 @@ def sessionize_stateful(
     (event_id, ts, user_id, value). Returns the closed-session stream:
     (user_id, session_start, session_end, n_events, session_value).
     """
-    prepared = events.withWatermark("ts", watermark).select(
-        "ts",  # carries the watermark; unused by the pandas stage
-        "user_id",
-        "event_id",
-        F.unix_micros("ts").alias("ts_us"),
-        # quantize JVM-side: identical HALF_UP rounding to the batch/oracle
-        F.round(F.col("value") * 1_000_000, 0).cast("long").alias("value_micros"),
+    # Dirty-event guards (round-5 hostile sweep) — in a STREAMING sink a
+    # poison row is fatal in a way batch never is: the checkpoint replays
+    # the same micro-batch on every restart, so one NaN value or NULL
+    # event-time crashes the pipeline permanently. NULL event-times are
+    # dropped (no position on the event-time axis → no session membership);
+    # non-finite values contribute 0 to session_value but still count as
+    # events. Both rules are mirrored in the oracle SQL.
+    finite_val = (
+        F.col("value").isNotNull()
+        & ~F.isnan("value")
+        & (F.abs("value") < F.lit(float("inf")))
+    )
+    prepared = (
+        events.where(F.col("ts").isNotNull())
+        .withWatermark("ts", watermark)
+        .select(
+            "ts",  # carries the watermark; unused by the pandas stage
+            "user_id",
+            "event_id",
+            F.unix_micros("ts").alias("ts_us"),
+            # quantize JVM-side: identical HALF_UP rounding to the batch/oracle
+            F.when(finite_val, F.round(F.col("value") * 1_000_000, 0).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+            .alias("value_micros"),
+        )
     )
     raw = prepared.groupBy("user_id").applyInPandasWithState(
         _make_sessionize_group(GAP_SECONDS),
@@ -205,7 +223,7 @@ from graph_vulcan_assets_spark.registry import query  # noqa: E402
              CASE WHEN lag(ts) OVER w IS NULL
                        OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
                   THEN 1 ELSE 0 END AS new_session
-      FROM events
+      FROM events WHERE ts IS NOT NULL
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
     sessioned AS (
       SELECT user_id, ts, value,
@@ -216,7 +234,9 @@ from graph_vulcan_assets_spark.registry import query  # noqa: E402
       SELECT user_id, session_no,
              min(ts) AS session_start, max(ts) AS session_end,
              CAST(count(*) AS BIGINT) AS n_events,
-             round(sum(CAST(round(value * 1000000, 0) AS BIGINT)) / 1000000.0, 2)
+             round(sum(CASE WHEN value IS NOT NULL AND isfinite(value)
+                            THEN CAST(round(value * 1000000, 0) AS BIGINT)
+                            ELSE 0 END) / 1000000.0, 2)
                AS session_value
       FROM sessioned GROUP BY user_id, session_no)
     SELECT user_id, session_start, session_end, n_events, session_value
