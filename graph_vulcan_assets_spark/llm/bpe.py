@@ -39,11 +39,22 @@ from graph_vulcan_assets_spark.tables import load_table
 _CHECKPOINT_EVERY = 4
 
 
+# Pre-token length cap, the same bound real BPE trainers apply (e.g.
+# HuggingFace tokenizers' max_token_length): the per-merge symbol rewrite
+# is a Catalyst array fold whose repeated-concat cost is QUADRATIC in word
+# length, so one pathological unbroken run (a 100 KB base64 blob, a
+# minified-JS line) would stall training for the whole corpus (round-5
+# hostile sweep: a single 100k-char word hung q_bpe_merges). 256 chars is
+# ~30x the longest real word; dropped words are noise, not vocabulary.
+MAX_WORD_CHARS = 256
+
+
 def word_counts(docs: DataFrame) -> DataFrame:
-    """(w, cnt): distinct whitespace words with corpus frequencies."""
+    """(w, cnt): distinct whitespace words with corpus frequencies.
+    Words longer than :data:`MAX_WORD_CHARS` are dropped (see above)."""
     return (
         docs.select(F.explode(F.split("text", " ")).alias("w"))
-        .where(F.length("w") > 0)
+        .where((F.length("w") > 0) & (F.length("w") <= MAX_WORD_CHARS))
         .groupBy("w")
         .agg(F.count("*").alias("cnt"))
     )
@@ -155,7 +166,8 @@ _Q_BPE_MERGES = 12
     "q_bpe_pairs",
     oracle="""
     WITH words AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
-    wc AS (SELECT w, count(*) AS cnt FROM words WHERE len(w) >= 2 GROUP BY w),
+    wc AS (SELECT w, count(*) AS cnt FROM words
+           WHERE len(w) >= 2 AND len(w) <= 256 GROUP BY w),
     pairs AS (SELECT substr(w, i, 2) AS pair, cnt
               FROM wc, unnest(range(1, len(w))) AS u(i))
     SELECT pair, CAST(sum(cnt) AS BIGINT) AS cnt
