@@ -43,6 +43,71 @@ def _build_degenerate_dir(out: str, src: str, limit: int) -> None:
         )
 
 
+def _build_hostile_dir(out: str, src: str) -> None:
+    """20 clean rows per table plus adversarial rows: NULL text/labels,
+    empty and 100 KB single-token documents, unicode storms, regex
+    metacharacters, NaN/±Inf embedding components, the all-zero vector, a
+    wrong-dimension vector, NULL vectors, NaN/±Inf event values, NULL
+    event-times, malformed JSON props. The round-5 sweep over exactly this
+    data found (and fixed) 8 crashes and one quadratic-fold hang — this
+    fixture keeps them fixed."""
+    import duckdb
+
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+    for t in TABLES:
+        if t in ("documents", "embeddings", "events"):
+            continue
+        con.sql(
+            f"COPY (SELECT * FROM '{src}/{t}.parquet' LIMIT 20) "
+            f"TO '{out}/{t}.parquet' (FORMAT parquet)"
+        )
+    zero = "[" + ",".join(["0.0"] * 64) + "]::FLOAT[]"
+    nan = "[" + ",".join(["'nan'::FLOAT" if i == 5 else "1.0" for i in range(64)]) + "]"
+    inf = "[" + ",".join(
+        ["'infinity'::FLOAT" if i == 0 else ("'-infinity'::FLOAT" if i == 1 else "1.0") for i in range(64)]
+    ) + "]"
+    con.sql(f"""
+    COPY (
+      SELECT * FROM (SELECT * FROM '{src}/documents.parquet' LIMIT 20)
+      UNION ALL BY NAME
+      SELECT * FROM (VALUES
+        (9001, NULL, NULL, NULL, NULL),
+        (9002, '', 'en', 'web', 0),
+        (9003, '😀😀😀 世界 مرحبا → ∑∫ œΩ≈ç', 'mul', 'web', 30),
+        (9004, repeat('x', 100000), 'en', 'web', 100000),
+        (9005, chr(9) || chr(10) || chr(13) || 'tab	newline', 'en', 'web', 20),
+        (9006, 'quote '' backslash \\ percent % brackets [a-z] regex .* $1', 'en', 'web', 60)
+      ) AS v(doc_id, text, lang, source, n_chars)
+    ) TO '{out}/documents.parquet' (FORMAT parquet)
+    """)
+    con.sql(f"""
+    COPY (
+      SELECT * FROM (SELECT * FROM '{src}/embeddings.parquet' LIMIT 20)
+      UNION ALL BY NAME
+      SELECT * FROM (VALUES
+        (9001, {zero}, 0),
+        (9002, {nan}, 1),
+        (9003, {inf}, 2),
+        (9004, NULL, NULL),
+        (9005, [1.0, 2.0, 3.0]::FLOAT[], 3)
+      ) AS v(vec_id, embedding, label)
+    ) TO '{out}/embeddings.parquet' (FORMAT parquet)
+    """)
+    con.sql(f"""
+    COPY (
+      SELECT * FROM (SELECT * FROM '{src}/events.parquet' LIMIT 20)
+      UNION ALL BY NAME
+      SELECT * FROM (VALUES
+        (9001, TIMESTAMP '2024-01-01 00:00:00', NULL, NULL, 'nan'::DOUBLE, NULL),
+        (9002, TIMESTAMP '2024-01-01 00:00:01', 1, 'click', 'infinity'::DOUBLE, '{{not json'),
+        (9003, TIMESTAMP '2024-01-01 00:00:02', 1, 'click', '-infinity'::DOUBLE, '[]'),
+        (9004, NULL, 2, '', 0.0, '{{}}')
+      ) AS v(event_id, ts, user_id, event_type, value, props)
+    ) TO '{out}/events.parquet' (FORMAT parquet)
+    """)
+
+
 def _sweep(spark, deg_dir: str) -> dict[str, str]:
     failures: dict[str, str] = {}
     for name, fn in all_queries().items():
@@ -64,5 +129,23 @@ def test_every_query_survives_degenerate_tables(spark, sf_dir, tmp_path, limit):
     failures = _sweep(spark, deg)
     assert not failures, (
         f"{len(failures)} queries crash on {limit}-row tables:\n"
+        + "\n".join(f"  {k}: {v}" for k, v in sorted(failures.items()))
+    )
+
+
+@pytest.mark.slow
+def test_every_query_survives_hostile_values(spark, sf_dir, tmp_path):
+    """NaN/Inf components, NULL vectors/labels/timestamps, zero and
+    wrong-dimension vectors, 100 KB unbroken tokens, unicode storms —
+    every query must return (possibly fewer rows) rather than crash or
+    hang. Pins the round-5 corrupt-data hardening: the embedding gates
+    (llm/embeddings.py finite/cosine), the streaming sessionizer's poison
+    guards, the media kernel's NULL-payload path, and the BPE pre-token
+    length cap."""
+    deg = str(tmp_path / "hostile")
+    _build_hostile_dir(deg, sf_dir)
+    failures = _sweep(spark, deg)
+    assert not failures, (
+        f"{len(failures)} queries crash on hostile values:\n"
         + "\n".join(f"  {k}: {v}" for k, v in sorted(failures.items()))
     )
