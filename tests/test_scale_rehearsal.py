@@ -37,7 +37,11 @@ BASE_SF = (
 # the most expensive bench entries that exercise distinct shapes:
 # bucketed range join, as-of partial-agg join, MinHash band join, a
 # six-table TPC-H shape, the iterative centroid loop, the gram-hash span
-# dedup (explode-heavy), and the double-window SCD2 collapse
+# dedup (explode-heavy), the double-window SCD2 collapse, and (round-5
+# widening) the remaining heavy bench shapes with no 10x evidence:
+# chunked interval x interval join, PQ subspace training, the postings
+# self-join TF-IDF / BM25 pair, the iterative frontier closure, and the
+# BPE train+encode loop (distinct-word working set).
 REHEARSAL = [
     "q_join_range",
     "q_join_asof",
@@ -46,7 +50,18 @@ REHEARSAL = [
     "q_kmeans_assign",
     "q_dedup_spans",
     "q_scd2_build",
+    "q_join_interval",
+    "q_pq_codes",
+    "q_text_tfidf",
+    "q_text_bm25",
+    "q_graph_ancestors",
+    "q_bpe_encode",
 ]
+# TF-IDF / BM25 attach a 1-row corpus-stats aggregate (N, avgdl) to every
+# posting via a broadcast crossJoin, which compiles to a
+# BroadcastNestedLoopJoin with a provably-1-row build side — the accepted
+# bounded pattern (plans/lint.py). Any OTHER nested loop is still a fail.
+_BNLJ_OK = {"q_text_tfidf", "q_text_bm25"}
 
 
 def _replicate(df, i: int):
@@ -122,7 +137,12 @@ def _seconds(spark, sf_dir, name, runs=2) -> float:
 def test_plan_invariants_hold_at_10x(spark, blown_dir, name):
     p = _plan(spark, blown_dir, name)
     assert "CartesianProduct" not in p, f"{name} degrades to cartesian at 10x"
-    assert "NestedLoop" not in p, f"{name} degrades to nested-loop at 10x"
+    if name in _BNLJ_OK:
+        # only the documented 1-row-broadcast form may appear
+        residue = p.replace("BroadcastNestedLoopJoin", "")
+        assert "NestedLoop" not in residue, f"{name}: non-broadcast nested loop at 10x"
+    else:
+        assert "NestedLoop" not in p, f"{name} degrades to nested-loop at 10x"
     # a window running on a single partition means the whole table
     # funnels through one task — the classic silent scale-killer
     for i, line in enumerate(p.splitlines()):
