@@ -164,10 +164,10 @@ _Q_BPE_MERGES = 12
 
 @query(
     "q_bpe_pairs",
-    oracle="""
+    oracle=f"""
     WITH words AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
     wc AS (SELECT w, count(*) AS cnt FROM words
-           WHERE len(w) >= 2 AND len(w) <= 256 GROUP BY w),
+           WHERE len(w) >= 2 AND len(w) <= {MAX_WORD_CHARS} GROUP BY w),
     pairs AS (SELECT substr(w, i, 2) AS pair, cnt
               FROM wc, unnest(range(1, len(w))) AS u(i))
     SELECT pair, CAST(sum(cnt) AS BIGINT) AS cnt
@@ -205,17 +205,28 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     document through an equi-join on the word — the corpus text is never
     re-tokenized per occurrence. Output: (doc_id, n_tokens_bpe,
     n_tokens_char) — the char count is the merge-free baseline, so the
-    learned tokenizer's compression is visible per row."""
+    learned tokenizer's compression is visible per row.
+
+    Words over :data:`MAX_WORD_CHARS` are excluded from TRAINING (the
+    quadratic-fold cap) but must still COUNT here: the join is a LEFT
+    join with a char-length fallback (exactly what BPE yields on a word
+    none of the learned merges apply to), so a pathological token makes
+    its document's counts conservative instead of silently deleting the
+    document's row — a row loss a downstream doc_id join would never
+    detect."""
     d = load_table(spark, sf_dir, "documents")
     _, vocab = bpe_train(d, _Q_BPE_MERGES)
-    encoded = vocab.select(
-        "w", F.size("syms").alias("n_bpe"), F.length("w").alias("n_char")
-    )
+    encoded = vocab.select("w", F.size("syms").alias("n_bpe"))
     words = d.select(
         "doc_id", F.explode(F.split("text", " ")).alias("w")
     ).where(F.length("w") > 0)
     return (
-        words.join(encoded, "w")
+        words.join(encoded, "w", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bpe", F.length("w")).alias("n_bpe"),
+            F.length("w").alias("n_char"),
+        )
         .groupBy("doc_id")
         .agg(
             F.sum("n_bpe").cast("long").alias("n_tokens_bpe"),

@@ -60,10 +60,17 @@ EMBED_DIM = 64
 
 
 def finite_sql(col: str = "embedding", dim: int = EMBED_DIM) -> str:
-    """DuckDB mirror of :func:`finite_embeddings`."""
+    """DuckDB mirror of :func:`finite_embeddings`.
+
+    The bad-component predicate is ``e IS NULL OR NOT isfinite(e)`` — NOT
+    the tempting ``NOT isfinite(e)`` alone: DuckDB's ``list_filter`` drops
+    elements whose predicate evaluates to NULL, so a NULL component would
+    pass the gate here while Spark's ``forall`` (NULL-strict) drops the
+    vector, and the two engines would disagree on exactly the dirty rows
+    the gate exists for."""
     return (
         f"{col} IS NOT NULL AND len({col}) = {dim}"
-        f" AND len(list_filter({col}, e -> NOT isfinite(e))) = 0"
+        f" AND len(list_filter({col}, e -> e IS NULL OR NOT isfinite(e))) = 0"
     )
 
 
@@ -104,12 +111,12 @@ def cosine_embeddings(
 
 @query(
     "q_embed_quantize",
-    oracle="""
+    oracle=f"""
     WITH ex AS (
       SELECT vec_id,
              unnest(range(len(embedding))) AS dim,
              CAST(unnest(embedding) AS DOUBLE) AS val
-      FROM embeddings),
+      FROM embeddings WHERE {finite_sql("embedding")}),
     stats AS (SELECT dim, min(val) AS mn, max(val) AS mx FROM ex GROUP BY dim),
     q AS (
       SELECT vec_id, val, mn, mx,
@@ -135,8 +142,14 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     0..255 → dequantize → per-vector quantized checksum and reconstruction
     error. The error sum uses exact nano-unit integers so it is
     summation-order independent; max() is order-independent by nature.
+
+    Gated through :func:`finite_embeddings` (oracle: ``finite_sql``): an
+    ungated NaN component hits the qv INT cast (ANSI CAST_OVERFLOW kills
+    the job), and a single ±Inf component would poison that dimension's
+    min/max codebook for EVERY clean vector — corrupt rows must not
+    degrade the quantization of the rest of the corpus.
     """
-    e = load_table(spark, sf_dir, "embeddings")
+    e = finite_embeddings(load_table(spark, sf_dir, "embeddings"))
     ex = e.select("vec_id", F.posexplode("embedding").alias("dim", "fval")).select(
         "vec_id", "dim", F.col("fval").cast("double").alias("val")
     )
@@ -193,8 +206,13 @@ def q_embed_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     products whose exact bits depend on BLAS accumulation order, so no
     cross-engine hash oracle exists; tests/test_embeddings.py proves the
     JL distance-preservation property and run-to-run determinism instead.
+
+    Gated through :func:`finite_embeddings`: a NULL or wrong-dimension
+    vector makes the kernel's np.vstack ragged (PythonException kills the
+    projection job); NaN/Inf components would propagate through the
+    matmul into every projected dimension.
     """
-    e = load_table(spark, sf_dir, "embeddings")
+    e = finite_embeddings(load_table(spark, sf_dir, "embeddings"))
     p = project_embeddings(e)
     return p.select(
         "vec_id",
@@ -207,11 +225,10 @@ def q_embed_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_embed_centroid",
-    oracle="""
+    oracle=f"""
     WITH clean AS (
       SELECT label, embedding FROM embeddings
-      WHERE label IS NOT NULL AND embedding IS NOT NULL AND len(embedding) = 64
-        AND len(list_filter(embedding, e -> NOT isfinite(e))) = 0),
+      WHERE label IS NOT NULL AND {finite_sql("embedding")}),
     ex AS (
       SELECT label,
              unnest(range(len(embedding))) AS dim,
@@ -305,16 +322,17 @@ _MRL_DIM = 16
              unnest(range(len(embedding))) AS dim,
              CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000, 0)
                AS BIGINT) AS q
-      FROM embeddings),
+      FROM embeddings WHERE {cosine_sql("embedding")}),
     nrm AS (
       SELECT vec_id,
              CAST(sum(q * q) AS BIGINT) AS nrm_full,
-             CAST(sum(q * q) FILTER (dim < {_MRL_DIM}) AS BIGINT) AS nrm_head
+             CAST(coalesce(sum(q * q) FILTER (dim < {_MRL_DIM}), 0)
+               AS BIGINT) AS nrm_head
       FROM ex GROUP BY vec_id)
     SELECT vec_id, nrm_head, nrm_full,
            CAST(round(CAST(nrm_head AS DOUBLE) / CAST(nrm_full AS DOUBLE)
                       * 1000000, 0) AS BIGINT) AS energy_micros
-    FROM nrm
+    FROM nrm WHERE nrm_full > 0
     """,
 )
 def q_embed_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -332,8 +350,15 @@ def q_embed_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
     summation anywhere). Map-only except the single per-vec_id aggregate
     of the exploded components; at 100 TB the slice/aggregate fuses into
     the scan stage.
+
+    Gated through :func:`cosine_embeddings` (oracle: ``cosine_sql``): a
+    NaN component hits the micros CAST (ANSI CAST_OVERFLOW), and the
+    all-zero vector has no energy to apportion — its ratio is 0/0, which
+    ANSI rightly refuses to divide. Belt-and-braces, vectors whose every
+    component quantizes to zero (all |e| < 0.5 micro) are filtered on
+    ``nrm_full > 0`` identically on both sides.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = cosine_embeddings(load_table(spark, sf_dir, "embeddings"))
     q = F.transform(
         F.col("embedding"),
         lambda e: F.round(e.cast("double") * 1000000, 0).cast("long"),
@@ -348,7 +373,7 @@ def q_embed_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).cast("long"),
             lambda acc, v: acc + v * v,
         ).alias("nrm_head"),
-    )
+    ).where(F.col("nrm_full") > 0)
     return qq.select(
         "vec_id",
         "nrm_head",

@@ -34,6 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from graph_vulcan_assets_spark.llm.embeddings import finite_sql
 from graph_vulcan_assets_spark.registry import query
 from graph_vulcan_assets_spark.tables import load_table
 
@@ -41,17 +42,17 @@ K = 8
 ITERS = 3
 _SCALE = 1_000_000
 
-# the corrupt-vector gate (llm/embeddings.py finite_sql) is inlined so the
-# SQL stays a plain string reusable by llm/semdedup.py's oracle: without it
-# a single NaN component crashes the micros CAST on both engines, and a
-# wrong-dimension vector silently skews its own distance sums
-_VECS_SQL = """
+# the corrupt-vector gate comes from the single source of truth
+# (llm/embeddings.py finite_sql — interpolated, NOT copied, so a gate fix
+# propagates here and to llm/semdedup.py's oracle automatically): without
+# it a single NaN component crashes the micros CAST on both engines, and
+# a wrong-dimension vector silently skews its own distance sums
+_VECS_SQL = f"""
       SELECT vec_id,
              unnest(range(len(embedding))) AS pos,
              CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000, 0) AS BIGINT) AS q
       FROM embeddings
-      WHERE embedding IS NOT NULL AND len(embedding) = 64
-        AND len(list_filter(embedding, e -> NOT isfinite(e))) = 0
+      WHERE {finite_sql("embedding")}
 """
 
 

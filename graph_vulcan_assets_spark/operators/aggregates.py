@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from graph_vulcan_assets_spark.registry import query
-from graph_vulcan_assets_spark.tables import load_table
+from graph_vulcan_assets_spark.tables import FINITE_VALUE_SQL, finite_values, load_table
 
 
 @query(
@@ -230,17 +230,20 @@ def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_agg_cube",
-    oracle="""
+    oracle=f"""
     SELECT event_type, user_id % 3 AS user_bucket,
            round(sum(CAST(round(value * 1000000, 0) AS BIGINT)) / 1000000.0, 2)
              AS sum_value,
            count(*) AS n
-    FROM events GROUP BY CUBE (event_type, user_id % 3)
+    FROM events WHERE {FINITE_VALUE_SQL}
+    GROUP BY CUBE (event_type, user_id % 3)
     """,
 )
 def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cube (A7): all grouping-set combinations."""
-    e = load_table(spark, sf_dir, "events").withColumn(
+    """Cube (A7): all grouping-set combinations. NaN/Inf samples are
+    gated out (finite_values, mirrored in the oracle) before the exact
+    integer-micros quantization."""
+    e = finite_values(load_table(spark, sf_dir, "events")).withColumn(
         "user_bucket", F.col("user_id") % 3
     )
     micros = F.round(F.col("value") * 1000000, 0).cast("long")

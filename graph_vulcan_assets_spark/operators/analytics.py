@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from graph_vulcan_assets_spark.registry import query
-from graph_vulcan_assets_spark.tables import load_table
+from graph_vulcan_assets_spark.tables import FINITE_VALUE_SQL, finite_values, load_table
 
 
 @query(
@@ -162,7 +162,8 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
              (lead(epoch_us(ts)) OVER (
                 PARTITION BY user_id ORDER BY ts, event_id)
               - epoch_us(ts)) // 1000 AS dt_ms
-      FROM events),
+      FROM events
+      WHERE ts IS NOT NULL AND value IS NOT NULL AND isfinite(value)),
     k AS (SELECT * FROM seq WHERE dt_ms IS NOT NULL)
     SELECT user_id,
            CAST(count(*) AS BIGINT) AS n_intervals,
@@ -185,10 +186,23 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     the weighted sum is summation-order independent and the final ratio
     is one double division + round-to-integer — hash-identical in both
     engines.
+
+    Corrupt-sample gate (mirrored in the oracle): rows with NULL ts,
+    NULL value, or a non-finite value are dropped BEFORE the window — a
+    NaN value hits the milli CAST (ANSI CAST_OVERFLOW kills the job),
+    one ±Inf sample would poison its user's whole weighted sum, and a
+    NULL ts cannot anchor a holding interval (and would also sort
+    NULLS FIRST in Spark vs NULLS LAST in DuckDB, silently skewing the
+    neighbors' intervals differently per engine).
     """
     from pyspark.sql import Window
 
-    e = load_table(spark, sf_dir, "events")
+    e = load_table(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+        & ~F.isnan("value")
+        & (F.abs("value") < F.lit(float("inf")))
+    )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = e.select(
         "user_id",
@@ -231,14 +245,15 @@ def _hour_spine(hourly):
 
 @query(
     "q_timeseries_gapfill",
-    oracle="""
+    oracle=f"""
     WITH hourly AS (
       SELECT event_type,
              date_trunc('hour', ts) AS hour,
              count(*) AS n,
              CAST(sum(CAST(round(value * 1000, 0) AS BIGINT)) AS BIGINT)
                AS sum_value_milli
-      FROM events GROUP BY event_type, date_trunc('hour', ts)),
+      FROM events WHERE {FINITE_VALUE_SQL}
+      GROUP BY event_type, date_trunc('hour', ts)),
     bounds AS (
       SELECT min(hour) AS h0, max(hour) AS h1 FROM hourly),
     spine AS (
@@ -275,11 +290,13 @@ def q_timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     window over the raw events.
 
     Exactness: counts and milli-quantized sums are BIGINTs; the fill
-    copies them verbatim — hash-identical in both engines.
+    copies them verbatim — hash-identical in both engines. NaN/Inf
+    samples are gated out (finite_values, mirrored in the oracle)
+    before the milli cast.
     """
     from pyspark.sql import Window
 
-    e = load_table(spark, sf_dir, "events")
+    e = finite_values(load_table(spark, sf_dir, "events"))
     hourly = e.groupBy(
         "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
     ).agg(
@@ -382,12 +399,13 @@ def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_timeseries_interpolate",
-    oracle="""
+    oracle=f"""
     WITH hourly AS (
       SELECT event_type, date_trunc('hour', ts) AS hour,
              CAST(sum(CAST(round(value * 1000, 0) AS BIGINT)) AS BIGINT)
                AS v_milli
-      FROM events GROUP BY event_type, date_trunc('hour', ts)),
+      FROM events WHERE {FINITE_VALUE_SQL}
+      GROUP BY event_type, date_trunc('hour', ts)),
     bounds AS (SELECT min(hour) AS h0, max(hour) AS h1 FROM hourly),
     spine AS (
       SELECT t.event_type, s.h AS hour
@@ -440,11 +458,12 @@ def q_timeseries_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     locf query — still no single-partition window, still types × hours
     rows. Arithmetic: exact BIGINT milli inputs, hour offsets as exact
     integers, one fixed double expression rounded back to milli — oracle
-    bit-for-bit.
+    bit-for-bit. NaN/Inf samples are gated out (finite_values, mirrored
+    in the oracle) before the milli cast.
     """
     from pyspark.sql import Window
 
-    e = load_table(spark, sf_dir, "events")
+    e = finite_values(load_table(spark, sf_dir, "events"))
     hourly = e.groupBy(
         "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
     ).agg(

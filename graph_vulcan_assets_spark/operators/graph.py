@@ -289,16 +289,25 @@ def q_recursive_cte(
     DataFrame loop remains the fallback with explicit per-level lineage
     control. Identical oracle text on the DuckDB side proves the two
     engines' recursive semantics line up (UNION ALL, depth arithmetic,
-    termination on empty frontier).
+    termination on empty frontier). Depth cap: ``max_iter`` →
+    ``SPARK_GRAFT_GRAPH_MAX_ITER`` → 40, identical to
+    :func:`transitive_ancestors` (see :func:`default_max_iter`).
     """
     from graph_vulcan_assets_spark.tables import load_table as _lt
 
-    # same depth-cap surface as transitive_ancestors (VERDICT r4 #5): the
-    # engine enforces spark.sql.cteRecursionLevelLimit (default 100) and
-    # RAISES when the frontier is still non-empty at the cap — the same
-    # no-silent-truncation contract as the hand-rolled loop
-    if max_iter is not None:
-        spark.conf.set("spark.sql.cteRecursionLevelLimit", str(max_iter))
+    # same depth-cap surface as transitive_ancestors (VERDICT r4 #5):
+    # explicit max_iter, else SPARK_GRAFT_GRAPH_MAX_ITER, else the same
+    # 40-level default — so "the SAME traversal" raises at the same depth
+    # whichever entry point runs it. The engine enforces the cap via
+    # spark.sql.cteRecursionLevelLimit and RAISES when the frontier is
+    # still non-empty at it — the same no-silent-truncation contract as
+    # the hand-rolled loop. Spark reads the conf at EXECUTION time, after
+    # this lazy function has returned, so set-and-restore cannot scope it;
+    # instead EVERY call sets the conf from its own resolved arguments —
+    # a call can never inherit a stale cap from an earlier caller.
+    if max_iter is None:
+        max_iter = default_max_iter()
+    spark.conf.set("spark.sql.cteRecursionLevelLimit", str(max_iter))
     _lt(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(
         """

@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from graph_vulcan_assets_spark.registry import query
-from graph_vulcan_assets_spark.tables import load_table
+from graph_vulcan_assets_spark.tables import FINITE_VALUE_SQL, finite_values, load_table
 
 
 def salted_count_sum(
@@ -52,10 +52,10 @@ def salted_count_sum(
 
 @query(
     "q_agg_salted",
-    oracle="""
+    oracle=f"""
     SELECT event_type, count(*) AS n,
            sum(CAST(round(value * 1000000, 0) AS BIGINT)) / 1000000.0 AS sum_value
-    FROM events GROUP BY event_type
+    FROM events WHERE {FINITE_VALUE_SQL} GROUP BY event_type
     """,
 )
 def q_agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -65,9 +65,10 @@ def q_agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     Result is identical to the direct groupBy (the oracle); the plan
     differs: two exchanges, each with bounded per-reducer input. The value
     sum uses the exact integer micro-unit form so the two-phase combine is
-    order-independent.
+    order-independent. NaN/Inf samples are gated out (finite_values,
+    mirrored in the oracle) before the micros cast.
     """
-    e = load_table(spark, sf_dir, "events").withColumn(
+    e = finite_values(load_table(spark, sf_dir, "events")).withColumn(
         "value_micros", F.round(F.col("value") * 1000000, 0).cast("long")
     )
     agg = salted_count_sum(e, "event_type", "value_micros", salt_col="event_id")

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from graph_vulcan_assets_spark.registry import query
-from graph_vulcan_assets_spark.tables import load_table
+from graph_vulcan_assets_spark.tables import FINITE_VALUE_SQL, finite_values, load_table
 
 
 @query(
@@ -118,7 +118,7 @@ def q_win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_win_running_sum",
-    oracle="""
+    oracle=f"""
     SELECT event_id, user_id, ts,
            round(sum(CAST(round(value * 1000000, 0) AS BIGINT))
                    OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -126,12 +126,15 @@ def q_win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
                  / 1000000.0, 4) AS running_sum,
            count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_n
-    FROM events
+    FROM events WHERE {FINITE_VALUE_SQL}
     """,
 )
 def q_win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Running totals (W5): cumulative ROWS frame."""
-    e = load_table(spark, sf_dir, "events")
+    """Running totals (W5): cumulative ROWS frame. NaN/Inf samples are
+    gated out (finite_values, mirrored in the oracle) — one would
+    otherwise kill the micros cast or poison every later running total
+    in its partition."""
+    e = finite_values(load_table(spark, sf_dir, "events"))
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")
@@ -155,7 +158,7 @@ def q_win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_win_range_frame",
-    oracle="""
+    oracle=f"""
     SELECT event_id, event_type, ts,
            round(sum(CAST(round(value * 1000000, 0) AS BIGINT))
                    OVER (PARTITION BY event_type ORDER BY epoch_sec
@@ -163,16 +166,17 @@ def q_win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
                  / 1000000.0, 4) AS hour_sum
     FROM (SELECT event_id, event_type, ts, value,
                  CAST(floor(epoch(ts)) AS BIGINT) AS epoch_sec
-          FROM events)
+          FROM events WHERE {FINITE_VALUE_SQL})
     """,
 )
 def q_win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANGE frame (W5): trailing 1-hour sum per event type.
 
     The frame is defined on epoch seconds (identical truncation in both
-    engines) so frame membership is bit-identical.
+    engines) so frame membership is bit-identical. NaN/Inf samples are
+    gated out (finite_values, mirrored in the oracle).
     """
-    e = load_table(spark, sf_dir, "events").withColumn(
+    e = finite_values(load_table(spark, sf_dir, "events")).withColumn(
         "epoch_sec", F.col("ts").cast("long")
     )
     w = (
@@ -194,13 +198,13 @@ def q_win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_sessionize",
-    oracle="""
+    oracle=f"""
     WITH marked AS (
       SELECT user_id, event_id, ts, value,
              CASE WHEN lag(ts) OVER w IS NULL
                        OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
                   THEN 1 ELSE 0 END AS new_session
-      FROM events
+      FROM events WHERE {FINITE_VALUE_SQL}
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
     sessioned AS (
       SELECT user_id, event_id, ts, value,
@@ -222,9 +226,10 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     starts when the gap to the previous event exceeds the threshold; the
     running sum of start-markers numbers the sessions. One shuffle on
     user_id serves both windows and the final aggregate. The streaming
-    equivalent is session_window() (streaming/windows.py).
+    equivalent is session_window() (streaming/windows.py). NaN/Inf
+    samples are gated out (finite_values, mirrored in the oracle).
     """
-    e = load_table(spark, sf_dir, "events")
+    e = finite_values(load_table(spark, sf_dir, "events"))
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
     new_session = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)

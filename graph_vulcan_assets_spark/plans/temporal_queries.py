@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from graph_vulcan_assets_spark.registry import query
-from graph_vulcan_assets_spark.tables import load_table
+from graph_vulcan_assets_spark.tables import FINITE_VALUE_SQL, finite_values, load_table
 
 
 @query(
@@ -89,12 +89,13 @@ def q_cascade_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_time_tumbling",
-    oracle="""
+    oracle=f"""
     SELECT date_trunc('hour', ts) AS bucket_start, event_type,
            count(*) AS n,
            round(sum(CAST(round(value * 1000000, 0) AS BIGINT)) / 1000000.0, 2)
              AS sum_value
-    FROM events GROUP BY date_trunc('hour', ts), event_type
+    FROM events WHERE {FINITE_VALUE_SQL}
+    GROUP BY date_trunc('hour', ts), event_type
     """,
 )
 def q_time_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -105,12 +106,13 @@ def q_time_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     to date_trunc('hour') for whole-hour windows. In streaming mode the same
     expression runs with a watermark (see streaming module).
     """
-    e = load_table(spark, sf_dir, "events")
+    e = finite_values(load_table(spark, sf_dir, "events"))
     # integer-micros quantization BEFORE the sum (the discipline every
     # other query in this file uses): summing raw doubles depends on
     # accumulation order, so the 2-decimal round could flip near a .005
     # boundary between engines/partition counts — a nondeterministic
-    # oracle mismatch waiting for the right row count
+    # oracle mismatch waiting for the right row count; finite_values
+    # gates NaN/Inf samples out before the cast (mirrored in the oracle)
     micros = F.round(F.col("value") * 1000000, 0).cast("long")
     return (
         e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
@@ -129,12 +131,13 @@ def q_time_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_time_sliding",
-    oracle="""
+    oracle=f"""
     WITH ex AS (
       SELECT event_type,
              CAST(round(value * 1000000, 0) AS BIGINT) AS v_micros,
              (epoch_us(ts) // 1000 // 1800000 - i) * 1800000 AS start_ms
-      FROM events, unnest(range(4)) AS t(i))
+      FROM events, unnest(range(4)) AS t(i)
+      WHERE {FINITE_VALUE_SQL})
     SELECT make_timestamp(start_ms * 1000) AS window_start, event_type,
            CAST(count(*) AS BIGINT) AS n,
            sum(v_micros) / 1000000.0 AS sum_value
@@ -158,7 +161,7 @@ def q_time_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     In streaming mode the same expression runs with a watermark
     (streaming/windows.py); this is the batch-equivalent proof.
     """
-    e = load_table(spark, sf_dir, "events")
+    e = finite_values(load_table(spark, sf_dir, "events"))
     return (
         e.groupBy(F.window("ts", "2 hours", "30 minutes").alias("w"), "event_type")
         .agg(
@@ -178,12 +181,12 @@ def q_time_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_rollup_cascade",
-    oracle="""
+    oracle=f"""
     WITH minute AS (
       SELECT date_trunc('minute', ts) AS m, event_type,
              count(*) AS n,
              sum(CAST(round(value * 1000000, 0) AS BIGINT)) AS v_micros
-      FROM events GROUP BY 1, 2),
+      FROM events WHERE {FINITE_VALUE_SQL} GROUP BY 1, 2),
     hour AS (
       SELECT date_trunc('hour', m) AS h, event_type,
              sum(n) AS n, sum(v_micros) AS v_micros
@@ -211,7 +214,7 @@ def q_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     computes the same cascade; the sums are exact integer micros, so
     re-aggregation associativity is exact, not approximate.
     """
-    e = load_table(spark, sf_dir, "events")
+    e = finite_values(load_table(spark, sf_dir, "events"))
     minute = e.groupBy(
         F.date_trunc("minute", "ts").alias("m"), "event_type"
     ).agg(
@@ -232,13 +235,13 @@ def q_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_session_window",
-    oracle="""
+    oracle=f"""
     WITH marked AS (
       SELECT user_id, event_id, ts, value,
              CASE WHEN lag(ts) OVER w IS NULL
                        OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
                   THEN 1 ELSE 0 END AS ns
-      FROM events
+      FROM events WHERE {FINITE_VALUE_SQL}
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
     sessioned AS (
       SELECT user_id, ts, value,
@@ -273,7 +276,7 @@ def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     The same expression runs streaming with a watermark
     (streaming/windows.session_counts).
     """
-    e = load_table(spark, sf_dir, "events")
+    e = finite_values(load_table(spark, sf_dir, "events"))
     micros = F.round(F.col("value") * 1_000_000, 0).cast("long")
     return (
         e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")

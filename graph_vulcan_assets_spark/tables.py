@@ -57,6 +57,29 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+# ---------------------------------------------------------------------------
+# Corrupt-measure gate (round-5 hostile-input sweep, full-materialization
+# pass): every query that quantizes events.value into exact integer units
+# (milli/micro casts — the trick that makes float aggregates
+# summation-order-independent and driver-hashable) dies on a NaN/±Inf
+# sample with ANSI CAST_OVERFLOW, and ±Inf would poison its group's sum
+# even where the cast survived. One corrupt sensor reading in a trillion-row
+# events table must not kill (or skew) the whole rollup. NULL values PASS
+# the gate — both engines' aggregates skip NULLs identically, and a NULL
+# measure row still counts toward count(*) semantics.
+# ---------------------------------------------------------------------------
+
+FINITE_VALUE_SQL = "(value IS NULL OR isfinite(value))"
+
+
+def finite_values(df: DataFrame, col: str = "value") -> DataFrame:
+    """Drop rows whose measure column is NaN/±Inf; keep NULLs.
+    DuckDB oracle mirror: :data:`FINITE_VALUE_SQL` — applied to BOTH sides
+    so Spark and the oracle agree on dirty data by construction."""
+    c = F.col(col)
+    return df.where(c.isNull() | (~F.isnan(c) & (F.abs(c) < F.lit(float("inf")))))
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view (for the SQL-flavored queries)."""
     for name in TABLES:

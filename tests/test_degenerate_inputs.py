@@ -47,7 +47,8 @@ def _build_hostile_dir(out: str, src: str) -> None:
     """20 clean rows per table plus adversarial rows: NULL text/labels,
     empty and 100 KB single-token documents, unicode storms, regex
     metacharacters, NaN/±Inf embedding components, the all-zero vector, a
-    wrong-dimension vector, NULL vectors, NaN/±Inf event values, NULL
+    wrong-dimension vector, NULL vectors, a NULL component inside an
+    otherwise-clean vector, NaN/±Inf event values, NULL
     event-times, malformed JSON props. The round-5 sweep over exactly this
     data found (and fixed) 8 crashes and one quadratic-fold hang — this
     fixture keeps them fixed."""
@@ -67,6 +68,10 @@ def _build_hostile_dir(out: str, src: str) -> None:
     inf = "[" + ",".join(
         ["'infinity'::FLOAT" if i == 0 else ("'-infinity'::FLOAT" if i == 1 else "1.0") for i in range(64)]
     ) + "]"
+    # a NULL COMPONENT (not a NULL vector): DuckDB's list_filter drops
+    # NULL-predicate elements while Spark's forall is NULL-strict, so this
+    # row pins the gate's e-IS-NULL clause that keeps the engines aligned
+    nullcomp = "[" + ",".join(["NULL" if i == 7 else "1.0" for i in range(64)]) + "]::FLOAT[]"
     con.sql(f"""
     COPY (
       SELECT * FROM (SELECT * FROM '{src}/documents.parquet' LIMIT 20)
@@ -90,7 +95,8 @@ def _build_hostile_dir(out: str, src: str) -> None:
         (9002, {nan}, 1),
         (9003, {inf}, 2),
         (9004, NULL, NULL),
-        (9005, [1.0, 2.0, 3.0]::FLOAT[], 3)
+        (9005, [1.0, 2.0, 3.0]::FLOAT[], 3),
+        (9006, {nullcomp}, 4)
       ) AS v(vec_id, embedding, label)
     ) TO '{out}/embeddings.parquet' (FORMAT parquet)
     """)
@@ -112,7 +118,13 @@ def _sweep(spark, deg_dir: str) -> dict[str, str]:
     failures: dict[str, str] = {}
     for name, fn in all_queries().items():
         try:
-            fn(spark, deg_dir).count()
+            # FULL materialization (noop write), NOT .count(): count lets
+            # Catalyst prune every computed column, so a poisoned
+            # expression (NaN→BIGINT cast, 0/0 division, a crashing UDF
+            # column) would never evaluate and the sweep would pass
+            # vacuously — the noop sink evaluates every output column of
+            # every row, exactly like a real downstream consumer
+            fn(spark, deg_dir).write.format("noop").mode("overwrite").save()
         except Exception as e:  # noqa: BLE001 — we report, not mask
             failures[name] = f"{type(e).__name__}: {str(e).splitlines()[0][:160]}"
     return failures
