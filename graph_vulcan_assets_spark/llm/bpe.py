@@ -216,7 +216,12 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     detect."""
     d = load_table(spark, sf_dir, "documents")
     _, vocab = bpe_train(d, _Q_BPE_MERGES)
-    encoded = vocab.select("w", F.size("syms").alias("n_bpe"))
+    # explicit broadcast: the encoded side is the DISTINCT-WORD table —
+    # vocabulary-sized, the same bounded working set the training loop
+    # already holds — and the left-outer form hides that from the size
+    # estimator (the checkpointed plan reports default stats), which
+    # would otherwise demote this to a sort-merge join of corpus vs vocab
+    encoded = F.broadcast(vocab.select("w", F.size("syms").alias("n_bpe")))
     words = d.select(
         "doc_id", F.explode(F.split("text", " ")).alias("w")
     ).where(F.length("w") > 0)
