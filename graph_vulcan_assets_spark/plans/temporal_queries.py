@@ -94,7 +94,7 @@ def q_cascade_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n,
            round(sum(CAST(round(value * 1000000, 0) AS BIGINT)) / 1000000.0, 2)
              AS sum_value
-    FROM events WHERE {FINITE_VALUE_SQL}
+    FROM events WHERE ts IS NOT NULL AND {FINITE_VALUE_SQL}
     GROUP BY date_trunc('hour', ts), event_type
     """,
 )
@@ -106,7 +106,12 @@ def q_time_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     to date_trunc('hour') for whole-hour windows. In streaming mode the same
     expression runs with a watermark (see streaming module).
     """
-    e = finite_values(load_table(spark, sf_dir, "events"))
+    # NULL event-times cannot belong to any time window: window() drops
+    # them in Spark by construction; the explicit filter makes the
+    # contract visible and the oracle mirrors it (ts IS NOT NULL)
+    e = finite_values(load_table(spark, sf_dir, "events")).where(
+        F.col("ts").isNotNull()
+    )
     # integer-micros quantization BEFORE the sum (the discipline every
     # other query in this file uses): summing raw doubles depends on
     # accumulation order, so the 2-decimal round could flip near a .005
@@ -137,7 +142,7 @@ def q_time_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(round(value * 1000000, 0) AS BIGINT) AS v_micros,
              (epoch_us(ts) // 1000 // 1800000 - i) * 1800000 AS start_ms
       FROM events, unnest(range(4)) AS t(i)
-      WHERE {FINITE_VALUE_SQL})
+      WHERE ts IS NOT NULL AND {FINITE_VALUE_SQL})
     SELECT make_timestamp(start_ms * 1000) AS window_start, event_type,
            CAST(count(*) AS BIGINT) AS n,
            sum(v_micros) / 1000000.0 AS sum_value
@@ -160,8 +165,11 @@ def q_time_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     In streaming mode the same expression runs with a watermark
     (streaming/windows.py); this is the batch-equivalent proof.
+    NULL event-times are windowless — dropped on both sides.
     """
-    e = finite_values(load_table(spark, sf_dir, "events"))
+    e = finite_values(load_table(spark, sf_dir, "events")).where(
+        F.col("ts").isNotNull()
+    )
     return (
         e.groupBy(F.window("ts", "2 hours", "30 minutes").alias("w"), "event_type")
         .agg(
@@ -241,7 +249,7 @@ def q_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN lag(ts) OVER w IS NULL
                        OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
                   THEN 1 ELSE 0 END AS ns
-      FROM events WHERE {FINITE_VALUE_SQL}
+      FROM events WHERE ts IS NOT NULL AND {FINITE_VALUE_SQL}
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
     sessioned AS (
       SELECT user_id, ts, value,
@@ -274,9 +282,12 @@ def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffled once on user_id (explain shows UpdatingSessionsIterator /
     MergingSessionsIterator) — no window function, no per-key sort job.
     The same expression runs streaming with a watermark
-    (streaming/windows.session_counts).
+    (streaming/windows.session_counts). NULL event-times are
+    windowless — dropped on both sides.
     """
-    e = finite_values(load_table(spark, sf_dir, "events"))
+    e = finite_values(load_table(spark, sf_dir, "events")).where(
+        F.col("ts").isNotNull()
+    )
     micros = F.round(F.col("value") * 1_000_000, 0).cast("long")
     return (
         e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
