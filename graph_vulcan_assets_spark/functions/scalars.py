@@ -169,11 +169,21 @@ def q_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_json_extract",
     oracle="""
+    WITH j AS (
+      -- json_valid guard mirrors get_json_object's NULL-on-malformed:
+      -- DuckDB's json_extract_string RAISES on malformed JSON (one bad
+      -- payload row kills the oracle), Spark quietly yields NULL
+      SELECT event_id,
+             CASE WHEN json_valid(props)
+                  THEN json_extract_string(props, '$.k') END AS ks,
+             CASE WHEN json_valid(props)
+                  THEN json_extract_string(props, '$.missing') END AS missing
+      FROM events)
     SELECT event_id,
-           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
-           CAST(json_extract_string(props, '$.k') AS BIGINT) * 2 AS k2,
-           json_extract_string(props, '$.missing') AS missing
-    FROM events
+           CAST(ks AS BIGINT) AS k,
+           CAST(ks AS BIGINT) * 2 AS k2,
+           missing
+    FROM j
     """,
 )
 def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -198,8 +208,13 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT vec_id,
            CAST(len(embedding) AS BIGINT) AS dim,
            round(CAST(embedding[1] AS DOUBLE), 6) AS first_component,
-           round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
-                                              x -> x * x))), 6) AS l2_norm,
+           -- the CASE mirrors Spark's NULL-STRICT aggregate fold: one NULL
+           -- component makes the whole norm NULL there, while DuckDB's
+           -- list_sum would silently SKIP the NULL and return a partial norm
+           CASE WHEN len(list_filter(embedding, x -> x IS NULL)) = 0
+                THEN round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                                        x -> x * x))), 6)
+           END AS l2_norm,
            CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
            round(CAST(list_max(embedding) AS DOUBLE), 6) AS max_component
     FROM embeddings

@@ -752,8 +752,12 @@ def _counting_rank(lens: DataFrame, value_col: str = "n_tokens") -> DataFrame:
     "q_length_buckets",
     oracle="""
     WITH lens AS (
+      -- text IS NOT NULL: a NULL-text document has no token count; the
+      -- Spark side drops it structurally (NULL n_tokens never matches the
+      -- counting-rank equi-join) while a window-based oracle would rank it
+      -- NULLS LAST, shifting n and every band edge
       SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
-      FROM documents),
+      FROM documents WHERE text IS NOT NULL),
     ranked AS (
       SELECT doc_id, n_tokens,
              row_number() OVER (ORDER BY n_tokens, doc_id) AS rn,
@@ -786,7 +790,7 @@ def q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     Worst case is a single dominant length value serializing its
     intra-rank — the inherent skew of equal-depth bucketing.
     """
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     lens = d.select(
         "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
     )
@@ -808,7 +812,7 @@ def q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH lens AS (
       SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
-      FROM documents),
+      FROM documents WHERE text IS NOT NULL),
     ranked AS (
       SELECT doc_id, lang, n_tokens,
              row_number() OVER (ORDER BY n_tokens, doc_id) AS rn,
@@ -831,7 +835,7 @@ def q_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the band edges are integer arithmetic on the rank, identical in
     both engines (no float percentile interpolation to diverge on).
     """
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     lens = d.select(
         "doc_id", "lang", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
     )

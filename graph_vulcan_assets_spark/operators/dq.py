@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from graph_vulcan_assets_spark.registry import query
-from graph_vulcan_assets_spark.tables import load_table
+from graph_vulcan_assets_spark.tables import finite_values, load_table
 
 _DOMAIN = ("click", "view", "purchase")
 _MIN_ROWS = 1000
@@ -136,7 +136,8 @@ def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
              greatest(least(CAST(floor(value / 10) AS BIGINT), 9), 0) AS bin,
              count(*) FILTER (ts <  TIMESTAMP '2024-01-16') AS r,
              count(*) FILTER (ts >= TIMESTAMP '2024-01-16') AS c
-      FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+      FROM events WHERE value IS NOT NULL AND isfinite(value)
+      GROUP BY 1, 2),
     spine AS (
       SELECT DISTINCT event_type, u.bin
       FROM binned, unnest(range(0, 10)) AS u(bin)),
@@ -181,7 +182,13 @@ def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     summation, so the driver hash-compare is exact at any partition
     count. drifted = PSI >= 0.2, the standard alert threshold.
     """
-    e = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    # NULL excluded explicitly; NaN/Inf gated via finite_values — a NaN
+    # would land in bin 0 SILENTLY on the Spark side (floor→long) while
+    # DuckDB raises on the cast: the worst divergence class, one engine
+    # wrong and the other dead
+    e = finite_values(load_table(spark, sf_dir, "events")).where(
+        F.col("value").isNotNull()
+    )
     cut = F.lit("2024-01-16").cast("timestamp")
     bin_expr = F.greatest(
         F.least(F.floor(F.col("value") / 10).cast("long"), F.lit(9).cast("long")),

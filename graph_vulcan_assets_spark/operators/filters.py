@@ -28,7 +28,10 @@ from graph_vulcan_assets_spark.tables import load_table
     SELECT event_id, user_id, event_type, props
     FROM events
     WHERE props IS NOT NULL
-      AND json_extract_string(props, '$.k') IS NOT NULL
+      -- CASE guard mirrors get_json_object's NULL-on-malformed (DuckDB's
+      -- extractor raises on a malformed payload; Spark filters it out)
+      AND CASE WHEN json_valid(props)
+               THEN json_extract_string(props, '$.k') END IS NOT NULL
     """,
 )
 def q_filter_notnull(spark: SparkSession, sf_dir: str) -> DataFrame:

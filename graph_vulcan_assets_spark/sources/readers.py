@@ -12,8 +12,23 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 
+# CSV NULL sentinel (the Hive/MySQL convention): CSV cannot natively
+# distinguish NULL from the empty string — both serialize to an empty
+# field — so a bare round trip silently merges '' into NULL on read-back
+# (caught by the hostile-fixture parity check: an events copy with one
+# NULL and one '' event_type came back one group short). Writing NULL as
+# \N and telling the reader both markers keeps the two values distinct.
+_CSV_NULL = "\\N"
+
+
 def read_csv(spark: SparkSession, path: str, schema: T.StructType, header: bool = True) -> DataFrame:
-    return spark.read.schema(schema).option("header", str(header).lower()).csv(path)
+    return (
+        spark.read.schema(schema)
+        .option("header", str(header).lower())
+        .option("nullValue", _CSV_NULL)
+        .option("emptyValue", "")
+        .csv(path)
+    )
 
 
 def read_jsonl(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
@@ -31,7 +46,7 @@ def write_round_trip_formats(df: DataFrame, base_dir: str) -> dict[str, str]:
         out = f"{base_dir}/{fmt}"
         writer = df.write.mode("overwrite")
         if fmt == "csv":
-            writer = writer.option("header", "true")
+            writer = writer.option("header", "true").option("nullValue", _CSV_NULL)
         writer.format(fmt).save(out)
         paths[fmt] = out
     return paths
@@ -80,7 +95,7 @@ def _events_copy(spark: SparkSession, sf_dir: str, fmt: str) -> str:
         )
         writer = df.write.mode("overwrite")
         if fmt == "csv":
-            writer = writer.option("header", "true")
+            writer = writer.option("header", "true").option("nullValue", _CSV_NULL)
         writer.format(fmt).save(out)
     return out
 
