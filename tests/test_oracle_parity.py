@@ -156,7 +156,11 @@ def test_oracle_parity(spark, sf_dir, name):
 @pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLE)))
 def test_rows_only_queries_run(spark, sf_dir, name):
     df = QUERIES[name](spark, sf_dir)
-    assert df.count() >= 0
+    # full materialization (noop write), not count(): count lets Catalyst
+    # prune computed columns, so a crashing expression would never
+    # evaluate and this check would pass vacuously (the same hole the
+    # hostile sweep had, tests/test_degenerate_inputs.py)
+    df.write.format("noop").mode("overwrite").save()
     assert len(df.columns) > 0
 
 
