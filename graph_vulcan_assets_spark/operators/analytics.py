@@ -155,7 +155,7 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_time_weighted_avg",
-    oracle="""
+    oracle=f"""
     WITH seq AS (
       SELECT user_id,
              CAST(round(value * 1000, 0) AS BIGINT) AS value_milli,
@@ -163,7 +163,7 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
                 PARTITION BY user_id ORDER BY ts, event_id)
               - epoch_us(ts)) // 1000 AS dt_ms
       FROM events
-      WHERE ts IS NOT NULL AND value IS NOT NULL AND isfinite(value)),
+      WHERE ts IS NOT NULL AND value IS NOT NULL AND {FINITE_VALUE_SQL}),
     k AS (SELECT * FROM seq WHERE dt_ms IS NOT NULL)
     SELECT user_id,
            CAST(count(*) AS BIGINT) AS n_intervals,
@@ -197,11 +197,8 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    e = load_table(spark, sf_dir, "events").where(
-        F.col("ts").isNotNull()
-        & F.col("value").isNotNull()
-        & ~F.isnan("value")
-        & (F.abs("value") < F.lit(float("inf")))
+    e = finite_values(load_table(spark, sf_dir, "events")).where(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
     )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = e.select(

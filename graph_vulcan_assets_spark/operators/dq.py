@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from graph_vulcan_assets_spark.registry import query
-from graph_vulcan_assets_spark.tables import finite_values, load_table
+from graph_vulcan_assets_spark.tables import FINITE_VALUE_SQL, finite_values, load_table
 
 _DOMAIN = ("click", "view", "purchase")
 _MIN_ROWS = 1000
@@ -130,13 +130,13 @@ def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_drift_psi",
-    oracle="""
+    oracle=f"""
     WITH binned AS (
       SELECT event_type,
              greatest(least(CAST(floor(value / 10) AS BIGINT), 9), 0) AS bin,
              count(*) FILTER (ts <  TIMESTAMP '2024-01-16') AS r,
              count(*) FILTER (ts >= TIMESTAMP '2024-01-16') AS c
-      FROM events WHERE value IS NOT NULL AND isfinite(value)
+      FROM events WHERE value IS NOT NULL AND {FINITE_VALUE_SQL}
       GROUP BY 1, 2),
     spine AS (
       SELECT DISTINCT event_type, u.bin

@@ -67,17 +67,29 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # events table must not kill (or skew) the whole rollup. NULL values PASS
 # the gate — both engines' aggregates skip NULLs identically, and a NULL
 # measure row still counts toward count(*) semantics.
+#
+# The bound is the QUANTIZABLE domain, not mere finiteness: a finite but
+# absurd magnitude (1e308 from corrupt bits) overflows value*1e6 to Inf
+# before the BIGINT cast, killing both engines exactly like NaN does.
+# |value| < 9.2e12 keeps integer MICROS inside BIGINT (9.22e18) with
+# headroom; any real measure (prices, gauges, rates) sits many orders of
+# magnitude below it, so the bound never bites legitimate data.
 # ---------------------------------------------------------------------------
 
-FINITE_VALUE_SQL = "(value IS NULL OR isfinite(value))"
+_VALUE_BOUND = 9.2e12
+
+FINITE_VALUE_SQL = (
+    f"(value IS NULL OR (isfinite(value) AND abs(value) < {_VALUE_BOUND}))"
+)
 
 
 def finite_values(df: DataFrame, col: str = "value") -> DataFrame:
-    """Drop rows whose measure column is NaN/±Inf; keep NULLs.
-    DuckDB oracle mirror: :data:`FINITE_VALUE_SQL` — applied to BOTH sides
-    so Spark and the oracle agree on dirty data by construction."""
+    """Drop rows whose measure column is NaN/±Inf or beyond the integer-
+    micros quantizable range; keep NULLs. DuckDB oracle mirror:
+    :data:`FINITE_VALUE_SQL` — applied to BOTH sides so Spark and the
+    oracle agree on dirty data by construction."""
     c = F.col(col)
-    return df.where(c.isNull() | (~F.isnan(c) & (F.abs(c) < F.lit(float("inf")))))
+    return df.where(c.isNull() | (~F.isnan(c) & (F.abs(c) < F.lit(_VALUE_BOUND))))
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

@@ -48,7 +48,8 @@ def _build_hostile_dir(out: str, src: str) -> None:
     empty and 100 KB single-token documents, unicode storms, regex
     metacharacters, NaN/±Inf embedding components, the all-zero vector, a
     wrong-dimension vector, NULL vectors, a NULL component inside an
-    otherwise-clean vector, NaN/±Inf event values, NULL
+    otherwise-clean vector, NaN/±Inf event values, a finite-but-absurd
+    1e308 value (overflows integer-micros quantization to Inf), NULL
     event-times, malformed JSON props. The round-5 sweep over exactly this
     data found (and fixed) 8 crashes and one quadratic-fold hang — this
     fixture keeps them fixed."""
@@ -108,7 +109,8 @@ def _build_hostile_dir(out: str, src: str) -> None:
         (9001, TIMESTAMP '2024-01-01 00:00:00', NULL, NULL, 'nan'::DOUBLE, NULL),
         (9002, TIMESTAMP '2024-01-01 00:00:01', 1, 'click', 'infinity'::DOUBLE, '{{not json'),
         (9003, TIMESTAMP '2024-01-01 00:00:02', 1, 'click', '-infinity'::DOUBLE, '[]'),
-        (9004, NULL, 2, '', 0.0, '{{}}')
+        (9004, NULL, 2, '', 0.0, '{{}}'),
+        (9005, TIMESTAMP '2024-01-01 00:00:03', 3, 'view', 1e308, '{{"k": 1}}')
       ) AS v(event_id, ts, user_id, event_type, value, props)
     ) TO '{out}/events.parquet' (FORMAT parquet)
     """)
