@@ -216,12 +216,14 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     detect."""
     d = load_table(spark, sf_dir, "documents")
     _, vocab = bpe_train(d, _Q_BPE_MERGES)
-    # explicit broadcast: the encoded side is the DISTINCT-WORD table —
-    # vocabulary-sized, the same bounded working set the training loop
-    # already holds — and the left-outer form hides that from the size
-    # estimator (the checkpointed plan reports default stats), which
-    # would otherwise demote this to a sort-merge join of corpus vs vocab
-    encoded = F.broadcast(vocab.select("w", F.size("syms").alias("n_bpe")))
+    # shuffle-hash hint: the checkpointed vocab reports default stats, so
+    # the planner would pick a sort-merge join and SORT the exploded
+    # corpus words. A broadcast would be wrong the other way — the
+    # distinct-word table grows with the corpus (Heaps' law), and a
+    # forced broadcast dies at Spark's 8 GB limit on a crawl-scale
+    # corpus. Shuffle-hash sorts nothing and builds its hash table
+    # per-partition (vocab/N per task), so it survives any vocab size.
+    encoded = vocab.select("w", F.size("syms").alias("n_bpe")).hint("shuffle_hash")
     words = d.select(
         "doc_id", F.explode(F.split("text", " ")).alias("w")
     ).where(F.length("w") > 0)

@@ -168,7 +168,11 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id,
            CAST(count(*) AS BIGINT) AS n_intervals,
            CAST(sum(dt_ms) AS BIGINT) AS total_ms,
-           CAST(round(CAST(sum(value_milli * dt_ms) AS DOUBLE) / sum(dt_ms), 0)
+           -- 128-bit product: value_milli * dt_ms overflows BIGINT for
+           -- values far inside the measure gate (1e10 * 1h = 3.6e19);
+           -- HUGEINT here mirrors Spark's DECIMAL(38,0) product
+           CAST(round(CAST(sum(CAST(value_milli AS HUGEINT) * dt_ms) AS DOUBLE)
+                      / sum(dt_ms), 0)
                 AS BIGINT) AS twap_milli
     FROM k GROUP BY user_id
     """,
@@ -208,12 +212,15 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("dt_ms"),
     ).where(F.col("dt_ms").isNotNull())
+    # the weighted sum runs in DECIMAL(38,0): a BIGINT product overflows
+    # for values far inside the measure gate (value 1e10 -> milli 1e13,
+    # one hour -> dt 3.6e6 ms, product 3.6e19 > 9.22e18) — 128-bit keeps
+    # the sum exact and order-independent; DuckDB mirrors with HUGEINT
+    weighted = F.col("value_milli").cast("decimal(38,0)") * F.col("dt_ms")
     return seq.groupBy("user_id").agg(
         F.count("*").cast("long").alias("n_intervals"),
         F.sum("dt_ms").cast("long").alias("total_ms"),
-        F.round(
-            F.sum(F.col("value_milli") * F.col("dt_ms")).cast("double") / F.sum("dt_ms"), 0
-        )
+        F.round(F.sum(weighted).cast("double") / F.sum("dt_ms"), 0)
         .cast("long")
         .alias("twap_milli"),
     )

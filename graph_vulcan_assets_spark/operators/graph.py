@@ -302,14 +302,17 @@ def q_recursive_cte(
     # spark.sql.cteRecursionLevelLimit and RAISES when the frontier is
     # still non-empty at it — the same no-silent-truncation contract as
     # the hand-rolled loop. Spark reads the conf at EXECUTION time, after
-    # this lazy function has returned, so set-and-restore cannot scope it;
-    # instead EVERY call sets the conf from its own resolved arguments —
-    # a call can never inherit a stale cap from an earlier caller.
+    # this lazy function has returned, so set-and-restore cannot scope
+    # it; instead the query runs on a CLONED session (newSession shares
+    # the SparkContext and cached data but has ISOLATED SQL conf and
+    # temp views), so neither the recursion cap nor the temp view ever
+    # leaks into the caller's session or any later recursive CTE there.
     if max_iter is None:
         max_iter = default_max_iter()
-    spark.conf.set("spark.sql.cteRecursionLevelLimit", str(max_iter))
-    _lt(spark, sf_dir, "documents").createOrReplaceTempView("documents")
-    return spark.sql(
+    s2 = spark.newSession()
+    s2.conf.set("spark.sql.cteRecursionLevelLimit", str(max_iter))
+    _lt(s2, sf_dir, "documents").createOrReplaceTempView("documents")
+    return s2.sql(
         """
         WITH RECURSIVE edges AS (
           SELECT doc_id AS child, CAST(doc_id / 10 AS BIGINT) AS parent

@@ -592,7 +592,10 @@ def interval_overlap_join(
              CASE WHEN lag(ts) OVER w IS NULL
                        OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
                   THEN 1 ELSE 0 END AS ns
-      FROM events
+      -- ts IS NOT NULL mirrors session_window(), which drops NULL
+      -- event-times; the lag-sessionizer would otherwise give them a
+      -- session of their own (NULLS LAST) and shift the join output
+      FROM events WHERE ts IS NOT NULL
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
     sessioned AS (
       SELECT user_id, ts,

@@ -106,7 +106,7 @@ def scd2_apply(dim: DataFrame, batch: DataFrame) -> DataFrame:
       SELECT user_id, event_type, ts, event_id,
              lag(event_type) OVER (PARTITION BY user_id
                                    ORDER BY ts, event_id) AS prev
-      FROM events),
+      FROM events WHERE ts IS NOT NULL),
     changes AS (
       SELECT user_id, event_type, ts, event_id
       FROM ordered WHERE prev IS NULL OR prev <> event_type),
@@ -126,7 +126,9 @@ def scd2_apply(dim: DataFrame, batch: DataFrame) -> DataFrame:
 def q_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD2 dimension over events: one row per (user, attribute-run),
     validity chained, consecutive re-assertions collapsed."""
-    e = load_table(spark, sf_dir, "events")
+    # NULL event-times cannot be ordered into a version chain (and sort
+    # NULLS FIRST in Spark vs NULLS LAST in DuckDB) — excluded on both sides
+    e = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     return scd2_build(e)
 
 

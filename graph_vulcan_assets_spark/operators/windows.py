@@ -99,12 +99,15 @@ def q_win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(value, 2) AS value,
            round(lag(value)  OVER (PARTITION BY user_id ORDER BY ts, event_id), 2) AS prev_value,
            round(lead(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 2) AS next_value
-    FROM events
+    FROM events WHERE ts IS NOT NULL
     """,
 )
 def q_win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Analytic family (W4): lag/lead — "previous state" per key."""
-    e = load_table(spark, sf_dir, "events")
+    # NULL event-times have no position on the ordering axis; Spark sorts
+    # them NULLS FIRST ASC while DuckDB sorts NULLS LAST, so lag/lead of
+    # every neighbor would differ per engine — excluded on both sides
+    e = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return e.select(
         "event_id",
@@ -126,15 +129,19 @@ def q_win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
                  / 1000000.0, 4) AS running_sum,
            count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_n
-    FROM events WHERE {FINITE_VALUE_SQL}
+    FROM events WHERE ts IS NOT NULL AND {FINITE_VALUE_SQL}
     """,
 )
 def q_win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Running totals (W5): cumulative ROWS frame. NaN/Inf samples are
     gated out (finite_values, mirrored in the oracle) — one would
     otherwise kill the micros cast or poison every later running total
-    in its partition."""
-    e = finite_values(load_table(spark, sf_dir, "events"))
+    in its partition. NULL event-times are excluded on both sides (the
+    NULLS FIRST/LAST ordering divergence would shift every running total
+    after them)."""
+    e = finite_values(load_table(spark, sf_dir, "events")).where(
+        F.col("ts").isNotNull()
+    )
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")
@@ -166,17 +173,21 @@ def q_win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
                  / 1000000.0, 4) AS hour_sum
     FROM (SELECT event_id, event_type, ts, value,
                  CAST(floor(epoch(ts)) AS BIGINT) AS epoch_sec
-          FROM events WHERE {FINITE_VALUE_SQL})
+          FROM events WHERE ts IS NOT NULL AND {FINITE_VALUE_SQL})
     """,
 )
 def q_win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANGE frame (W5): trailing 1-hour sum per event type.
 
     The frame is defined on epoch seconds (identical truncation in both
-    engines) so frame membership is bit-identical. NaN/Inf samples are
-    gated out (finite_values, mirrored in the oracle).
+    engines) so frame membership is bit-identical. NaN/Inf samples and
+    NULL event-times are gated out (finite_values + ts IS NOT NULL,
+    mirrored in the oracle — a NULL epoch_sec row sorts NULLS FIRST in
+    Spark, NULLS LAST in DuckDB).
     """
-    e = finite_values(load_table(spark, sf_dir, "events")).withColumn(
+    e = finite_values(load_table(spark, sf_dir, "events")).where(
+        F.col("ts").isNotNull()
+    ).withColumn(
         "epoch_sec", F.col("ts").cast("long")
     )
     w = (
@@ -204,7 +215,7 @@ def q_win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN lag(ts) OVER w IS NULL
                        OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
                   THEN 1 ELSE 0 END AS new_session
-      FROM events WHERE {FINITE_VALUE_SQL}
+      FROM events WHERE ts IS NOT NULL AND {FINITE_VALUE_SQL}
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
     sessioned AS (
       SELECT user_id, event_id, ts, value,
@@ -227,9 +238,13 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     running sum of start-markers numbers the sessions. One shuffle on
     user_id serves both windows and the final aggregate. The streaming
     equivalent is session_window() (streaming/windows.py). NaN/Inf
-    samples are gated out (finite_values, mirrored in the oracle).
+    samples and NULL event-times are gated out (finite_values +
+    ts IS NOT NULL, mirrored in the oracle — NULL ts sorts NULLS FIRST
+    in Spark vs NULLS LAST in DuckDB, renumbering every session).
     """
-    e = finite_values(load_table(spark, sf_dir, "events"))
+    e = finite_values(load_table(spark, sf_dir, "events")).where(
+        F.col("ts").isNotNull()
+    )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
     new_session = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
@@ -282,15 +297,18 @@ def q_win_topk_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id, event_type,
            round(percent_rank() OVER w, 6) AS pct_rank,
            round(cume_dist()    OVER w, 6) AS cume
-    FROM events
+    FROM events WHERE value IS NOT NULL
     WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
     """,
 )
 def q_win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution family (W3 completion): percent_rank / cume_dist —
     the per-partition empirical CDF, same single shuffle as the ranking
-    family."""
-    e = load_table(spark, sf_dir, "events")
+    family. NULL values are excluded on both sides: the ASC ordering
+    puts NULLs FIRST in Spark and LAST in DuckDB, which would shift
+    every row's rank position (NaN needs no exclusion — both engines
+    sort it greater than every number)."""
+    e = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
     w = Window.partitionBy("event_type").orderBy("value", "event_id")
     return e.select(
         "event_id",

@@ -88,7 +88,10 @@ _RT_ORACLE = """
 def _events_copy(spark: SparkSession, sf_dir: str, fmt: str) -> str:
     """Materialize the 3-column events projection as `fmt`, once."""
     tag = sf_dir.strip("/").replace("/", "_")
-    out = f"/tmp/gvas-src-cache/{tag}/{fmt}"
+    # v2: the CSV convention changed (\N null sentinel) — a cached copy
+    # written under the old convention would silently read back wrong,
+    # so the on-disk convention is part of the cache key
+    out = f"/tmp/gvas-src-cache/{tag}/v2/{fmt}"
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
         df = load_table(spark, sf_dir, "events").select(
             "event_id", "user_id", "event_type"

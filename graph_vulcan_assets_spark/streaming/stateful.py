@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupStateTimeout
 
-from graph_vulcan_assets_spark.tables import _VALUE_BOUND
+from graph_vulcan_assets_spark.tables import VALUE_BOUND, quantizable
 
 GAP_SECONDS = 1800
 
@@ -107,14 +107,9 @@ def sessionize_stateful(
     # dropped (no position on the event-time axis → no session membership);
     # non-finite values contribute 0 to session_value but still count as
     # events. Both rules are mirrored in the oracle SQL.
-    # the bound is tables._VALUE_BOUND (the integer-micros quantizable
-    # domain): a finite 1e308 overflows value*1e6 to Inf before the
-    # BIGINT cast, exactly like NaN
-    finite_val = (
-        F.col("value").isNotNull()
-        & ~F.isnan("value")
-        & (F.abs("value") < F.lit(_VALUE_BOUND))
-    )
+    # tables.quantizable is the single shared predicate (a finite 1e308
+    # overflows value*1e6 to Inf before the BIGINT cast, exactly like NaN)
+    finite_val = F.col("value").isNotNull() & quantizable("value")
     prepared = (
         events.where(F.col("ts").isNotNull())
         .withWatermark("ts", watermark)
@@ -240,7 +235,7 @@ from graph_vulcan_assets_spark.registry import query  # noqa: E402
              min(ts) AS session_start, max(ts) AS session_end,
              CAST(count(*) AS BIGINT) AS n_events,
              round(sum(CASE WHEN value IS NOT NULL AND isfinite(value)
-                                 AND abs(value) < {_VALUE_BOUND}
+                                 AND abs(value) < {VALUE_BOUND}
                             THEN CAST(round(value * 1000000, 0) AS BIGINT)
                             ELSE 0 END) / 1000000.0, 2)
                AS session_value

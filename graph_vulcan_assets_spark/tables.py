@@ -76,11 +76,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # magnitude below it, so the bound never bites legitimate data.
 # ---------------------------------------------------------------------------
 
-_VALUE_BOUND = 9.2e12
+VALUE_BOUND = 9.2e12
+_VALUE_BOUND = VALUE_BOUND  # back-compat alias
 
 FINITE_VALUE_SQL = (
-    f"(value IS NULL OR (isfinite(value) AND abs(value) < {_VALUE_BOUND}))"
+    f"(value IS NULL OR (isfinite(value) AND abs(value) < {VALUE_BOUND}))"
 )
+
+
+def quantizable(col) -> "F.Column":
+    """The single source of truth for "this measure survives integer-micros
+    quantization": not NaN and |x| < VALUE_BOUND (which excludes ±Inf for
+    free). Every Spark-side gate composes THIS predicate — a third
+    hand-rolled copy is how one engine drifts from the other."""
+    c = F.col(col) if isinstance(col, str) else col
+    return ~F.isnan(c) & (F.abs(c) < F.lit(VALUE_BOUND))
 
 
 def finite_values(df: DataFrame, col: str = "value") -> DataFrame:
@@ -89,7 +99,7 @@ def finite_values(df: DataFrame, col: str = "value") -> DataFrame:
     :data:`FINITE_VALUE_SQL` — applied to BOTH sides so Spark and the
     oracle agree on dirty data by construction."""
     c = F.col(col)
-    return df.where(c.isNull() | (~F.isnan(c) & (F.abs(c) < F.lit(_VALUE_BOUND))))
+    return df.where(c.isNull() | quantizable(c))
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

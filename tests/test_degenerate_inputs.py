@@ -49,7 +49,9 @@ def _build_hostile_dir(out: str, src: str) -> None:
     metacharacters, NaN/±Inf embedding components, the all-zero vector, a
     wrong-dimension vector, NULL vectors, a NULL component inside an
     otherwise-clean vector, NaN/±Inf event values, a finite-but-absurd
-    1e308 value (overflows integer-micros quantization to Inf), NULL
+    1e308 value (overflows integer-micros quantization to Inf), a
+    NULL-ts and a NULL-value event INSIDE a busy user's partition (so
+    NULL-ordering divergence has neighbors to corrupt), NULL
     event-times, malformed JSON props. The round-5 sweep over exactly this
     data found (and fixed) 8 crashes and one quadratic-fold hang — this
     fixture keeps them fixed."""
@@ -103,15 +105,30 @@ def _build_hostile_dir(out: str, src: str) -> None:
     """)
     con.sql(f"""
     COPY (
-      SELECT * FROM (SELECT * FROM '{src}/events.parquet' LIMIT 20)
+      WITH clean AS (SELECT * FROM '{src}/events.parquet' LIMIT 20),
+      -- the NULL-ts and NULL-value rows MUST land in a window partition
+      -- that also has surviving clean rows: a singleton partition cannot
+      -- expose NULL-ordering divergence (Spark windows sort NULLs FIRST
+      -- ASC, DuckDB LAST), so a hardcoded unused user_id would make the
+      -- parity sweep pass vacuously for exactly that class
+      busy AS (SELECT user_id AS u, event_type AS et FROM clean
+               WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+               GROUP BY 1, 2 ORDER BY count(*) DESC, u, et LIMIT 1)
+      SELECT * FROM clean
       UNION ALL BY NAME
       SELECT * FROM (VALUES
         (9001, TIMESTAMP '2024-01-01 00:00:00', NULL, NULL, 'nan'::DOUBLE, NULL),
         (9002, TIMESTAMP '2024-01-01 00:00:01', 1, 'click', 'infinity'::DOUBLE, '{{not json'),
         (9003, TIMESTAMP '2024-01-01 00:00:02', 1, 'click', '-infinity'::DOUBLE, '[]'),
-        (9004, NULL, 2, '', 0.0, '{{}}'),
         (9005, TIMESTAMP '2024-01-01 00:00:03', 3, 'view', 1e308, '{{"k": 1}}')
       ) AS v(event_id, ts, user_id, event_type, value, props)
+      UNION ALL BY NAME
+      SELECT 9004 AS event_id, NULL::TIMESTAMP AS ts, u AS user_id,
+             et AS event_type, 0.0 AS value, '{{}}' AS props FROM busy
+      UNION ALL BY NAME
+      SELECT 9006 AS event_id, TIMESTAMP '2024-01-01 00:00:04' AS ts,
+             u AS user_id, et AS event_type, NULL::DOUBLE AS value,
+             '{{}}' AS props FROM busy
     ) TO '{out}/events.parquet' (FORMAT parquet)
     """)
 

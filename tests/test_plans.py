@@ -335,18 +335,30 @@ def test_transitive_ancestors_deep_chain_max_iter_surfaced(spark, monkeypatch):
     assert got_env.where("node = 0 AND ancestor = 50").first().depth == 50
 
 
-def test_recursive_cte_max_iter_sets_engine_recursion_limit(spark, sf_dir):
+def test_recursive_cte_max_iter_is_session_isolated(spark, sf_dir):
     """The SQL-surface twin of the depth cap: q_recursive_cte(max_iter=…)
-    must reach Spark's cteRecursionLevelLimit (the engine raises at the
-    cap, same no-silent-truncation contract), and the result must be
-    unaffected when the cap exceeds the actual depth."""
+    must ENFORCE Spark's cteRecursionLevelLimit (the engine raises at the
+    cap, same no-silent-truncation contract) WITHOUT leaking the setting
+    into the caller's session — the query runs on a cloned session, so a
+    later recursive CTE on the caller's session still sees the caller's
+    own limit."""
+    import pytest as _pytest
+
     from graph_vulcan_assets_spark.operators.graph import q_recursive_cte
 
     before = spark.conf.get("spark.sql.cteRecursionLevelLimit")
-    try:
-        n_default = q_recursive_cte(spark, sf_dir).count()
-        n_lifted = q_recursive_cte(spark, sf_dir, max_iter=77).count()
-        assert spark.conf.get("spark.sql.cteRecursionLevelLimit") == "77"
-        assert n_default == n_lifted > 0
-    finally:
-        spark.conf.set("spark.sql.cteRecursionLevelLimit", before)
+
+    # the cap binds: the 10-ary document tree is deeper than 1 level,
+    # so max_iter=1 must raise the engine's recursion-limit error
+    with _pytest.raises(Exception, match="(?i)recursion"):
+        q_recursive_cte(spark, sf_dir, max_iter=1).count()
+
+    # a generous cap leaves the result identical to the default
+    n_default = q_recursive_cte(spark, sf_dir).count()
+    n_lifted = q_recursive_cte(spark, sf_dir, max_iter=77).count()
+    assert n_default == n_lifted > 0
+
+    # and NOTHING leaked into the caller's session — neither the cap
+    # (a later unrelated recursive CTE here keeps the engine default)
+    # nor the documents temp view
+    assert spark.conf.get("spark.sql.cteRecursionLevelLimit") == before
