@@ -70,6 +70,21 @@ def run_to_completion(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _iteration_counts() -> dict[str, int]:
+    """Configured iteration counts of the iteration-bound headline
+    entries, read from the implementing modules at bench time."""
+    from graph_vulcan_assets_spark.llm import bpe, kmeans, pq
+
+    return {
+        "q_bpe_encode": bpe._Q_BPE_MERGES,  # BPE merge rounds (train)
+        "q_dedup_semantic": kmeans.ITERS,  # Lloyd iterations (via kmeans)
+        "q_kmeans_assign": kmeans.ITERS,
+        "q_pq_codes": pq.ITERS,  # Lloyd iterations per subspace
+        # q_graph_ancestors is deliberately absent: it runs to FIXPOINT
+        # (depth is a property of the fixture, not a tunable)
+    }
+
+
 # Quiet-host floor protocol (VERDICT r4 #3): the r2→r3→r4 r1-set drift
 # (11.14 → 11.72 → 14.39 s) was spread across untouched code paths — the
 # signature of co-tenant load, but unprovable from a single number. Every
@@ -300,6 +315,12 @@ def main() -> None:
                     "start": [round(x, 2) for x in loadavg_start],
                     "end": [round(x, 2) for x in loadavg_end],
                 },
+                # iteration-bound entries (VERDICT r5 #7): their wall time
+                # is dominated by a CONFIGURED iteration count, so
+                # round-over-round comparisons are only like-for-like when
+                # these match; sourced from the modules so the metadata
+                # cannot drift from the code
+                "iterations": _iteration_counts(),
             }
         )
     )

@@ -58,19 +58,34 @@ from graph_vulcan_assets_spark.tables import load_table
 # code assignment).
 EMBED_DIM = 64
 
+# The QUANTIZABLE component domain, not mere finiteness (the tables.py
+# VALUE_BOUND insight applied to vectors, round-5 advice): a finite but
+# absurd component (1e30 from corrupt bits) survives an isfinite check,
+# then overflows the exact-integer arithmetic every embedding consumer
+# runs on q = round(e·1e6): the worst case is a squared-difference sum,
+# sum over EMBED_DIM of (q−c)² with |q−c| ≤ 2·q_max (kmeans/PQ/ADC
+# distances, matryoshka norms). |e| < 100 keeps q ≤ 1e8, so
+# 64·(2e8)² = 2.56e18 stays inside BIGINT (9.22e18) with 3.6× headroom.
+# Real embedding components are O(1) (unit-norm-ish corpora), so the
+# bound never bites legitimate data — only corrupt bit patterns.
+EMBED_BOUND = 100.0
+
 
 def finite_sql(col: str = "embedding", dim: int = EMBED_DIM) -> str:
     """DuckDB mirror of :func:`finite_embeddings`.
 
-    The bad-component predicate is ``e IS NULL OR NOT isfinite(e)`` — NOT
-    the tempting ``NOT isfinite(e)`` alone: DuckDB's ``list_filter`` drops
-    elements whose predicate evaluates to NULL, so a NULL component would
-    pass the gate here while Spark's ``forall`` (NULL-strict) drops the
-    vector, and the two engines would disagree on exactly the dirty rows
-    the gate exists for."""
+    The bad-component predicate is ``e IS NULL OR NOT isfinite(e) OR
+    abs(e) >= EMBED_BOUND`` — NOT the tempting ``NOT isfinite(e)`` alone:
+    DuckDB's ``list_filter`` drops elements whose predicate evaluates to
+    NULL, so a NULL component would pass the gate here while Spark's
+    ``forall`` (NULL-strict) drops the vector, and the two engines would
+    disagree on exactly the dirty rows the gate exists for; and a
+    finite-but-absurd component overflows the squared-micros BIGINT
+    arithmetic exactly like NaN does (see :data:`EMBED_BOUND`)."""
     return (
         f"{col} IS NOT NULL AND len({col}) = {dim}"
-        f" AND len(list_filter({col}, e -> e IS NULL OR NOT isfinite(e))) = 0"
+        f" AND len(list_filter({col}, e -> e IS NULL OR NOT isfinite(e)"
+        f" OR abs(e) >= {EMBED_BOUND})) = 0"
     )
 
 
@@ -81,20 +96,24 @@ def cosine_sql(col: str = "embedding", dim: int = EMBED_DIM) -> str:
 
 def _finite_pred(col: str, dim: int):
     e = F.col(col)
-    inf = F.lit(float("inf"))
+    # abs(x) < EMBED_BOUND already excludes ±Inf; ~isnan stays explicit
+    # (NaN < bound is false in Spark's ordering, but relying on that is
+    # exactly the kind of implicit semantics a later edit breaks)
+    bound = F.lit(EMBED_BOUND)
     return (
         e.isNotNull()
         & (F.size(e) == dim)
-        & F.forall(e, lambda x: ~F.isnan(x) & (F.abs(x) < inf))
+        & F.forall(e, lambda x: ~F.isnan(x) & (F.abs(x) < bound))
     )
 
 
 def finite_embeddings(
     df: DataFrame, col: str = "embedding", dim: int = EMBED_DIM
 ) -> DataFrame:
-    """Drop NULL, wrong-dimension, and NaN/±Inf-component vectors — the
-    gate for quantization / L2 / training paths (k-means, PQ, centroid,
-    SemDeDup). Oracle mirror: :func:`finite_sql`."""
+    """Drop NULL, wrong-dimension, and NaN/±Inf/absurd-magnitude-component
+    vectors (see :data:`EMBED_BOUND`) — the gate for quantization / L2 /
+    training paths (k-means, PQ, centroid, SemDeDup). Oracle mirror:
+    :func:`finite_sql`."""
     return df.where(_finite_pred(col, dim))
 
 

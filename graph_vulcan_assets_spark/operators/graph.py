@@ -260,6 +260,28 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks
 
 
+# parent session → {recursion cap → cloned session}. Weakly keyed by the
+# parent: its clones die with it (no unbounded accumulation across
+# driver-created sessions), and while it lives each distinct cap reuses
+# one clone — bounded by the number of distinct caps actually used (1-2
+# in practice).
+import weakref  # noqa: E402
+
+_CTE_SESSIONS: "weakref.WeakKeyDictionary[SparkSession, dict[int, SparkSession]]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
+def _cte_session(spark: SparkSession, max_iter: int) -> SparkSession:
+    per_cap = _CTE_SESSIONS.setdefault(spark, {})
+    s2 = per_cap.get(max_iter)
+    if s2 is None:
+        s2 = spark.newSession()
+        s2.conf.set("spark.sql.cteRecursionLevelLimit", str(max_iter))
+        per_cap[max_iter] = s2
+    return s2
+
+
 @query(
     "q_recursive_cte",
     oracle="""
@@ -307,10 +329,24 @@ def q_recursive_cte(
     # the SparkContext and cached data but has ISOLATED SQL conf and
     # temp views), so neither the recursion cap nor the temp view ever
     # leaks into the caller's session or any later recursive CTE there.
+    #
+    # The clone is CACHED per (parent session, cap) — round-5 advice: a
+    # fresh newSession() per call accumulated sessions and their temp-view
+    # catalogs without bound in a long-lived driver. Keying by cap keeps
+    # the execution-time conf read correct even when two frames with
+    # different caps are both still unexecuted; re-pointing the temp view
+    # per call is safe because s2.sql() resolves views EAGERLY at analysis
+    # time, so an already-returned DataFrame never sees a later re-point.
+    #
+    # Conf-inheritance caveat (documented contract): newSession() copies
+    # builder-time configs but NOT runtime spark.conf.set overrides made
+    # on the parent — a caller's ad-hoc ANSI/timezone override does not
+    # follow the query into the clone. load_table re-pins
+    # session.timeZone=UTC on the clone, the one runtime conf these
+    # queries depend on.
     if max_iter is None:
         max_iter = default_max_iter()
-    s2 = spark.newSession()
-    s2.conf.set("spark.sql.cteRecursionLevelLimit", str(max_iter))
+    s2 = _cte_session(spark, max_iter)
     _lt(s2, sf_dir, "documents").createOrReplaceTempView("documents")
     return s2.sql(
         """

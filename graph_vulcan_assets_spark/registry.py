@@ -51,26 +51,174 @@ def load_all() -> None:
 # Exposure order for ``queries()`` / ``oracle_sql()``. The driver runs its
 # 50-entry correctness budget over queries in iteration order, so each round
 # rotates the highest-value checks to the front (round-2 verdict item #1:
-# budget rotation, not code). Round-5 order (VERDICT r4 items #1/#2):
+# budget rotation, not code). Round-6 order (VERDICT r5 item #1): oracle
+# coverage closed at 174/174 in r5, so the budget is now pure staleness
+# rotation by the standing rule — (module-changed-since-last-driver-row,
+# evidence age):
 #
-#   positions 1-16  = the round-4 RECORDED SPILL — the last 16 oracle-bearing
-#                     keys with no driver row ever; green rows close oracle
-#                     coverage at 174/174.
-#   positions 17-50 = staleness re-greens — all 34 keys whose latest driver
-#                     row is r2 AND whose implementing module changed in
-#                     round 4. 16+34 fills the budget exactly.
-#   positions 51+   = recorded spill for round 6, then the rest ordered by
-#                     (code-changed-since-last-row, evidence age): r1-era
-#                     changed first (oldest evidence), then unchanged keys
-#                     oldest-first, then the r3/r4 driver-green inventory
-#                     (freshest evidence last — it loses nothing if the
-#                     fixed-size budget cuts off).
-#
-# Standing rule (VERDICT r4 item #2): after any round's spill, order by
-# (module-changed-since-last-driver-row, evidence age).
+#   positions 1-7   = the round-5 RECORDED SPILL: the 7 r1-era-evidence keys
+#                     (oldest driver rows in the registry; their
+#                     aggregates/joins modules changed in r4).
+#   positions 8-27  = round-5 churn: the 20 keys whose modules changed in the
+#                     late-r5 hostile-parity hardening AFTER the r5 budget
+#                     was laid down (NOTES_r5 "For round 6" list).
+#   positions 28-37 = round-6 churn: this round's edits — the EMBED_BOUND
+#                     gate change (llm/embeddings.py) re-opens every
+#                     embedding-gated oracle key (quantize/matryoshka/PQ/
+#                     kmeans/semantic/sim via finite_sql/cosine_sql
+#                     interpolation), and sources/readers.py re-opens the
+#                     source-format keys.
+#   positions 38-50 = oldest evidence on unchanged modules: the 2 r1-era
+#                     keys, then 11 of the 15 r2-era keys.
+#   positions 51+   = RECORDED SPILL for round 7 (the 4 r2-era leftovers),
+#                     then r3 / r4 / r5 driver-green inventory, freshest
+#                     evidence last — it loses nothing if the fixed-size
+#                     budget cuts off.
 PRIORITY: tuple[str, ...] = (
-    # 1-16 -- round-4 recorded spill: the last 16 never-driver-checked oracle
-    # keys. Green rows here close oracle coverage at 174/174.
+    # 1-7 -- round-5 recorded spill: r1-era evidence (oldest of all)
+    "q_agg_listagg",
+    "q_agg_mode",
+    "q_agg_percentile",
+    "q_agg_pivot",
+    "q_unpivot",
+    "q_join_cross",
+    "q_join_full",
+    # 8-27 -- round-5 churn (modules changed after the r5 budget was spent;
+    # grouped by module: windows / temporal_queries / analytics / dq /
+    # filters / readers / bpe / stateful / embeddings / graph / skew)
+    "q_win_running_sum",
+    "q_win_range_frame",
+    "q_win_lag_lead",
+    "q_time_sliding",
+    "q_rollup_cascade",
+    "q_session_window",
+    "q_time_weighted_avg",
+    "q_timeseries_gapfill",
+    "q_timeseries_interpolate",
+    "q_drift_psi",
+    "q_filter_notnull",
+    "q_source_csv",
+    "q_bpe_pairs",
+    "q_stream_sessionize",
+    "q_embed_centroid",
+    "q_graph_ancestors",
+    "q_graph_subtree_size",
+    "q_graph_pagerank",
+    "q_recursive_cte",
+    "q_agg_salted",
+    # 28-37 -- round-6 churn: the EMBED_BOUND gate (every oracle key whose
+    # Spark gate AND oracle SQL flow through finite_sql/cosine_sql) plus
+    # the readers.py null-convention scoping
+    "q_embed_quantize",
+    "q_embed_matryoshka",
+    "q_pq_codes",
+    "q_pq_adc_topk",
+    "q_kmeans_assign",
+    "q_dedup_semantic",
+    "q_sim_topk",
+    "q_sim_mrl_rerank",
+    "q_source_jsonl",
+    "q_source_orc",
+    # 38-39 -- r1-era evidence, module unchanged since
+    "q_subquery_exists_corr",
+    "q_subquery_scalar",
+    # 40-50 -- r2-era evidence, module unchanged since (11 of 15; the other
+    # 4 are the recorded spill below)
+    "q_except",
+    "q_explode_filter",
+    "q_filter_eq",
+    "q_filter_in_like",
+    "q_filter_range",
+    "q_intersect",
+    "q_limit_offset",
+    "q_regex_normalize",
+    "q_scan_events",
+    "q_scan_pruned",
+    "q_semver_gate",
+    # ---- 50-entry budget line ----
+    # 51-54 -- RECORDED SPILL for the round-7 rotation: the r2-era leftovers
+    "q_split_key",
+    "q_union_all",
+    "q_union_distinct",
+    "q_valid_at",
+    # -- r3 driver-green inventory (fresher evidence)
+    "q_chunk_documents",
+    "q_corpus_mix",
+    "q_decontaminate",
+    "q_funnel",
+    "q_hist_equidepth",
+    "q_hist_equiwidth",
+    "q_join_asof_tolerance",
+    "q_join_lateral",
+    "q_pack_sequences",
+    "q_pii_redact",
+    "q_profile_columns",
+    "q_retention_cohorts",
+    "q_sample_stratified",
+    "q_shape_q10",
+    "q_shape_q13",
+    "q_shape_q14",
+    "q_shape_q15",
+    "q_shape_q17",
+    "q_shape_q18",
+    "q_shape_q19",
+    "q_shape_q2",
+    "q_shape_q20",
+    "q_shape_q21",
+    "q_shape_q22",
+    "q_shape_q3",
+    "q_shape_q4",
+    "q_shape_q5",
+    "q_shape_q6",
+    "q_shape_q7",
+    "q_shape_q8",
+    "q_sort_multi",
+    "q_split_leakage_safe",
+    "q_split_train_test",
+    "q_subquery_not_in",
+    "q_topk",
+    "q_udtf_sentences",
+    "q_win_first_seen",
+    "q_win_rank",
+    "q_win_topk_group",
+    # -- r4 driver-green inventory
+    "q_agg_filtered",
+    "q_agg_grouping_sets",
+    "q_anomaly_zscore",
+    "q_cms_heavy_hitters",
+    "q_dedup_boilerplate",
+    "q_dedup_clusters",
+    "q_dedup_containment",
+    "q_dedup_embed",
+    "q_dedup_incremental",
+    "q_dedup_ngram",
+    "q_dedup_span_clean",
+    "q_dedup_spans",
+    "q_dq_checks",
+    "q_entity_pairs",
+    "q_except_all",
+    "q_intersect_all",
+    "q_join_interval",
+    "q_join_part_supplier",
+    "q_join_salted",
+    "q_keyset_page",
+    "q_lang_confusion",
+    "q_lang_id",
+    "q_scd2_build",
+    "q_text_bm25",
+    "q_text_fingerprint",
+    "q_text_lang_dist",
+    "q_text_lm_score",
+    "q_text_quality",
+    "q_text_repetition",
+    "q_text_search_indexed",
+    "q_text_search_phrase",
+    "q_text_tfidf",
+    "q_token_count",
+    "q_vocab_topn",
+    "q_win_distribution",
+    "q_win_ratio_to_report",
+    # -- r5 driver-green inventory (freshest evidence, last)
     "q_corpus_shuffle",
     "q_mix_temperature",
     "q_length_buckets",
@@ -78,19 +226,11 @@ PRIORITY: tuple[str, ...] = (
     "q_mix_materialize",
     "q_cap_per_source",
     "q_multimodal_framesample",
-    "q_embed_matryoshka",
-    "q_pq_codes",
-    "q_pq_adc_topk",
     "q_quality_classifier",
     "q_classifier_route",
     "q_text_normalize",
-    "q_dedup_semantic",
     "q_feature_hashing",
     "q_topic_assign",
-    # 17-50 -- staleness re-greens: every key whose latest driver row is r2 AND
-    # whose implementing module changed in round 4 (the integer-micros
-    # quantization pass and join/window/scalar touch-ups, commits 6a086ba..80e56b4).
-    # 16+34 fills the 50-slot budget exactly; grouped by module.
     "q_array_funcs",
     "q_case_when",
     "q_date_funcs",
@@ -99,7 +239,6 @@ PRIORITY: tuple[str, ...] = (
     "q_math_funcs",
     "q_str_funcs",
     "q_dedup_exact",
-    "q_sim_topk",
     "q_text_search",
     "q_text_stats",
     "q_agg_any_active",
@@ -125,139 +264,6 @@ PRIORITY: tuple[str, ...] = (
     "q_cascade_expire",
     "q_time_tumbling",
     "q_tombstone_expire",
-    # ---- 50-entry budget line ----
-        # 51-57 -- RECORDED SPILL for the round-6 rotation: r1-era evidence
-        # (oldest of all) whose modules (aggregates/joins) also changed in r4.
-        # They rank below the r2 block only because the round-5 verdict fixed
-        # the budget arithmetic at 16 spill + 34 r2-era re-greens.
-    "q_agg_listagg",
-    "q_agg_mode",
-    "q_agg_percentile",
-    "q_agg_pivot",
-    "q_unpivot",
-    "q_join_cross",
-    "q_join_full",
-    # 58-59 -- r1-era evidence, module unchanged since
-    "q_subquery_exists_corr",
-    "q_subquery_scalar",
-    # 60-75 -- r2-era evidence, module unchanged in r4
-    "q_except",
-    "q_explode_filter",
-    "q_filter_eq",
-    "q_filter_in_like",
-    "q_filter_notnull",
-    "q_filter_range",
-    "q_intersect",
-    "q_limit_offset",
-    "q_regex_normalize",
-    "q_scan_events",
-    "q_scan_pruned",
-    "q_semver_gate",
-    "q_split_key",
-    "q_union_all",
-    "q_union_distinct",
-    "q_valid_at",
-    # -- r3 driver-green inventory (fresher evidence)
-    "q_chunk_documents",
-    "q_corpus_mix",
-    "q_decontaminate",
-    "q_funnel",
-    "q_graph_ancestors",
-    "q_graph_pagerank",
-    "q_graph_subtree_size",
-    "q_hist_equidepth",
-    "q_hist_equiwidth",
-    "q_join_asof_tolerance",
-    "q_join_lateral",
-    "q_kmeans_assign",
-    "q_pack_sequences",
-    "q_pii_redact",
-    "q_profile_columns",
-    "q_retention_cohorts",
-    "q_rollup_cascade",
-    "q_sample_stratified",
-    "q_shape_q10",
-    "q_shape_q13",
-    "q_shape_q14",
-    "q_shape_q15",
-    "q_shape_q17",
-    "q_shape_q18",
-    "q_shape_q19",
-    "q_shape_q2",
-    "q_shape_q20",
-    "q_shape_q21",
-    "q_shape_q22",
-    "q_shape_q3",
-    "q_shape_q4",
-    "q_shape_q5",
-    "q_shape_q6",
-    "q_shape_q7",
-    "q_shape_q8",
-    "q_sort_multi",
-    "q_split_leakage_safe",
-    "q_split_train_test",
-    "q_subquery_not_in",
-    "q_time_sliding",
-    "q_time_weighted_avg",
-    "q_topk",
-    "q_udtf_sentences",
-    "q_win_first_seen",
-    "q_win_lag_lead",
-    "q_win_range_frame",
-    "q_win_rank",
-    "q_win_running_sum",
-    "q_win_topk_group",
-    # -- r4 driver-green inventory (freshest evidence, last)
-    "q_agg_filtered",
-    "q_agg_grouping_sets",
-    "q_agg_salted",
-    "q_anomaly_zscore",
-    "q_bpe_pairs",
-    "q_cms_heavy_hitters",
-    "q_dedup_boilerplate",
-    "q_dedup_clusters",
-    "q_dedup_containment",
-    "q_dedup_embed",
-    "q_dedup_incremental",
-    "q_dedup_ngram",
-    "q_dedup_span_clean",
-    "q_dedup_spans",
-    "q_dq_checks",
-    "q_drift_psi",
-    "q_embed_centroid",
-    "q_embed_quantize",
-    "q_entity_pairs",
-    "q_except_all",
-    "q_intersect_all",
-    "q_join_interval",
-    "q_join_part_supplier",
-    "q_join_salted",
-    "q_keyset_page",
-    "q_lang_confusion",
-    "q_lang_id",
-    "q_recursive_cte",
-    "q_scd2_build",
-    "q_session_window",
-    "q_sim_mrl_rerank",
-    "q_source_csv",
-    "q_source_jsonl",
-    "q_source_orc",
-    "q_stream_sessionize",
-    "q_text_bm25",
-    "q_text_fingerprint",
-    "q_text_lang_dist",
-    "q_text_lm_score",
-    "q_text_quality",
-    "q_text_repetition",
-    "q_text_search_indexed",
-    "q_text_search_phrase",
-    "q_text_tfidf",
-    "q_timeseries_gapfill",
-    "q_timeseries_interpolate",
-    "q_token_count",
-    "q_vocab_topn",
-    "q_win_distribution",
-    "q_win_ratio_to_report",
 )
 
 

@@ -18,17 +18,34 @@ from pyspark.sql import types as T
 # (caught by the hostile-fixture parity check: an events copy with one
 # NULL and one '' event_type came back one group short). Writing NULL as
 # \N and telling the reader both markers keeps the two values distinct.
+#
+# SCOPE (round-5 advice): the sentinel is a convention of THIS repo's
+# write/read round trip, not of CSV at large — an externally produced
+# file that encodes NULL as an empty field must keep reading NULLs back
+# as NULL, not as ''. So read_csv defaults to Spark's standard
+# convention (empty field → NULL) and only the round-trip paths opt in
+# via ``null_value=_CSV_NULL``.
 _CSV_NULL = "\\N"
 
 
-def read_csv(spark: SparkSession, path: str, schema: T.StructType, header: bool = True) -> DataFrame:
-    return (
-        spark.read.schema(schema)
-        .option("header", str(header).lower())
-        .option("nullValue", _CSV_NULL)
-        .option("emptyValue", "")
-        .csv(path)
-    )
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    header: bool = True,
+    null_value: str | None = None,
+) -> DataFrame:
+    """Explicit-schema CSV reader.
+
+    ``null_value=None`` (default) keeps Spark's standard convention: an
+    empty field reads as NULL. Pass ``null_value=_CSV_NULL`` for files
+    written by this repo's writers, which serialize NULL as ``\\N`` and
+    the empty string as an empty field — then the reader keeps the two
+    distinct (``emptyValue ''`` maps empty fields back to '')."""
+    reader = spark.read.schema(schema).option("header", str(header).lower())
+    if null_value is not None:
+        reader = reader.option("nullValue", null_value).option("emptyValue", "")
+    return reader.csv(path)
 
 
 def read_jsonl(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
@@ -46,7 +63,14 @@ def write_round_trip_formats(df: DataFrame, base_dir: str) -> dict[str, str]:
         out = f"{base_dir}/{fmt}"
         writer = df.write.mode("overwrite")
         if fmt == "csv":
-            writer = writer.option("header", "true").option("nullValue", _CSV_NULL)
+            # emptyValue pinned explicitly: '' must serialize as a QUOTED
+            # empty field so the ''-vs-NULL distinction never depends on
+            # Spark's writer defaults (round-5 advice)
+            writer = (
+                writer.option("header", "true")
+                .option("nullValue", _CSV_NULL)
+                .option("emptyValue", '""')
+            )
         writer.format(fmt).save(out)
         paths[fmt] = out
     return paths
@@ -88,17 +112,21 @@ _RT_ORACLE = """
 def _events_copy(spark: SparkSession, sf_dir: str, fmt: str) -> str:
     """Materialize the 3-column events projection as `fmt`, once."""
     tag = sf_dir.strip("/").replace("/", "_")
-    # v2: the CSV convention changed (\N null sentinel) — a cached copy
-    # written under the old convention would silently read back wrong,
-    # so the on-disk convention is part of the cache key
-    out = f"/tmp/gvas-src-cache/{tag}/v2/{fmt}"
+    # the on-disk convention is part of the cache key — a cached copy
+    # written under an older convention would silently read back wrong:
+    # v2 added the \N null sentinel; v3 pinned the writer's emptyValue
+    out = f"/tmp/gvas-src-cache/{tag}/v3/{fmt}"
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
         df = load_table(spark, sf_dir, "events").select(
             "event_id", "user_id", "event_type"
         )
         writer = df.write.mode("overwrite")
         if fmt == "csv":
-            writer = writer.option("header", "true").option("nullValue", _CSV_NULL)
+            writer = (
+                writer.option("header", "true")
+                .option("nullValue", _CSV_NULL)
+                .option("emptyValue", '""')
+            )
         writer.format(fmt).save(out)
     return out
 
@@ -115,7 +143,14 @@ def _rt_agg(df: DataFrame) -> DataFrame:
 def q_source_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSV source: explicit-schema read-back of a derived copy; the oracle
     aggregates the original parquet, so a match proves CSV fidelity."""
-    return _rt_agg(read_csv(spark, _events_copy(spark, sf_dir, "csv"), _RT_SCHEMA))
+    return _rt_agg(
+        read_csv(
+            spark,
+            _events_copy(spark, sf_dir, "csv"),
+            _RT_SCHEMA,
+            null_value=_CSV_NULL,
+        )
+    )
 
 
 @query("q_source_jsonl", oracle=_RT_ORACLE)

@@ -27,6 +27,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from graph_vulcan_assets_spark.tables import finite_values
+
 # Maintained aggregate: per event_type row counts and exact micro-unit
 # value sums. Micro-units make the merge associative over integers, so
 # batch boundaries can never change the result.
@@ -34,8 +36,16 @@ _AGG_SCHEMA = "event_type string, n bigint, sum_micros bigint"
 
 
 def batch_aggregate(events: DataFrame) -> DataFrame:
-    """The per-batch partial: groupBy inside the micro-batch."""
-    return events.groupBy("event_type").agg(
+    """The per-batch partial: groupBy inside the micro-batch.
+
+    Corrupt-measure gated through :func:`tables.finite_values` like every
+    batch query that quantizes ``value`` (round-5 contract): without it a
+    single NaN/Inf/1e308 sample in one micro-batch kills the maintained
+    aggregate under ANSI (micros cast) — and a poisoned PARTIAL would
+    corrupt the merged state forever, which is strictly worse than one
+    bad batch query. NULL values pass (sum skips them; the row still
+    counts in n)."""
+    return finite_values(events).groupBy("event_type").agg(
         F.count("*").alias("n"),
         F.sum(F.round(F.col("value") * 1000000, 0).cast("long")).alias("sum_micros"),
     )

@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from graph_vulcan_assets_spark.tables import finite_values
+
 
 def _sum_value_micros():
     # integer-micros before the sum: streaming partial aggregates merge in
@@ -30,8 +32,16 @@ def _sum_value_micros():
 
 
 def tumbling_counts(events: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
-    """Tumbling event-time window; works on batch and streaming frames."""
-    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    """Tumbling event-time window; works on batch and streaming frames.
+
+    Gated through :func:`tables.finite_values` like the batch twin
+    (q_time_tumbling) and the stateful sessionizer: the micros cast in
+    ``_sum_value_micros`` dies on a NaN/Inf/1e308 sample under ANSI, and
+    one corrupt sensor reading must not kill (or skew) a long-running
+    stream — the same round-5 corrupt-measure contract, applied here so
+    the streaming and batch forms stay equivalent on dirty data too."""
+    src = finite_values(events)
+    src = src.withWatermark("ts", watermark) if src.isStreaming else src
     return (
         src.groupBy(F.window("ts", window).alias("w"), "event_type")
         .agg(F.count("*").alias("n"), _sum_value_micros())
@@ -40,6 +50,8 @@ def tumbling_counts(events: DataFrame, window: str = "1 hour", watermark: str = 
 
 
 def sliding_counts(events: DataFrame, window: str = "1 hour", slide: str = "15 minutes") -> DataFrame:
+    # count-only — no value quantization, so no corrupt-measure gate: a
+    # NaN sample still counts as an event here, exactly like count(*)
     src = events.withWatermark("ts", "2 hours") if events.isStreaming else events
     return (
         src.groupBy(F.window("ts", window, slide).alias("w"), "event_type")
@@ -54,8 +66,12 @@ def sliding_counts(events: DataFrame, window: str = "1 hour", slide: str = "15 m
 
 
 def session_counts(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
-    """Session windows per user: a session closes after `gap` of silence."""
-    src = events.withWatermark("ts", "2 hours") if events.isStreaming else events
+    """Session windows per user: a session closes after `gap` of silence.
+
+    Corrupt-measure gated like :func:`tumbling_counts` (it sums value
+    micros too)."""
+    src = finite_values(events)
+    src = src.withWatermark("ts", "2 hours") if src.isStreaming else src
     return (
         src.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
         .agg(F.count("*").alias("n"), _sum_value_micros())

@@ -46,7 +46,9 @@ def _build_degenerate_dir(out: str, src: str, limit: int) -> None:
 def _build_hostile_dir(out: str, src: str) -> None:
     """20 clean rows per table plus adversarial rows: NULL text/labels,
     empty and 100 KB single-token documents, unicode storms, regex
-    metacharacters, NaN/±Inf embedding components, the all-zero vector, a
+    metacharacters, NaN/±Inf embedding components, a finite-but-absurd
+    1e30 component (overflows squared-micros BIGINT arithmetic past any
+    isfinite check — pins EMBED_BOUND), the all-zero vector, a
     wrong-dimension vector, NULL vectors, a NULL component inside an
     otherwise-clean vector, NaN/±Inf event values, a finite-but-absurd
     1e308 value (overflows integer-micros quantization to Inf), a
@@ -75,6 +77,10 @@ def _build_hostile_dir(out: str, src: str) -> None:
     # NULL-predicate elements while Spark's forall is NULL-strict, so this
     # row pins the gate's e-IS-NULL clause that keeps the engines aligned
     nullcomp = "[" + ",".join(["NULL" if i == 7 else "1.0" for i in range(64)]) + "]::FLOAT[]"
+    # finite but absurd: survives an isfinite check, then overflows the
+    # squared-micros BIGINT arithmetic (round(1e30*1e6)² ≫ 9.2e18) — pins
+    # the EMBED_BOUND clause of the gate on BOTH engines (round-5 advice)
+    huge = "[" + ",".join(["1e30::FLOAT" if i == 3 else "1.0" for i in range(64)]) + "]"
     con.sql(f"""
     COPY (
       SELECT * FROM (SELECT * FROM '{src}/documents.parquet' LIMIT 20)
@@ -99,7 +105,8 @@ def _build_hostile_dir(out: str, src: str) -> None:
         (9003, {inf}, 2),
         (9004, NULL, NULL),
         (9005, [1.0, 2.0, 3.0]::FLOAT[], 3),
-        (9006, {nullcomp}, 4)
+        (9006, {nullcomp}, 4),
+        (9007, {huge}, 5)
       ) AS v(vec_id, embedding, label)
     ) TO '{out}/embeddings.parquet' (FORMAT parquet)
     """)

@@ -3,8 +3,9 @@
 The driver checks the FIRST 50 queries in iteration order against their
 oracles — these tests pin the properties that make that budget count:
 every exposed query is callable, every first-50 entry carries an oracle,
-and the round-5 rotation (16-key recorded spill + 34 r2-era staleness
-re-greens) stays at the front until the next deliberate rotation.
+and the round-6 rotation (r1-era spill + round-5/6 churn + oldest
+unchanged evidence) stays at the front until the next deliberate
+rotation.
 """
 
 from __future__ import annotations
@@ -34,7 +35,7 @@ def test_first_50_all_have_oracles():
 
 def _last_green_round() -> dict[str, int]:
     last: dict[str, int] = {}
-    for r in (1, 2, 3, 4):
+    for r in (1, 2, 3, 4, 5):
         path = os.path.join(REPO, f"CORRECTNESS_r0{r}.json")
         if os.path.exists(path):
             for k, v in json.load(open(path)).items():
@@ -43,22 +44,51 @@ def _last_green_round() -> dict[str, int]:
     return last
 
 
+# Keys whose implementing modules changed AFTER their latest driver row
+# (the module-change analysis behind the round-6 rotation — NOTES_r5 "For
+# round 6" for the r5 churn, NOTES_r6 for this round's EMBED_BOUND /
+# readers.py churn). A top-50 slot is justified for these regardless of
+# how fresh their last green row is, because that row predates the code.
+_CHURN = {
+    # round-5 churn (modules changed after the r5 budget was laid down)
+    "q_win_running_sum", "q_win_range_frame", "q_win_lag_lead",
+    "q_time_sliding", "q_rollup_cascade", "q_session_window",
+    "q_time_weighted_avg", "q_timeseries_gapfill", "q_timeseries_interpolate",
+    "q_drift_psi", "q_filter_notnull", "q_source_csv", "q_bpe_pairs",
+    "q_stream_sessionize", "q_embed_centroid", "q_graph_ancestors",
+    "q_graph_subtree_size", "q_graph_pagerank", "q_recursive_cte",
+    "q_agg_salted",
+    # round-6 churn (EMBED_BOUND gate + readers.py null-convention scoping)
+    "q_embed_quantize", "q_embed_matryoshka", "q_pq_codes", "q_pq_adc_topk",
+    "q_kmeans_assign", "q_dedup_semantic", "q_sim_topk", "q_sim_mrl_rerank",
+    "q_source_jsonl", "q_source_orc",
+}
+
+
 def test_rotation_spends_budget_on_spill_then_staleness():
-    """Round-5 contract (VERDICT r4 #1/#2): positions 1-16 are the round-4
-    recorded spill (never driver-checked — green rows close oracle coverage
-    at 174/174), and positions 17-50 are all re-greens of keys whose latest
-    driver row is r2 (the stalest evidence behind round-4-touched modules)."""
+    """Round-6 contract (VERDICT r5 #1): oracle coverage closed at 174/174
+    in r5, so the budget is pure staleness rotation by the standing
+    (module-changed-since-last-driver-row, evidence-age) rule — the
+    recorded r1-era spill first, then the churn keys whose latest driver
+    row predates their current code, then the oldest unchanged evidence.
+    No fresh-evidence key may squat on a budget slot."""
     last = _last_green_round()
     first50 = list(all_queries().keys())[:50]
-    never = [n for n in first50[:16] if n not in last]
-    assert len(never) == 16, (
-        f"positions 1-16 must be the never-checked spill; already-green keys "
-        f"found: {[n for n in first50[:16] if n in last]}"
+
+    # every r1-era-evidence key must be inside the budget
+    r1_era = {n for n, r in last.items() if r == 1}
+    misplaced = [n for n in r1_era if n not in first50]
+    assert not misplaced, (
+        f"r1-era keys (oldest driver evidence) outside the budget: {misplaced}"
     )
-    stale = [n for n in first50[16:] if last.get(n) == 2]
-    assert len(stale) >= 30, (
-        f"only {len(stale)} of positions 17-50 are r2-era re-greens — "
-        "the staleness rotation regressed (VERDICT r4 #2 wants >=30)"
+
+    # every budget slot must be justified: code changed since the last
+    # driver row, or the evidence is r1/r2-era (the oldest in the registry)
+    squatters = [
+        n for n in first50 if n not in _CHURN and last.get(n, 0) > 2
+    ]
+    assert not squatters, (
+        f"fresh-evidence unchanged keys squatting on budget slots: {squatters}"
     )
 
 
