@@ -312,3 +312,43 @@ def test_delta_join_term_disjointness(spark):
     got = sorted((r.k, r.av, r.bv) for r in view.collect())
     want = sorted((r.k, r.av, r.bv) for r in a.join(b, "k").collect())
     assert got == want
+
+
+def test_batch_aggregate_survives_corrupt_measures(spark, sf_dir):
+    """Round-6 advice fix pinned: one NaN/Inf/1e308 sample inside a
+    micro-batch must not kill the maintained-aggregate partial (ANSI
+    micros cast) — and must not poison the partial's sums, which would
+    corrupt the merged state FOREVER. NULL values still pass the gate:
+    the row counts, the sum skips it."""
+    # checkpoint: limit() re-executes per job and may pick DIFFERENT rows
+    # each time — the clean/dirty comparison needs one pinned snapshot
+    events = (
+        load_table(spark, sf_dir, "events").limit(100).localCheckpoint(eager=True)
+    )
+    clean = {tuple(r) for r in incremental.batch_aggregate(events).collect()}
+
+    poison = events.limit(3).select(
+        (F.col("event_id") + 900000).alias("event_id"),
+        "ts",
+        "user_id",
+        "event_type",
+        F.array(F.lit(float("nan")), F.lit(float("inf")), F.lit(1e308))[
+            F.pmod("event_id", F.lit(3)).cast("int")
+        ].alias("value"),
+        "props",
+    )
+    nullrow = events.limit(1).select(
+        (F.col("event_id") + 950000).alias("event_id"),
+        "ts",
+        "user_id",
+        "event_type",
+        F.lit(None).cast("double").alias("value"),
+        "props",
+    )
+    dirty = events.unionByName(poison).unionByName(nullrow)
+    got = {r["event_type"]: r for r in incremental.batch_aggregate(dirty).collect()}
+
+    for et, n, s in ((r[0], r[1], r[2]) for r in clean):
+        extra = 1 if nullrow.where(F.col("event_type") == et).count() else 0
+        assert got[et]["n"] == n + extra  # NULL row counts, poison rows don't
+        assert got[et]["sum_micros"] == s  # sums are byte-identical to clean

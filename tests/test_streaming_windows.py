@@ -88,3 +88,59 @@ def test_dead_letter_gate_survives_malformed_input(spark):
     assert reasons["t1/asset-b"] == "unsupported version: vX.1.2"
     assert reasons["t1/asset-c"] == "unsupported version: v9.9.9"
     assert reasons[None] == "malformed message key: <null>"
+
+
+def test_windowed_aggregates_survive_corrupt_measures(spark, sf_dir, tmp_path):
+    """Round-6 advice fix pinned: a NaN/±Inf/1e308 ``value`` sample must
+    not kill a windowed stream (the micros cast in _sum_value_micros dies
+    under ANSI without the gate) — and the streaming result must still
+    equal the batch result on the SAME dirty frame, because both forms
+    run the identical gated expression."""
+    from pyspark.sql import functions as F
+
+    # checkpoint: limit() re-executes per job and may pick DIFFERENT rows
+    # each time — the clean/dirty comparison needs one pinned snapshot
+    events = (
+        load_table(spark, sf_dir, "events").limit(200).localCheckpoint(eager=True)
+    )
+    poison = events.limit(4).select(
+        (F.col("event_id") + 900000).alias("event_id"),
+        "ts",
+        "user_id",
+        "event_type",
+        F.array(
+            F.lit(float("nan")),
+            F.lit(float("inf")),
+            F.lit(float("-inf")),
+            F.lit(1e308),
+        )[F.pmod("event_id", F.lit(4)).cast("int")].alias("value"),
+        "props",
+    )
+    dirty = events.unionByName(poison).localCheckpoint(eager=True)
+
+    for fn, name in (
+        (windows.tumbling_counts, "h_tumbling"),
+        (windows.session_counts, "h_session"),
+    ):
+        batch_rows = {tuple(r) for r in fn(dirty).collect()}
+        # the gate dropped exactly the poison rows, nothing else: the
+        # clean frame aggregates identically
+        assert batch_rows == {tuple(r) for r in fn(events).collect()}
+
+        src_dir = str(tmp_path / f"src_{name}")
+        dirty.write.mode("overwrite").parquet(src_dir)
+        stream = spark.readStream.schema(dirty.schema).parquet(src_dir)
+        q = (
+            fn(stream)
+            .writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        stream_rows = {
+            tuple(r) for r in spark.sql(f"SELECT * FROM {name}").collect()
+        }
+        assert stream_rows == batch_rows
+        assert len(stream_rows) > 0
