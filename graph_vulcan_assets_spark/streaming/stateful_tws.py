@@ -28,6 +28,7 @@ from graph_vulcan_assets_spark.streaming.stateful import (
     _STATE_SCHEMA,
     GAP_SECONDS,
 )
+from graph_vulcan_assets_spark.tables import quantizable
 
 ROCKSDB_PROVIDER = "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 
@@ -103,13 +104,27 @@ def sessionize_tws(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     ``events``: streaming DataFrame with (event_id, ts, user_id, value).
     Returns the closed-session stream with the same schema/quantization
     as ``stateful.sessionize_stateful`` (and therefore the same oracle).
+
+    Poison-row contract mirrored from the applyInPandasWithState twin
+    (round-5 hardening, applied here round 6 so the twins cannot diverge
+    the day this path unlocks): NULL event-times are dropped (no position
+    on the event-time axis), and NULL/NaN/Inf/1e308 values contribute 0
+    to session_value but still count as events — without the gate the
+    micros cast replays the same poisoned micro-batch forever under ANSI.
     """
-    prepared = events.withWatermark("ts", watermark).select(
-        "ts",
-        "user_id",
-        "event_id",
-        F.unix_micros("ts").alias("ts_us"),
-        F.round(F.col("value") * 1_000_000, 0).cast("long").alias("value_micros"),
+    finite_val = F.col("value").isNotNull() & quantizable("value")
+    prepared = (
+        events.where(F.col("ts").isNotNull())
+        .withWatermark("ts", watermark)
+        .select(
+            "ts",
+            "user_id",
+            "event_id",
+            F.unix_micros("ts").alias("ts_us"),
+            F.when(finite_val, F.round(F.col("value") * 1_000_000, 0).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+            .alias("value_micros"),
+        )
     )
     raw = prepared.groupBy("user_id").transformWithStateInPandas(
         statefulProcessor=_make_session_processor(GAP_SECONDS),
