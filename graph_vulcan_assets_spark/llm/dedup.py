@@ -9,6 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from graph_vulcan_assets_spark.llm.embeddings import cosine_sql as _cosine_sql
 from graph_vulcan_assets_spark.registry import query
 from graph_vulcan_assets_spark.tables import load_table
 
@@ -219,10 +220,10 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_dedup_embed",
-    oracle="""
+    oracle=f"""
     WITH dv AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
-      FROM embeddings WHERE vec_id < 200)
+      FROM embeddings WHERE vec_id < 200 AND {_cosine_sql("embedding")})
     SELECT a.vec_id AS a_id, b.vec_id AS b_id,
            round(list_dot_product(a.e, b.e)
                  / (sqrt(list_dot_product(a.e, a.e))
@@ -240,10 +241,21 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     The scale path for the full corpus is q_sim_lsh_bucketed (hyperplane
     LSH); this bounded brute-force variant is its oracle-checkable
     ground truth.
+
+    Gated through :func:`embeddings.cosine_embeddings` (oracle:
+    ``cosine_sql``) like every other embedding consumer — round-6 close
+    of the last ungated vector path: a zero vector inside the id subset
+    is 0/0 under ANSI, and a NaN component makes the cosine NaN, which
+    both engines' ``> 0.4`` would pass (NaN sorts greater) — a silently
+    bogus pair. The id bound alone only protected the test fixture,
+    not the operator.
     """
+    from graph_vulcan_assets_spark.llm.embeddings import cosine_embeddings
     from graph_vulcan_assets_spark.llm.similarity import dot, l2_norm
 
-    e = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
+    e = cosine_embeddings(load_table(spark, sf_dir, "embeddings")).where(
+        F.col("vec_id") < 200
+    )
     a = e.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_vec"))
     b = e.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_vec"))
     cos = dot(F.col("a_vec"), F.col("b_vec")) / (

@@ -62,15 +62,16 @@ def load_all() -> None:
 #   positions 8-27  = round-5 churn: the 20 keys whose modules changed in the
 #                     late-r5 hostile-parity hardening AFTER the r5 budget
 #                     was laid down (NOTES_r5 "For round 6" list).
-#   positions 28-37 = round-6 churn: this round's edits — the EMBED_BOUND
+#   positions 28-38 = round-6 churn: this round's edits — the EMBED_BOUND
 #                     gate change (llm/embeddings.py) re-opens every
 #                     embedding-gated oracle key (quantize/matryoshka/PQ/
 #                     kmeans/semantic/sim via finite_sql/cosine_sql
-#                     interpolation), and sources/readers.py re-opens the
-#                     source-format keys.
-#   positions 38-50 = oldest evidence on unchanged modules: the 2 r1-era
-#                     keys, then 11 of the 15 r2-era keys.
-#   positions 51+   = RECORDED SPILL for round 7 (the 4 r2-era leftovers),
+#                     interpolation), q_dedup_embed gained the cosine gate
+#                     (the last ungated vector path), and
+#                     sources/readers.py re-opens the source-format keys.
+#   positions 39-50 = oldest evidence on unchanged modules: the 2 r1-era
+#                     keys, then 10 of the 15 r2-era keys.
+#   positions 51+   = RECORDED SPILL for round 7 (the 5 r2-era leftovers),
 #                     then r3 / r4 / r5 driver-green inventory, freshest
 #                     evidence last — it loses nothing if the fixed-size
 #                     budget cuts off.
@@ -106,24 +107,26 @@ PRIORITY: tuple[str, ...] = (
     "q_graph_pagerank",
     "q_recursive_cte",
     "q_agg_salted",
-    # 28-37 -- round-6 churn: the EMBED_BOUND gate (every oracle key whose
-    # Spark gate AND oracle SQL flow through finite_sql/cosine_sql) plus
-    # the readers.py null-convention scoping
+    # 28-38 -- round-6 churn: the EMBED_BOUND gate (every oracle key whose
+    # Spark gate AND oracle SQL flow through finite_sql/cosine_sql), the
+    # q_dedup_embed gating (the last ungated vector path), plus the
+    # readers.py null-convention scoping
     "q_embed_quantize",
     "q_embed_matryoshka",
     "q_pq_codes",
     "q_pq_adc_topk",
     "q_kmeans_assign",
     "q_dedup_semantic",
+    "q_dedup_embed",
     "q_sim_topk",
     "q_sim_mrl_rerank",
     "q_source_jsonl",
     "q_source_orc",
-    # 38-39 -- r1-era evidence, module unchanged since
+    # 39-40 -- r1-era evidence, module unchanged since
     "q_subquery_exists_corr",
     "q_subquery_scalar",
-    # 40-50 -- r2-era evidence, module unchanged since (11 of 15; the other
-    # 4 are the recorded spill below)
+    # 41-50 -- r2-era evidence, module unchanged since (10 of 15; the other
+    # 5 are the recorded spill below)
     "q_except",
     "q_explode_filter",
     "q_filter_eq",
@@ -134,9 +137,9 @@ PRIORITY: tuple[str, ...] = (
     "q_regex_normalize",
     "q_scan_events",
     "q_scan_pruned",
-    "q_semver_gate",
     # ---- 50-entry budget line ----
-    # 51-54 -- RECORDED SPILL for the round-7 rotation: the r2-era leftovers
+    # 51-55 -- RECORDED SPILL for the round-7 rotation: the r2-era leftovers
+    "q_semver_gate",
     "q_split_key",
     "q_union_all",
     "q_union_distinct",
@@ -189,7 +192,6 @@ PRIORITY: tuple[str, ...] = (
     "q_dedup_boilerplate",
     "q_dedup_clusters",
     "q_dedup_containment",
-    "q_dedup_embed",
     "q_dedup_incremental",
     "q_dedup_ngram",
     "q_dedup_span_clean",

@@ -106,7 +106,13 @@ def _build_hostile_dir(out: str, src: str) -> None:
         (9004, NULL, NULL),
         (9005, [1.0, 2.0, 3.0]::FLOAT[], 3),
         (9006, {nullcomp}, 4),
-        (9007, {huge}, 5)
+        (9007, {huge}, 5),
+        -- poison INSIDE the id-bounded subsets (q_dedup_embed's
+        -- vec_id < 200): an id bound is not a gate, and before round 6
+        -- these rows would 0/0-crash / NaN-pair that query while every
+        -- 9xxx row sailed past its filter
+        (150, {zero}, 6),
+        (151, {huge}, 7)
       ) AS v(vec_id, embedding, label)
     ) TO '{out}/embeddings.parquet' (FORMAT parquet)
     """)

@@ -58,10 +58,11 @@ _CHURN = {
     "q_stream_sessionize", "q_embed_centroid", "q_graph_ancestors",
     "q_graph_subtree_size", "q_graph_pagerank", "q_recursive_cte",
     "q_agg_salted",
-    # round-6 churn (EMBED_BOUND gate + readers.py null-convention scoping)
+    # round-6 churn (EMBED_BOUND gate + q_dedup_embed cosine gating +
+    # readers.py null-convention scoping)
     "q_embed_quantize", "q_embed_matryoshka", "q_pq_codes", "q_pq_adc_topk",
-    "q_kmeans_assign", "q_dedup_semantic", "q_sim_topk", "q_sim_mrl_rerank",
-    "q_source_jsonl", "q_source_orc",
+    "q_kmeans_assign", "q_dedup_semantic", "q_dedup_embed", "q_sim_topk",
+    "q_sim_mrl_rerank", "q_source_jsonl", "q_source_orc",
 }
 
 
