@@ -91,7 +91,14 @@ def _build_hostile_dir(out: str, src: str) -> None:
         (9003, '😀😀😀 世界 مرحبا → ∑∫ œΩ≈ç', 'mul', 'web', 30),
         (9004, repeat('x', 100000), 'en', 'web', 100000),
         (9005, chr(9) || chr(10) || chr(13) || 'tab	newline', 'en', 'web', 20),
-        (9006, 'quote '' backslash \\ percent % brackets [a-z] regex .* $1', 'en', 'web', 60)
+        (9006, 'quote '' backslash \\ percent % brackets [a-z] regex .* $1', 'en', 'web', 60),
+        -- poison INSIDE the id-bounded subsets (the exact pairwise
+        -- n-gram/jaccard ground truths filter doc_id < 200): an id bound
+        -- is not a gate — see the vec 150/151 rows below for the
+        -- embedding twin of this class
+        (150, NULL, NULL, NULL, NULL),
+        (151, repeat('y', 100000), 'en', 'web', 100000),
+        (152, '', 'en', 'web', 0)
       ) AS v(doc_id, text, lang, source, n_chars)
     ) TO '{out}/documents.parquet' (FORMAT parquet)
     """)
