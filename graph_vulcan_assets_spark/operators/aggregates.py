@@ -17,7 +17,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from graph_vulcan_assets_spark.registry import query
-from graph_vulcan_assets_spark.tables import FINITE_VALUE_SQL, finite_values, load_table
+from graph_vulcan_assets_spark.tables import (
+    FINITE_VALUE_SQL,
+    finite_values,
+    load_table,
+    plausible_times,
+    plausible_ts_sql,
+)
 
 
 @query(
@@ -64,12 +70,12 @@ def q_agg_any_active(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_agg_minmax",
-    oracle="""
+    oracle=f"""
     SELECT user_id, event_type,
            min(ts) AS start_time, max(ts) AS last_seen,
            round(min(value), 2) AS min_value, round(max(value), 2) AS max_value,
            count(*) AS n
-    FROM events GROUP BY user_id, event_type
+    FROM events WHERE {plausible_ts_sql()} GROUP BY user_id, event_type
     """,
 )
 def q_agg_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -79,7 +85,7 @@ def q_agg_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cmd/graph-vulcan-assets/main.go:199-218) and advances `last_seen` on
     each update (inventory/inventory_test.go:407-415) — i.e. min/max per key.
     """
-    e = load_table(spark, sf_dir, "events")
+    e = plausible_times(load_table(spark, sf_dir, "events"))
     return e.groupBy("user_id", "event_type").agg(
         F.min("ts").alias("start_time"),
         F.max("ts").alias("last_seen"),

@@ -20,24 +20,32 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from graph_vulcan_assets_spark.registry import query
-from graph_vulcan_assets_spark.tables import FINITE_VALUE_SQL, finite_values, load_table
+from graph_vulcan_assets_spark.tables import (
+    FINITE_VALUE_SQL,
+    finite_values,
+    load_table,
+    plausible_times,
+    plausible_ts_sql,
+)
 
 
 @query(
     "q_funnel",
-    oracle="""
-    WITH u AS (SELECT DISTINCT user_id FROM events),
+    oracle=f"""
+    WITH ev AS (SELECT user_id, event_type, ts FROM events
+                WHERE {plausible_ts_sql()}),
+    u AS (SELECT DISTINCT user_id FROM ev),
     v AS (
       SELECT user_id, min(ts) AS first_view
-      FROM events WHERE event_type = 'view' GROUP BY user_id),
+      FROM ev WHERE event_type = 'view' GROUP BY user_id),
     c AS (
       SELECT e.user_id, min(e.ts) AS first_click
-      FROM events e JOIN v ON e.user_id = v.user_id
+      FROM ev e JOIN v ON e.user_id = v.user_id
       WHERE e.event_type = 'click' AND e.ts > v.first_view
       GROUP BY e.user_id),
     p AS (
       SELECT e.user_id, min(e.ts) AS first_purchase
-      FROM events e JOIN c ON e.user_id = c.user_id
+      FROM ev e JOIN c ON e.user_id = c.user_id
       WHERE e.event_type = 'purchase' AND e.ts > c.first_click
       GROUP BY e.user_id)
     SELECT u.user_id, v.first_view, c.first_click, p.first_purchase,
@@ -62,7 +70,9 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the parquet scan; at 100 TB each funnel stage reads one
     event-type's row groups, not the stream.
     """
-    e = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    e = plausible_times(load_table(spark, sf_dir, "events")).select(
+        "user_id", "event_type", "ts"
+    )
     u = e.select("user_id").distinct()
     v = (
         e.where(F.col("event_type") == "view")
@@ -104,16 +114,17 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_retention_cohorts",
-    oracle="""
-    WITH first_touch AS (
+    oracle=f"""
+    WITH ev AS (SELECT user_id, ts FROM events WHERE {plausible_ts_sql()}),
+    first_touch AS (
       SELECT user_id,
              CAST(date_trunc('week', min(ts)) AS TIMESTAMP) AS cohort_week
-      FROM events GROUP BY user_id),
+      FROM ev GROUP BY user_id),
     activity AS (
       SELECT DISTINCT e.user_id, f.cohort_week,
              date_diff('day', f.cohort_week, date_trunc('week', e.ts)) // 7
                AS week_n
-      FROM events e JOIN first_touch f ON e.user_id = f.user_id)
+      FROM ev e JOIN first_touch f ON e.user_id = f.user_id)
     SELECT cohort_week, CAST(week_n AS BIGINT) AS week_n,
            CAST(count(*) AS BIGINT) AS n_active_users
     FROM activity GROUP BY cohort_week, week_n
@@ -130,7 +141,7 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     days of epoch-aligned Monday truncations in both engines, so the
     integer week offsets hash-match exactly.
     """
-    e = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    e = plausible_times(load_table(spark, sf_dir, "events")).select("user_id", "ts")
     first_touch = e.groupBy("user_id").agg(
         F.date_trunc("week", F.min("ts")).alias("cohort_week")
     )
@@ -163,7 +174,8 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
                 PARTITION BY user_id ORDER BY ts, event_id)
               - epoch_us(ts)) // 1000 AS dt_ms
       FROM events
-      WHERE ts IS NOT NULL AND value IS NOT NULL AND {FINITE_VALUE_SQL}),
+      WHERE ts IS NOT NULL AND value IS NOT NULL AND {FINITE_VALUE_SQL}
+            AND {plausible_ts_sql()}),
     k AS (SELECT * FROM seq WHERE dt_ms IS NOT NULL)
     SELECT user_id,
            CAST(count(*) AS BIGINT) AS n_intervals,
@@ -201,7 +213,7 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    e = finite_values(load_table(spark, sf_dir, "events")).where(
+    e = plausible_times(finite_values(load_table(spark, sf_dir, "events"))).where(
         F.col("ts").isNotNull() & F.col("value").isNotNull()
     )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -256,7 +268,7 @@ def _hour_spine(hourly):
              count(*) AS n,
              CAST(sum(CAST(round(value * 1000, 0) AS BIGINT)) AS BIGINT)
                AS sum_value_milli
-      FROM events WHERE {FINITE_VALUE_SQL}
+      FROM events WHERE {FINITE_VALUE_SQL} AND {plausible_ts_sql()}
       GROUP BY event_type, date_trunc('hour', ts)),
     bounds AS (
       SELECT min(hour) AS h0, max(hour) AS h1 FROM hourly),
@@ -300,7 +312,7 @@ def q_timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    e = finite_values(load_table(spark, sf_dir, "events"))
+    e = plausible_times(finite_values(load_table(spark, sf_dir, "events")))
     hourly = e.groupBy(
         "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
     ).agg(
@@ -335,11 +347,12 @@ def q_timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_anomaly_zscore",
-    oracle="""
+    oracle=f"""
     WITH hourly AS (
       SELECT event_type, date_trunc('hour', ts) AS hour,
              CAST(count(*) AS BIGINT) AS n
-      FROM events GROUP BY event_type, date_trunc('hour', ts)),
+      FROM events WHERE {plausible_ts_sql()}
+      GROUP BY event_type, date_trunc('hour', ts)),
     stats AS (
       SELECT event_type,
              CAST(count(*) AS BIGINT) AS cnt,
@@ -375,7 +388,7 @@ def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-compare is exact. Series with zero variance are excluded in both
     engines (a constant series has no z-score).
     """
-    e = load_table(spark, sf_dir, "events")
+    e = plausible_times(load_table(spark, sf_dir, "events"))
     hourly = e.groupBy(
         "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
     ).agg(F.count("*").cast("long").alias("n"))
@@ -408,7 +421,7 @@ def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type, date_trunc('hour', ts) AS hour,
              CAST(sum(CAST(round(value * 1000, 0) AS BIGINT)) AS BIGINT)
                AS v_milli
-      FROM events WHERE {FINITE_VALUE_SQL}
+      FROM events WHERE {FINITE_VALUE_SQL} AND {plausible_ts_sql()}
       GROUP BY event_type, date_trunc('hour', ts)),
     bounds AS (SELECT min(hour) AS h0, max(hour) AS h1 FROM hourly),
     spine AS (
@@ -467,7 +480,7 @@ def q_timeseries_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    e = finite_values(load_table(spark, sf_dir, "events"))
+    e = plausible_times(finite_values(load_table(spark, sf_dir, "events")))
     hourly = e.groupBy(
         "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
     ).agg(

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from graph_vulcan_assets_spark.registry import query
-from graph_vulcan_assets_spark.tables import load_table
+from graph_vulcan_assets_spark.tables import load_table, plausible_times, plausible_ts_sql
 
 
 @query(
@@ -229,9 +229,10 @@ def q_regex_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_filter_eq",
-    oracle="""
+    oracle=f"""
     SELECT event_id, ts, user_id, event_type, value
-    FROM events WHERE event_type = 'purchase' AND user_id = 7
+    FROM events
+    WHERE event_type = 'purchase' AND user_id = 7 AND {plausible_ts_sql()}
     """,
 )
 def q_filter_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -242,7 +243,7 @@ def q_filter_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
     (inventory/inventory_test.go:299-314). Both predicates push down to the
     Parquet scan.
     """
-    e = load_table(spark, sf_dir, "events")
+    e = plausible_times(load_table(spark, sf_dir, "events"))
     return e.where(
         (F.col("event_type") == "purchase") & (F.col("user_id") == 7)
     ).select("event_id", "ts", "user_id", "event_type", "value")
@@ -250,11 +251,12 @@ def q_filter_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_valid_at",
-    oracle="""
+    oracle=f"""
     SELECT event_id, user_id, ts,
            ts + INTERVAL 7 DAY AS expiration
     FROM events
-    WHERE ts <= TIMESTAMP '2024-01-15 00:00:00'
+    WHERE {plausible_ts_sql()}
+      AND ts <= TIMESTAMP '2024-01-15 00:00:00'
       AND ts + INTERVAL 7 DAY >= TIMESTAMP '2024-01-15 00:00:00'
     """,
 )
@@ -265,7 +267,7 @@ def q_valid_at(spark: SparkSession, sf_dir: str) -> DataFrame:
     inventory/inventory_test.go:291-298 (interval [first_seen, expiration]
     must cover `valid_at`). Each event's validity is [ts, ts + 7 days].
     """
-    e = load_table(spark, sf_dir, "events")
+    e = plausible_times(load_table(spark, sf_dir, "events"))
     probe = F.lit("2024-01-15 00:00:00").cast("timestamp")
     expiration = F.col("ts") + F.expr("INTERVAL 7 DAYS")
     return (

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from graph_vulcan_assets_spark.registry import query
-from graph_vulcan_assets_spark.tables import load_table
+from graph_vulcan_assets_spark.tables import load_table, plausible_times, plausible_ts_sql
 
 
 @query(
@@ -339,7 +339,7 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_upsert_merge",
-    oracle="""
+    oracle=f"""
     WITH state AS (
       SELECT user_id, event_type, value AS state_value,
              first_seen, last_seen
@@ -349,7 +349,8 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
                max(ts) OVER (PARTITION BY user_id, event_type) AS last_seen,
                row_number() OVER (PARTITION BY user_id, event_type
                                   ORDER BY ts DESC, event_id DESC) AS rn
-        FROM events WHERE ts < TIMESTAMP '2024-01-15 00:00:00')
+        FROM events
+        WHERE {plausible_ts_sql()} AND ts < TIMESTAMP '2024-01-15 00:00:00')
       WHERE rn = 1),
     updates AS (
       SELECT user_id, event_type, value AS upd_value,
@@ -360,7 +361,8 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
                max(ts) OVER (PARTITION BY user_id, event_type) AS last_seen,
                row_number() OVER (PARTITION BY user_id, event_type
                                   ORDER BY ts DESC, event_id DESC) AS rn
-        FROM events WHERE ts >= TIMESTAMP '2024-01-15 00:00:00')
+        FROM events
+        WHERE {plausible_ts_sql()} AND ts >= TIMESTAMP '2024-01-15 00:00:00')
       WHERE rn = 1)
     SELECT coalesce(s.user_id, u.user_id) AS user_id,
            coalesce(s.event_type, u.event_type) AS event_type,
@@ -397,7 +399,7 @@ def q_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("user_id", "event_type", "value", "first_seen", "last_seen")
         )
 
-    e = load_table(spark, sf_dir, "events")
+    e = plausible_times(load_table(spark, sf_dir, "events"))
     state = last_per_key(e.where(F.col("ts") < split)).withColumnRenamed(
         "value", "state_value"
     )
@@ -452,7 +454,7 @@ def q_join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_join_asof_tolerance",
-    oracle="""
+    oracle=f"""
     SELECT event_id, user_id, purchase_id, purchase_ts
     FROM (
       SELECT c.event_id, c.user_id, p.event_id AS purchase_id,
@@ -461,8 +463,10 @@ def q_join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
                PARTITION BY c.event_id
                ORDER BY p.ts ASC NULLS LAST,
                         p.event_id ASC NULLS LAST) AS rn
-      FROM (SELECT * FROM events WHERE event_type = 'click') c
-      LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      FROM (SELECT * FROM events
+            WHERE event_type = 'click' AND {plausible_ts_sql()}) c
+      LEFT JOIN (SELECT * FROM events
+                 WHERE event_type = 'purchase' AND {plausible_ts_sql()}) p
         ON c.user_id = p.user_id
        AND p.ts >= c.ts
        AND p.ts <= c.ts + INTERVAL 3 DAY)
@@ -488,7 +492,7 @@ def q_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     history — tolerance is what makes as-of joins tractable on unbounded
     history.
     """
-    ev = load_table(spark, sf_dir, "events")
+    ev = plausible_times(load_table(spark, sf_dir, "events"))
     c = ev.where(F.col("event_type") == "click").select("event_id", "ts", "user_id")
     p = (
         ev.where(F.col("event_type") == "purchase")
@@ -586,7 +590,7 @@ def interval_overlap_join(
 
 @query(
     "q_join_interval",
-    oracle="""
+    oracle=f"""
     WITH marked AS (
       SELECT user_id, event_id, ts,
              CASE WHEN lag(ts) OVER w IS NULL
@@ -595,7 +599,7 @@ def interval_overlap_join(
       -- ts IS NOT NULL mirrors session_window(), which drops NULL
       -- event-times; the lag-sessionizer would otherwise give them a
       -- session of their own (NULLS LAST) and shift the join output
-      FROM events WHERE ts IS NOT NULL
+      FROM events WHERE ts IS NOT NULL AND {plausible_ts_sql()}
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
     sessioned AS (
       SELECT user_id, ts,
@@ -608,7 +612,7 @@ def interval_overlap_join(
     win AS (
       SELECT DISTINCT date_trunc('hour', ts) AS w_start,
              date_trunc('hour', ts) + INTERVAL 1 HOUR AS w_end
-      FROM events WHERE event_type = 'purchase')
+      FROM events WHERE event_type = 'purchase' AND {plausible_ts_sql()})
     SELECT user_id,
            s_start AS session_start,
            w_start AS window_start,
@@ -622,7 +626,7 @@ def q_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval-overlap join: 30-min-gap user sessions x hour-long
     purchase-activity windows, both ends exclusive. Chunked equi-join on
     hour ids — never a BNLJ (plan-guarded in tests/test_plans.py)."""
-    e = load_table(spark, sf_dir, "events")
+    e = plausible_times(load_table(spark, sf_dir, "events"))
     sess = (
         e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
         .agg(F.count(F.lit(1)).alias("_n"))

@@ -14,12 +14,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from graph_vulcan_assets_spark.registry import query
-from graph_vulcan_assets_spark.tables import load_table
+from graph_vulcan_assets_spark.tables import load_table, plausible_times, plausible_ts_sql
 
 
 @query(
     "q_scan_events",
-    oracle="SELECT event_id, ts, user_id, event_type, value, props FROM events",
+    oracle=f"SELECT event_id, ts, user_id, event_type, value, props"
+    f" FROM events WHERE {plausible_ts_sql()}",
 )
 def q_scan_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full scan of the event stream table (S3: fixture source replay).
@@ -27,9 +28,12 @@ def q_scan_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference parses a JSON fixture into messages one by one
     (stream/streamtest/streamtest.go:14-60); here it is a single columnar
     parquet scan — at 100 TB this is the vectorized Parquet reader with
-    nothing else in the plan.
+    nothing else in the plan. Gated to the plausible event-time domain
+    (tables.plausible_times): the scan EMITS ts, and an ancient corrupt
+    timestamp crosses the parquet calendar rebase into year 0, which the
+    collecting driver cannot even represent.
     """
-    return load_table(spark, sf_dir, "events").select(
+    return plausible_times(load_table(spark, sf_dir, "events")).select(
         "event_id", "ts", "user_id", "event_type", "value", "props"
     )
 

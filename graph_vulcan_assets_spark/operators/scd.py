@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from graph_vulcan_assets_spark.registry import query
-from graph_vulcan_assets_spark.tables import load_table
+from graph_vulcan_assets_spark.tables import load_table, plausible_times, plausible_ts_sql
 
 
 def _collapse(events: DataFrame) -> DataFrame:
@@ -101,12 +101,12 @@ def scd2_apply(dim: DataFrame, batch: DataFrame) -> DataFrame:
 
 @query(
     "q_scd2_build",
-    oracle="""
+    oracle=f"""
     WITH ordered AS (
       SELECT user_id, event_type, ts, event_id,
              lag(event_type) OVER (PARTITION BY user_id
                                    ORDER BY ts, event_id) AS prev
-      FROM events WHERE ts IS NOT NULL),
+      FROM events WHERE ts IS NOT NULL AND {plausible_ts_sql()}),
     changes AS (
       SELECT user_id, event_type, ts, event_id
       FROM ordered WHERE prev IS NULL OR prev <> event_type),
@@ -128,7 +128,9 @@ def q_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     validity chained, consecutive re-assertions collapsed."""
     # NULL event-times cannot be ordered into a version chain (and sort
     # NULLS FIRST in Spark vs NULLS LAST in DuckDB) — excluded on both sides
-    e = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    e = plausible_times(load_table(spark, sf_dir, "events")).where(
+        F.col("ts").isNotNull()
+    )
     return scd2_build(e)
 
 

@@ -17,18 +17,32 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from graph_vulcan_assets_spark.registry import query
-from graph_vulcan_assets_spark.tables import FINITE_VALUE_SQL, finite_values, load_table
+from graph_vulcan_assets_spark.tables import (
+    FINITE_VALUE_SQL,
+    finite_values,
+    load_table,
+    plausible_times,
+    plausible_ts_sql,
+)
+
+# ts-EMITTING queries gate the event-time domain (tables.plausible_times,
+# round 6): an ancient timestamp (corrupt bits) crosses the parquet
+# calendar rebase into year 0, which the driver's collect() cannot even
+# represent — the gate is mirrored into each oracle so both engines agree
+# on which rows are corrupt. Queries that only ORDER by ts (q_win_rank,
+# q_win_topk_group, q_win_distribution emit no timestamp) compare
+# raw micros and need no gate.
 
 
 @query(
     "q_win_last_event",
-    oracle="""
+    oracle=f"""
     SELECT user_id, event_id, event_type, ts, round(value, 2) AS value
     FROM (
       SELECT user_id, event_id, event_type, ts, value,
              row_number() OVER (PARTITION BY user_id
                                 ORDER BY ts DESC, event_id DESC) AS rn
-      FROM events)
+      FROM events WHERE {plausible_ts_sql()})
     WHERE rn = 1
     """,
 )
@@ -39,7 +53,7 @@ def q_win_last_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     (stream/kafka/kafka.go:69-105): reduce each key to its latest event by
     (ts, event_id) — the batch form of last-write-wins upsert.
     """
-    e = load_table(spark, sf_dir, "events")
+    e = plausible_times(load_table(spark, sf_dir, "events"))
     w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
     return (
         e.withColumn("rn", F.row_number().over(w))
@@ -50,10 +64,10 @@ def q_win_last_event(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_win_first_seen",
-    oracle="""
+    oracle=f"""
     SELECT event_id, user_id, ts,
            min(ts) OVER (PARTITION BY user_id) AS first_seen
-    FROM events
+    FROM events WHERE {plausible_ts_sql()}
     """,
 )
 def q_win_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -61,7 +75,7 @@ def q_win_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reference contract: update keeps FirstSeen (inventory_test.go:407-415).
     """
-    e = load_table(spark, sf_dir, "events")
+    e = plausible_times(load_table(spark, sf_dir, "events"))
     w = Window.partitionBy("user_id")
     return e.select(
         "event_id", "user_id", "ts", F.min("ts").over(w).alias("first_seen")
@@ -94,12 +108,12 @@ def q_win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_win_lag_lead",
-    oracle="""
+    oracle=f"""
     SELECT event_id, user_id, ts,
            round(value, 2) AS value,
            round(lag(value)  OVER (PARTITION BY user_id ORDER BY ts, event_id), 2) AS prev_value,
            round(lead(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 2) AS next_value
-    FROM events WHERE ts IS NOT NULL
+    FROM events WHERE ts IS NOT NULL AND {plausible_ts_sql()}
     """,
 )
 def q_win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -107,7 +121,9 @@ def q_win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     # NULL event-times have no position on the ordering axis; Spark sorts
     # them NULLS FIRST ASC while DuckDB sorts NULLS LAST, so lag/lead of
     # every neighbor would differ per engine — excluded on both sides
-    e = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    e = plausible_times(load_table(spark, sf_dir, "events")).where(
+        F.col("ts").isNotNull()
+    )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return e.select(
         "event_id",
@@ -130,6 +146,7 @@ def q_win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_n
     FROM events WHERE ts IS NOT NULL AND {FINITE_VALUE_SQL}
+          AND {plausible_ts_sql()}
     """,
 )
 def q_win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -139,7 +156,7 @@ def q_win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     in its partition. NULL event-times are excluded on both sides (the
     NULLS FIRST/LAST ordering divergence would shift every running total
     after them)."""
-    e = finite_values(load_table(spark, sf_dir, "events")).where(
+    e = plausible_times(finite_values(load_table(spark, sf_dir, "events"))).where(
         F.col("ts").isNotNull()
     )
     w = (
@@ -173,7 +190,8 @@ def q_win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
                  / 1000000.0, 4) AS hour_sum
     FROM (SELECT event_id, event_type, ts, value,
                  CAST(floor(epoch(ts)) AS BIGINT) AS epoch_sec
-          FROM events WHERE ts IS NOT NULL AND {FINITE_VALUE_SQL})
+          FROM events WHERE ts IS NOT NULL AND {FINITE_VALUE_SQL}
+            AND {plausible_ts_sql()})
     """,
 )
 def q_win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -185,7 +203,7 @@ def q_win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     mirrored in the oracle — a NULL epoch_sec row sorts NULLS FIRST in
     Spark, NULLS LAST in DuckDB).
     """
-    e = finite_values(load_table(spark, sf_dir, "events")).where(
+    e = plausible_times(finite_values(load_table(spark, sf_dir, "events"))).where(
         F.col("ts").isNotNull()
     ).withColumn(
         "epoch_sec", F.col("ts").cast("long")
@@ -216,6 +234,7 @@ def q_win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
                        OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
                   THEN 1 ELSE 0 END AS new_session
       FROM events WHERE ts IS NOT NULL AND {FINITE_VALUE_SQL}
+            AND {plausible_ts_sql()}
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
     sessioned AS (
       SELECT user_id, event_id, ts, value,
@@ -242,7 +261,7 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ts IS NOT NULL, mirrored in the oracle — NULL ts sorts NULLS FIRST
     in Spark vs NULLS LAST in DuckDB, renumbering every session).
     """
-    e = finite_values(load_table(spark, sf_dir, "events")).where(
+    e = plausible_times(finite_values(load_table(spark, sf_dir, "events"))).where(
         F.col("ts").isNotNull()
     )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")

@@ -13,19 +13,25 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from graph_vulcan_assets_spark.registry import query
-from graph_vulcan_assets_spark.tables import FINITE_VALUE_SQL, finite_values, load_table
+from graph_vulcan_assets_spark.tables import (
+    FINITE_VALUE_SQL,
+    finite_values,
+    load_table,
+    plausible_times,
+    plausible_ts_sql,
+)
 
 
 @query(
     "q_tombstone_expire",
-    oracle="""
+    oracle=f"""
     SELECT user_id, event_id AS last_event_id, ts AS last_ts,
            event_type = 'error' AS expired
     FROM (
       SELECT user_id, event_id, ts, event_type,
              row_number() OVER (PARTITION BY user_id
                                 ORDER BY ts DESC, event_id DESC) AS rn
-      FROM events)
+      FROM events WHERE {plausible_ts_sql()})
     WHERE rn = 1
     """,
 )
@@ -38,7 +44,7 @@ def q_tombstone_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
     event per key; the key is expired iff that event is a tombstone
     (here: event_type = 'error' stands in for value IS NULL).
     """
-    e = load_table(spark, sf_dir, "events")
+    e = plausible_times(load_table(spark, sf_dir, "events"))
     w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
     return (
         e.withColumn("rn", F.row_number().over(w))
@@ -94,7 +100,8 @@ def q_cascade_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n,
            round(sum(CAST(round(value * 1000000, 0) AS BIGINT)) / 1000000.0, 2)
              AS sum_value
-    FROM events WHERE ts IS NOT NULL AND {FINITE_VALUE_SQL}
+    FROM events
+    WHERE ts IS NOT NULL AND {FINITE_VALUE_SQL} AND {plausible_ts_sql()}
     GROUP BY date_trunc('hour', ts), event_type
     """,
 )
@@ -109,7 +116,7 @@ def q_time_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     # NULL event-times cannot belong to any time window: window() drops
     # them in Spark by construction; the explicit filter makes the
     # contract visible and the oracle mirrors it (ts IS NOT NULL)
-    e = finite_values(load_table(spark, sf_dir, "events")).where(
+    e = plausible_times(finite_values(load_table(spark, sf_dir, "events"))).where(
         F.col("ts").isNotNull()
     )
     # integer-micros quantization BEFORE the sum (the discipline every
@@ -142,7 +149,7 @@ def q_time_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(round(value * 1000000, 0) AS BIGINT) AS v_micros,
              (epoch_us(ts) // 1000 // 1800000 - i) * 1800000 AS start_ms
       FROM events, unnest(range(4)) AS t(i)
-      WHERE ts IS NOT NULL AND {FINITE_VALUE_SQL})
+      WHERE ts IS NOT NULL AND {FINITE_VALUE_SQL} AND {plausible_ts_sql()})
     SELECT make_timestamp(start_ms * 1000) AS window_start, event_type,
            CAST(count(*) AS BIGINT) AS n,
            sum(v_micros) / 1000000.0 AS sum_value
@@ -167,7 +174,7 @@ def q_time_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     (streaming/windows.py); this is the batch-equivalent proof.
     NULL event-times are windowless — dropped on both sides.
     """
-    e = finite_values(load_table(spark, sf_dir, "events")).where(
+    e = plausible_times(finite_values(load_table(spark, sf_dir, "events"))).where(
         F.col("ts").isNotNull()
     )
     return (
@@ -194,7 +201,8 @@ def q_time_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT date_trunc('minute', ts) AS m, event_type,
              count(*) AS n,
              sum(CAST(round(value * 1000000, 0) AS BIGINT)) AS v_micros
-      FROM events WHERE {FINITE_VALUE_SQL} GROUP BY 1, 2),
+      FROM events
+      WHERE {FINITE_VALUE_SQL} AND {plausible_ts_sql()} GROUP BY 1, 2),
     hour AS (
       SELECT date_trunc('hour', m) AS h, event_type,
              sum(n) AS n, sum(v_micros) AS v_micros
@@ -222,7 +230,7 @@ def q_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     computes the same cascade; the sums are exact integer micros, so
     re-aggregation associativity is exact, not approximate.
     """
-    e = finite_values(load_table(spark, sf_dir, "events"))
+    e = plausible_times(finite_values(load_table(spark, sf_dir, "events")))
     minute = e.groupBy(
         F.date_trunc("minute", "ts").alias("m"), "event_type"
     ).agg(
@@ -249,7 +257,8 @@ def q_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN lag(ts) OVER w IS NULL
                        OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
                   THEN 1 ELSE 0 END AS ns
-      FROM events WHERE ts IS NOT NULL AND {FINITE_VALUE_SQL}
+      FROM events
+      WHERE ts IS NOT NULL AND {FINITE_VALUE_SQL} AND {plausible_ts_sql()}
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
     sessioned AS (
       SELECT user_id, ts, value,
@@ -285,7 +294,7 @@ def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     (streaming/windows.session_counts). NULL event-times are
     windowless — dropped on both sides.
     """
-    e = finite_values(load_table(spark, sf_dir, "events")).where(
+    e = plausible_times(finite_values(load_table(spark, sf_dir, "events"))).where(
         F.col("ts").isNotNull()
     )
     micros = F.round(F.col("value") * 1_000_000, 0).cast("long")

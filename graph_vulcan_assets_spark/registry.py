@@ -62,17 +62,24 @@ def load_all() -> None:
 #   positions 8-27  = round-5 churn: the 20 keys whose modules changed in the
 #                     late-r5 hostile-parity hardening AFTER the r5 budget
 #                     was laid down (NOTES_r5 "For round 6" list).
-#   positions 28-38 = round-6 churn: this round's edits — the EMBED_BOUND
-#                     gate change (llm/embeddings.py) re-opens every
-#                     embedding-gated oracle key (quantize/matryoshka/PQ/
-#                     kmeans/semantic/sim via finite_sql/cosine_sql
-#                     interpolation), q_dedup_embed gained the cosine gate
-#                     (the last ungated vector path), and
-#                     sources/readers.py re-opens the source-format keys.
-#   positions 39-50 = oldest evidence on unchanged modules: the 2 r1-era
-#                     keys, then 10 of the 15 r2-era keys.
-#   positions 51+   = RECORDED SPILL for round 7 (the 5 r2-era leftovers),
-#                     then r3 / r4 / r5 driver-green inventory, freshest
+#   positions 28-50 = round-6 churn: this round's edits — the EMBED_BOUND
+#                     gate (every oracle key flowing through
+#                     finite_sql/cosine_sql), q_dedup_embed's cosine gate
+#                     (the last ungated vector path), and the
+#                     plausible-event-time gate (tables.plausible_times:
+#                     every ts-EMITTING or spine-sized events query, 16
+#                     keys). 7+20+25 churn keys exceed the budget by two;
+#                     q_sessionize and q_tombstone_expire spill to 51-52
+#                     (freshest evidence among the churn, and their
+#                     modules keep 5 and 4 other keys in-budget, so every
+#                     changed module still gets driver rows).
+#                     q_source_jsonl/orc are NOT churn: the readers.py
+#                     change only touched the CSV branch and the cache
+#                     path — their read semantics are byte-identical.
+#   positions 51+   = RECORDED SPILL for round 7 (the 2 churn overflows,
+#                     then oldest unchanged evidence: the 2 r1-era keys,
+#                     the r2-era block, the source jsonl/orc pair), then
+#                     r3 / r4 / r5 driver-green inventory, freshest
 #                     evidence last — it loses nothing if the fixed-size
 #                     budget cuts off.
 PRIORITY: tuple[str, ...] = (
@@ -107,10 +114,9 @@ PRIORITY: tuple[str, ...] = (
     "q_graph_pagerank",
     "q_recursive_cte",
     "q_agg_salted",
-    # 28-38 -- round-6 churn: the EMBED_BOUND gate (every oracle key whose
-    # Spark gate AND oracle SQL flow through finite_sql/cosine_sql), the
-    # q_dedup_embed gating (the last ungated vector path), plus the
-    # readers.py null-convention scoping
+    # 28-50 -- round-6 churn: embedding-gate keys, then the
+    # plausible-event-time keys (windows / temporal / analytics / scans /
+    # aggregates / joins / filters / scd / stateful)
     "q_embed_quantize",
     "q_embed_matryoshka",
     "q_pq_codes",
@@ -120,43 +126,53 @@ PRIORITY: tuple[str, ...] = (
     "q_dedup_embed",
     "q_sim_topk",
     "q_sim_mrl_rerank",
-    "q_source_jsonl",
-    "q_source_orc",
-    # 39-40 -- r1-era evidence, module unchanged since
+    "q_win_last_event",
+    "q_win_first_seen",
+    "q_time_tumbling",
+    "q_funnel",
+    "q_retention_cohorts",
+    "q_anomaly_zscore",
+    "q_agg_minmax",
+    "q_upsert_merge",
+    "q_join_asof_tolerance",
+    "q_join_interval",
+    "q_scd2_build",
+    "q_valid_at",
+    "q_filter_eq",
+    "q_scan_events",
+    # ---- 50-entry budget line ----
+    # 51-52 -- RECORDED SPILL for round 7, part 1: the churn overflow
+    "q_sessionize",
+    "q_tombstone_expire",
+    # 53-54 -- r1-era evidence, module unchanged since
     "q_subquery_exists_corr",
     "q_subquery_scalar",
-    # 41-50 -- r2-era evidence, module unchanged since (10 of 15; the other
-    # 5 are the recorded spill below)
+    # 55-66 -- r2-era evidence, module unchanged since
     "q_except",
     "q_explode_filter",
-    "q_filter_eq",
     "q_filter_in_like",
     "q_filter_range",
     "q_intersect",
     "q_limit_offset",
     "q_regex_normalize",
-    "q_scan_events",
     "q_scan_pruned",
-    # ---- 50-entry budget line ----
-    # 51-55 -- RECORDED SPILL for the round-7 rotation: the r2-era leftovers
     "q_semver_gate",
     "q_split_key",
     "q_union_all",
     "q_union_distinct",
-    "q_valid_at",
+    # 67-68 -- r4-era evidence; readers.py change did not touch their path
+    "q_source_jsonl",
+    "q_source_orc",
     # -- r3 driver-green inventory (fresher evidence)
     "q_chunk_documents",
     "q_corpus_mix",
     "q_decontaminate",
-    "q_funnel",
     "q_hist_equidepth",
     "q_hist_equiwidth",
-    "q_join_asof_tolerance",
     "q_join_lateral",
     "q_pack_sequences",
     "q_pii_redact",
     "q_profile_columns",
-    "q_retention_cohorts",
     "q_sample_stratified",
     "q_shape_q10",
     "q_shape_q13",
@@ -181,13 +197,11 @@ PRIORITY: tuple[str, ...] = (
     "q_subquery_not_in",
     "q_topk",
     "q_udtf_sentences",
-    "q_win_first_seen",
     "q_win_rank",
     "q_win_topk_group",
     # -- r4 driver-green inventory
     "q_agg_filtered",
     "q_agg_grouping_sets",
-    "q_anomaly_zscore",
     "q_cms_heavy_hitters",
     "q_dedup_boilerplate",
     "q_dedup_clusters",
@@ -200,13 +214,11 @@ PRIORITY: tuple[str, ...] = (
     "q_entity_pairs",
     "q_except_all",
     "q_intersect_all",
-    "q_join_interval",
     "q_join_part_supplier",
     "q_join_salted",
     "q_keyset_page",
     "q_lang_confusion",
     "q_lang_id",
-    "q_scd2_build",
     "q_text_bm25",
     "q_text_fingerprint",
     "q_text_lang_dist",
@@ -248,7 +260,6 @@ PRIORITY: tuple[str, ...] = (
     "q_agg_distinct",
     "q_agg_groupby",
     "q_agg_having",
-    "q_agg_minmax",
     "q_agg_rollup",
     "q_agg_stats",
     "q_dup_detect",
@@ -260,12 +271,7 @@ PRIORITY: tuple[str, ...] = (
     "q_join_multiway",
     "q_join_range",
     "q_join_semi",
-    "q_upsert_merge",
-    "q_sessionize",
-    "q_win_last_event",
     "q_cascade_expire",
-    "q_time_tumbling",
-    "q_tombstone_expire",
 )
 
 

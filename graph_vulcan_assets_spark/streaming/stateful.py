@@ -28,7 +28,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupStateTimeout
 
-from graph_vulcan_assets_spark.tables import VALUE_BOUND, quantizable
+from graph_vulcan_assets_spark.tables import (
+    VALUE_BOUND,
+    plausible_times,
+    plausible_ts,
+    plausible_ts_sql,
+    quantizable,
+)
 
 GAP_SECONDS = 1800
 
@@ -111,7 +117,7 @@ def sessionize_stateful(
     # overflows value*1e6 to Inf before the BIGINT cast, exactly like NaN)
     finite_val = F.col("value").isNotNull() & quantizable("value")
     prepared = (
-        events.where(F.col("ts").isNotNull())
+        events.where(F.col("ts").isNotNull() & plausible_ts("ts"))
         .withWatermark("ts", watermark)
         .select(
             "ts",  # carries the watermark; unused by the pandas stage
@@ -175,7 +181,12 @@ def replay_sessionize(spark, sf_dir: str, checkpoint_dir: str, source_dir: str) 
     """
     from graph_vulcan_assets_spark.tables import load_table
 
-    events = load_table(spark, sf_dir, "events").select(
+    # plausible-ts gate at the stream source (mirrored in the oracle's
+    # every events reference, including the watermark subquery): an
+    # out-of-domain event time breaks the state store's watermark/timeout
+    # arithmetic (STREAM_FAILED on the extreme-ts probe), and a year-9999
+    # row would drag the end-of-stream watermark past every real session
+    events = plausible_times(load_table(spark, sf_dir, "events")).select(
         "event_id", "ts", "user_id", "value"
     )
     events.coalesce(1).write.mode("overwrite").parquet(source_dir)
@@ -223,7 +234,7 @@ from graph_vulcan_assets_spark.registry import query  # noqa: E402
              CASE WHEN lag(ts) OVER w IS NULL
                        OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
                   THEN 1 ELSE 0 END AS new_session
-      FROM events WHERE ts IS NOT NULL
+      FROM events WHERE ts IS NOT NULL AND {plausible_ts_sql()}
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
     sessioned AS (
       SELECT user_id, ts, value,
@@ -245,7 +256,8 @@ from graph_vulcan_assets_spark.registry import query  # noqa: E402
     WHERE session_no < (SELECT max(session_no) FROM sess s2
                         WHERE s2.user_id = sess.user_id)
        OR epoch_us(session_end) // 1000 + 1800000
-          < (SELECT max(epoch_us(ts)) // 1000 FROM events) - 7200000
+          < (SELECT max(epoch_us(ts)) // 1000 FROM events
+             WHERE {plausible_ts_sql()}) - 7200000
     """,
 )
 def q_stream_sessionize(spark, sf_dir: str) -> DataFrame:

@@ -28,7 +28,7 @@ from graph_vulcan_assets_spark.streaming.stateful import (
     _STATE_SCHEMA,
     GAP_SECONDS,
 )
-from graph_vulcan_assets_spark.tables import quantizable
+from graph_vulcan_assets_spark.tables import plausible_ts, quantizable
 
 ROCKSDB_PROVIDER = "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 
@@ -114,7 +114,7 @@ def sessionize_tws(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """
     finite_val = F.col("value").isNotNull() & quantizable("value")
     prepared = (
-        events.where(F.col("ts").isNotNull())
+        events.where(F.col("ts").isNotNull() & plausible_ts("ts"))
         .withWatermark("ts", watermark)
         .select(
             "ts",

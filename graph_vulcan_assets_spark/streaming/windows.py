@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from graph_vulcan_assets_spark.tables import finite_values
+from graph_vulcan_assets_spark.tables import finite_values, plausible_times
 
 
 def _sum_value_micros():
@@ -40,7 +40,7 @@ def tumbling_counts(events: DataFrame, window: str = "1 hour", watermark: str = 
     one corrupt sensor reading must not kill (or skew) a long-running
     stream — the same round-5 corrupt-measure contract, applied here so
     the streaming and batch forms stay equivalent on dirty data too."""
-    src = finite_values(events)
+    src = plausible_times(finite_values(events))
     src = src.withWatermark("ts", watermark) if src.isStreaming else src
     return (
         src.groupBy(F.window("ts", window).alias("w"), "event_type")
@@ -51,8 +51,11 @@ def tumbling_counts(events: DataFrame, window: str = "1 hour", watermark: str = 
 
 def sliding_counts(events: DataFrame, window: str = "1 hour", slide: str = "15 minutes") -> DataFrame:
     # count-only — no value quantization, so no corrupt-measure gate: a
-    # NaN sample still counts as an event here, exactly like count(*)
-    src = events.withWatermark("ts", "2 hours") if events.isStreaming else events
+    # NaN sample still counts as an event here, exactly like count(*).
+    # The event-TIME domain gate still applies: the emitted window starts
+    # come from ts, and out-of-domain times break watermark arithmetic
+    src = plausible_times(events)
+    src = src.withWatermark("ts", "2 hours") if src.isStreaming else src
     return (
         src.groupBy(F.window("ts", window, slide).alias("w"), "event_type")
         .agg(F.count("*").alias("n"))
@@ -70,7 +73,7 @@ def session_counts(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
 
     Corrupt-measure gated like :func:`tumbling_counts` (it sums value
     micros too)."""
-    src = finite_values(events)
+    src = plausible_times(finite_values(events))
     src = src.withWatermark("ts", "2 hours") if src.isStreaming else src
     return (
         src.groupBy(F.session_window("ts", gap).alias("w"), "user_id")

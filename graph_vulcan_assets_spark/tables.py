@@ -102,6 +102,56 @@ def finite_values(df: DataFrame, col: str = "value") -> DataFrame:
     return df.where(c.isNull() | quantizable(c))
 
 
+# ---------------------------------------------------------------------------
+# Plausible event-time domain (round 6 — the VALUE_BOUND/EMBED_BOUND
+# insight applied to timestamps): corrupt bits decode to "valid" ancient
+# or far-future timestamps as readily as to NaN. Outside [1900, 2200),
+# three failure classes, each reproduced by the extreme-ts probe:
+#   1. the parquet Julian↔proleptic-Gregorian rebase shifts ancient dates
+#      by days, so the engines do not even agree what instant the cell IS
+#      — 0001-01-01 reads back in year 0, which Python's datetime cannot
+#      represent, so the driver's collect() dies on ANY query that emits
+#      or window-aligns the row;
+#   2. per-interval spine generators (timeseries gapfill/interpolate)
+#      size themselves by max(ts)−min(ts): one year-9999 row turns a
+#      one-day spine into hundreds of millions of rows — a hang;
+#   3. watermark/interval arithmetic near the timestamp domain edges
+#      overflows in streaming state handling.
+# Any real event time sits centuries inside the bounds, so the gate never
+# bites legitimate data. NULL passes — NULL event-time handling stays a
+# per-query semantic (windows drop it, scans keep it), exactly like the
+# NULL rule in finite_values.
+# ---------------------------------------------------------------------------
+
+TS_LO = "1900-01-01"
+TS_HI = "2200-01-01"
+
+
+def plausible_ts_sql(col: str = "ts") -> str:
+    """DuckDB mirror of :func:`plausible_ts` (interpolate, never copy)."""
+    return (
+        f"({col} IS NULL OR ({col} >= TIMESTAMP '{TS_LO}'"
+        f" AND {col} < TIMESTAMP '{TS_HI}'))"
+    )
+
+
+def plausible_ts(col="ts") -> "F.Column":
+    """True when the event time is NULL or inside the plausible domain.
+    The comparison itself is safe on both engines even where the exact
+    ancient instant diverges by the calendar rebase — both readings sit
+    centuries below TS_LO, so the row classifies identically."""
+    c = F.col(col) if isinstance(col, str) else col
+    lo = F.lit(TS_LO).cast("timestamp")
+    hi = F.lit(TS_HI).cast("timestamp")
+    return c.isNull() | ((c >= lo) & (c < hi))
+
+
+def plausible_times(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Drop rows whose event time is outside [TS_LO, TS_HI); keep NULLs.
+    DuckDB oracle mirror: :func:`plausible_ts_sql`."""
+    return df.where(plausible_ts(col))
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view (for the SQL-flavored queries)."""
     for name in TABLES:

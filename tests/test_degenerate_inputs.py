@@ -140,7 +140,20 @@ def _build_hostile_dir(out: str, src: str) -> None:
         (9001, TIMESTAMP '2024-01-01 00:00:00', NULL, NULL, 'nan'::DOUBLE, NULL),
         (9002, TIMESTAMP '2024-01-01 00:00:01', 1, 'click', 'infinity'::DOUBLE, '{{not json'),
         (9003, TIMESTAMP '2024-01-01 00:00:02', 1, 'click', '-infinity'::DOUBLE, '[]'),
-        (9005, TIMESTAMP '2024-01-01 00:00:03', 3, 'view', 1e308, '{{"k": 1}}')
+        (9005, TIMESTAMP '2024-01-01 00:00:03', 3, 'view', 1e308, '{{"k": 1}}'),
+        -- extreme event times (round 6): corrupt bits decode to "valid"
+        -- ancient/far-future timestamps as readily as to NaN. Year-1
+        -- crosses the parquet Julian/Gregorian rebase into year 0 (the
+        -- Python driver cannot even represent it — collect() dies on any
+        -- query that emits or window-aligns the row) and a year-9999 row
+        -- explodes range-sized spines (gapfill/interpolate) and watermark
+        -- arithmetic. 9101 sits INSIDE a busy partition, 9102 inside the
+        -- purchase slices (q_filter_eq user 7 / as-of probe side), and
+        -- 9103 is a LONE user's ONLY event — so "some later event always
+        -- wins" luck cannot mask an ungated last-event/min-max path.
+        (9101, TIMESTAMP '0001-01-01 00:00:00', 1, 'click', 1.0, '{{}}'),
+        (9102, TIMESTAMP '9999-12-31 23:59:59', 7, 'purchase', 1.0, '{{}}'),
+        (9103, TIMESTAMP '0001-06-01 00:00:00', 7777, 'click', 2.0, '{{}}')
       ) AS v(event_id, ts, user_id, event_type, value, props)
       UNION ALL BY NAME
       SELECT 9004 AS event_id, NULL::TIMESTAMP AS ts, u AS user_id,
