@@ -606,14 +606,17 @@ _SHARDS = 16
 
 
 def _knuth32(col):
-    """((doc_id mod 2^31) * K) mod 2^32 — the multiplicative hash with an
+    """((doc_id pmod 2^31) * K) mod 2^32 — the multiplicative hash with an
     overflow guard: a raw doc_id * K exceeds int64 once doc_id passes
     ~3.47e9 (reachable in a 100 TB corpus), which ANSI engines reject and
     non-ANSI ones silently wrap NEGATIVE — breaking shard in [0,16) and
     every u < t acceptance test. Reducing mod 2^31 first caps the product
     at ~5.7e18 < 2^63 on both engines; for doc_id < 2^31 the value is
-    bit-identical to the unreduced form. The oracles apply the same
-    reduction (interpolated)."""
+    bit-identical to the unreduced form. pmod, not %: a NEGATIVE id
+    (corrupt bits — ids are opaque 64-bit values at scale) reduces
+    non-negative here while DuckDB's % keeps the sign, so the oracles
+    spell the sign-safe ((x % m) + m) % m form explicitly (extreme-id
+    probe, round 6)."""
     return (F.pmod(col, F.lit(2147483648)) * F.lit(_KNUTH)) % F.lit(4294967296)
 
 
@@ -621,7 +624,7 @@ def _knuth32(col):
     "q_corpus_shuffle",
     oracle=f"""
     WITH h AS (
-      SELECT doc_id, lang, ((doc_id % 2147483648) * {_KNUTH}) % 4294967296 AS h
+      SELECT doc_id, lang, ((((doc_id % 2147483648) + 2147483648) % 2147483648) * {_KNUTH}) % 4294967296 AS h
       FROM documents)
     SELECT doc_id, lang,
            CAST(h // 268435456 AS BIGINT) AS shard,
@@ -672,7 +675,7 @@ def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     perdoc AS (
       SELECT d.doc_id, d.lang, r.rate,
              CAST(floor(r.rate) AS BIGINT) AS base_copies,
-             ((d.doc_id % 2147483648) * {_KNUTH}) % 65536 AS u,
+             ((((d.doc_id % 2147483648) + 2147483648) % 2147483648) * {_KNUTH}) % 65536 AS u,
              CAST(floor((r.rate - floor(r.rate)) * 65536) AS BIGINT) AS t
       FROM documents d JOIN rates r USING (lang))
     SELECT doc_id, lang,
@@ -859,7 +862,7 @@ def q_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     perdoc AS (
       SELECT d.doc_id, d.lang,
              CAST(floor(r.rate) AS BIGINT)
-               + CASE WHEN ((d.doc_id % 2147483648) * {_KNUTH}) % 65536
+               + CASE WHEN ((((d.doc_id % 2147483648) + 2147483648) % 2147483648) * {_KNUTH}) % 65536
                            < CAST(floor((r.rate - floor(r.rate)) * 65536) AS BIGINT)
                       THEN 1 ELSE 0 END AS n_copies
       FROM documents d JOIN rates r USING (lang))

@@ -147,9 +147,13 @@ def media_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graph_vulcan_assets_spark.tables import load_table
 
     d = load_table(spark, sf_dir, "documents")
+    # pmod, not %: a negative doc_id has remainder -1/-2 under both
+    # engines' %, which falls into the CASE's ELSE here but OUT of the
+    # oracle's `= 2` filter — sign-safe residues keep the two aligned
+    # (extreme-id probe, round 6)
     kind = (
-        F.when(F.col("doc_id") % 3 == 0, "image")
-        .when(F.col("doc_id") % 3 == 1, "audio")
+        F.when(F.pmod(F.col("doc_id"), F.lit(3)) == 0, "image")
+        .when(F.pmod(F.col("doc_id"), F.lit(3)) == 1, "audio")
         .otherwise("video")
     )
     mime = (
@@ -206,7 +210,7 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(doc_id AS BIGINT) AS media_id,
            CAST(unnest(generate_series(0, n_chars * 10, 1000)) AS BIGINT)
              AS frame_ts_ms
-    FROM documents WHERE doc_id % 3 = 2
+    FROM documents WHERE ((doc_id % 3) + 3) % 3 = 2
     """,
 )
 def q_multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:

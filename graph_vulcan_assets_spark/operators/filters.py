@@ -167,7 +167,8 @@ def q_explode_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH raw AS (
       SELECT event_id,
-             lpad(CAST((user_id * 81234567 + event_id) % 1000000000000 AS VARCHAR),
+             lpad(CAST(CAST((CAST(user_id AS HUGEINT) * 81234567 + event_id)
+                             % 1000000000000 AS BIGINT) AS VARCHAR),
                   12, '0') AS acct,
              event_id % 3 AS form
       FROM events),
@@ -198,8 +199,17 @@ def q_regex_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     errors (here: NULL). Test vectors: main_test.go:674-720.
     """
     e = load_table(spark, sf_dir, "events")
+    # 128-bit product: a raw BIGINT multiply overflows under ANSI once
+    # user_id is a genuine random 64-bit id (extreme-id probe, round 6);
+    # DECIMAL(38,0) mirrors the oracle's HUGEINT, and the remainder fits
+    # BIGINT again. Identical digits for every in-range id.
     acct = F.lpad(
-        ((F.col("user_id") * 81234567 + F.col("event_id")) % 1000000000000).cast("string"),
+        (
+            (F.col("user_id").cast("decimal(38,0)") * 81234567 + F.col("event_id"))
+            % 1000000000000
+        )
+        .cast("long")
+        .cast("string"),
         12,
         "0",
     )

@@ -351,7 +351,10 @@ def q_recursive_cte(
     return s2.sql(
         """
         WITH RECURSIVE edges AS (
-          SELECT doc_id AS child, CAST(doc_id / 10 AS BIGINT) AS parent
+          -- DIV, not CAST(/10): double division loses exactness past
+          -- 2^53, so a huge doc_id would round to a DIFFERENT parent
+          -- than the oracle's integer // (extreme-id probe, round 6)
+          SELECT doc_id AS child, doc_id DIV 10 AS parent
           FROM documents WHERE doc_id > 0),
         anc AS (
           SELECT child AS node, parent AS ancestor, CAST(1 AS BIGINT) AS depth

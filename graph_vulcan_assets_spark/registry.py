@@ -63,25 +63,24 @@ def load_all() -> None:
 #                     late-r5 hostile-parity hardening AFTER the r5 budget
 #                     was laid down (NOTES_r5 "For round 6" list).
 #   positions 28-50 = round-6 churn: this round's edits — the EMBED_BOUND
-#                     gate (every oracle key flowing through
-#                     finite_sql/cosine_sql), q_dedup_embed's cosine gate
-#                     (the last ungated vector path), and the
-#                     plausible-event-time gate (tables.plausible_times:
-#                     every ts-EMITTING or spine-sized events query, 16
-#                     keys). 7+20+25 churn keys exceed the budget by two;
-#                     q_sessionize and q_tombstone_expire spill to 51-52
-#                     (freshest evidence among the churn, and their
-#                     modules keep 5 and 4 other keys in-budget, so every
-#                     changed module still gets driver rows).
-#                     q_source_jsonl/orc are NOT churn: the readers.py
-#                     change only touched the CSV branch and the cache
-#                     path — their read semantics are byte-identical.
-#   positions 51+   = RECORDED SPILL for round 7 (the 2 churn overflows,
-#                     then oldest unchanged evidence: the 2 r1-era keys,
-#                     the r2-era block, the source jsonl/orc pair), then
-#                     r3 / r4 / r5 driver-green inventory, freshest
-#                     evidence last — it loses nothing if the fixed-size
-#                     budget cuts off.
+#                     gate (every key flowing through finite_sql/
+#                     cosine_sql), q_dedup_embed's cosine gate (the last
+#                     ungated vector path), the plausible-event-time gate
+#                     (tables.plausible_times: every ts-EMITTING or
+#                     spine-sized events query, 16 keys), and the
+#                     extreme-id arithmetic fixes (128-bit products,
+#                     sign-safe residues, integer DIV, DECIMAL id sums —
+#                     7 more keys). Churn exceeds the 50-slot budget by
+#                     nine; the overflow spills to 51-59 choosing the
+#                     freshest-evidence keys whose modules keep sibling
+#                     keys in-budget, so every changed module still gets
+#                     driver rows.
+#   positions 51+   = RECORDED SPILL for round 7 (the 9 churn overflows —
+#                     each module still covered in-budget — then oldest
+#                     unchanged evidence: the 2 r1-era keys, the r2-era
+#                     block), then r3 / r4 / r5 driver-green inventory,
+#                     freshest evidence last — it loses nothing if the
+#                     fixed-size budget cuts off.
 PRIORITY: tuple[str, ...] = (
     # 1-7 -- round-5 recorded spill: r1-era evidence (oldest of all)
     "q_agg_listagg",
@@ -114,18 +113,23 @@ PRIORITY: tuple[str, ...] = (
     "q_graph_pagerank",
     "q_recursive_cte",
     "q_agg_salted",
-    # 28-50 -- round-6 churn: embedding-gate keys, then the
+    # 28-50 -- round-6 churn: embedding-gate keys (one key per changed
+    # module — the EMBED_BOUND change is ONE shared gate function, so
+    # matryoshka/adc/mrl-rerank/semdedup spill to the r7 block with their
+    # modules still covered by quantize/pq_codes/sim_topk/kmeans), the
+    # extreme-id arithmetic fixes (regex_normalize, corpus hash,
+    # temperature mix, framesample, source sums), then the
     # plausible-event-time keys (windows / temporal / analytics / scans /
     # aggregates / joins / filters / scd / stateful)
     "q_embed_quantize",
-    "q_embed_matryoshka",
     "q_pq_codes",
-    "q_pq_adc_topk",
     "q_kmeans_assign",
-    "q_dedup_semantic",
     "q_dedup_embed",
     "q_sim_topk",
-    "q_sim_mrl_rerank",
+    "q_regex_normalize",
+    "q_corpus_shuffle",
+    "q_mix_temperature",
+    "q_multimodal_framesample",
     "q_win_last_event",
     "q_win_first_seen",
     "q_time_tumbling",
@@ -141,28 +145,33 @@ PRIORITY: tuple[str, ...] = (
     "q_filter_eq",
     "q_scan_events",
     # ---- 50-entry budget line ----
-    # 51-52 -- RECORDED SPILL for round 7, part 1: the churn overflow
+    # 51-59 -- RECORDED SPILL for round 7, part 1: the churn overflow
+    # (changed this round, displaced by the fixed budget; their modules
+    # keep sibling keys in-budget)
+    "q_embed_matryoshka",
+    "q_pq_adc_topk",
+    "q_sim_mrl_rerank",
+    "q_dedup_semantic",
+    "q_mix_materialize",
+    "q_source_jsonl",
+    "q_source_orc",
     "q_sessionize",
     "q_tombstone_expire",
-    # 53-54 -- r1-era evidence, module unchanged since
+    # 60-61 -- r1-era evidence, module unchanged since
     "q_subquery_exists_corr",
     "q_subquery_scalar",
-    # 55-66 -- r2-era evidence, module unchanged since
+    # 62-72 -- r2-era evidence, module unchanged since
     "q_except",
     "q_explode_filter",
     "q_filter_in_like",
     "q_filter_range",
     "q_intersect",
     "q_limit_offset",
-    "q_regex_normalize",
     "q_scan_pruned",
     "q_semver_gate",
     "q_split_key",
     "q_union_all",
     "q_union_distinct",
-    # 67-68 -- r4-era evidence; readers.py change did not touch their path
-    "q_source_jsonl",
-    "q_source_orc",
     # -- r3 driver-green inventory (fresher evidence)
     "q_chunk_documents",
     "q_corpus_mix",
@@ -233,13 +242,9 @@ PRIORITY: tuple[str, ...] = (
     "q_win_distribution",
     "q_win_ratio_to_report",
     # -- r5 driver-green inventory (freshest evidence, last)
-    "q_corpus_shuffle",
-    "q_mix_temperature",
     "q_length_buckets",
     "q_quantile_filter",
-    "q_mix_materialize",
     "q_cap_per_source",
-    "q_multimodal_framesample",
     "q_quality_classifier",
     "q_classifier_route",
     "q_text_normalize",

@@ -101,9 +101,13 @@ _RT_SCHEMA = T.StructType(
     ]
 )
 
+# sum_ids aggregates in DECIMAL(38,0)/HUGEINT on both sides: ids are
+# surrogate keys that legitimately span the full 64-bit range at scale,
+# and a BIGINT sum over them overflows under ANSI (extreme-id probe,
+# round 6)
 _RT_ORACLE = """
     SELECT event_type, count(*) AS n,
-           CAST(sum(event_id) AS BIGINT) AS sum_ids,
+           CAST(sum(event_id) AS DECIMAL(38,0)) AS sum_ids,
            CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
     FROM events GROUP BY event_type
 """
@@ -134,7 +138,7 @@ def _events_copy(spark: SparkSession, sf_dir: str, fmt: str) -> str:
 def _rt_agg(df: DataFrame) -> DataFrame:
     return df.groupBy("event_type").agg(
         F.count("*").alias("n"),
-        F.sum("event_id").alias("sum_ids"),
+        F.sum(F.col("event_id").cast("decimal(38,0)")).alias("sum_ids"),
         F.countDistinct("user_id").alias("n_users"),
     )
 

@@ -98,7 +98,13 @@ def _build_hostile_dir(out: str, src: str) -> None:
         -- embedding twin of this class
         (150, NULL, NULL, NULL, NULL),
         (151, repeat('y', 100000), 'en', 'web', 100000),
-        (152, '', 'en', 'web', 0)
+        (152, '', 'en', 'web', 0),
+        -- extreme 64-bit doc ids (see the events twin rows): a negative id
+        -- flips % residues between pmod-style and sign-keeping engines,
+        -- and a 2^62 id breaks double-division parent derivation and
+        -- unreduced multiplicative hashes
+        (-7, 'negative id doc words here', 'en', 'web', 27),
+        (4611686018427387904, 'huge id doc more words', 'en', 'web', 22)
       ) AS v(doc_id, text, lang, source, n_chars)
     ) TO '{out}/documents.parquet' (FORMAT parquet)
     """)
@@ -121,6 +127,13 @@ def _build_hostile_dir(out: str, src: str) -> None:
         (150, {zero}, 6),
         (151, {huge}, 7)
       ) AS v(vec_id, embedding, label)
+      UNION ALL BY NAME
+      -- a clean vector under a NEGATIVE id (ids are opaque 64-bit keys):
+      -- seeds/cells/probes keyed by vec_id ranges must classify it
+      -- identically on both engines
+      SELECT -11 AS vec_id, embedding, 1 AS label
+      FROM (SELECT * FROM '{src}/embeddings.parquet' LIMIT 20)
+      WHERE vec_id = 10
     ) TO '{out}/embeddings.parquet' (FORMAT parquet)
     """)
     con.sql(f"""
@@ -153,7 +166,16 @@ def _build_hostile_dir(out: str, src: str) -> None:
         -- wins" luck cannot mask an ungated last-event/min-max path.
         (9101, TIMESTAMP '0001-01-01 00:00:00', 1, 'click', 1.0, '{{}}'),
         (9102, TIMESTAMP '9999-12-31 23:59:59', 7, 'purchase', 1.0, '{{}}'),
-        (9103, TIMESTAMP '0001-06-01 00:00:00', 7777, 'click', 2.0, '{{}}')
+        (9103, TIMESTAMP '0001-06-01 00:00:00', 7777, 'click', 2.0, '{{}}'),
+        -- extreme 64-bit ids (round 6): ids are OPAQUE surrogate keys, so
+        -- negative / near-INT64_MAX values are legitimate at scale, not
+        -- corrupt — id arithmetic must be overflow-safe and sign-safe BY
+        -- EXPRESSION (128-bit products, pmod residues, integer DIV), never
+        -- gated. These rows broke 9 queries before the round-6 fixes.
+        (-9223372036854775800, TIMESTAMP '2024-01-02 00:00:00',
+         -9223372036854775800, 'click', 1.0, '{{}}'),
+        (9223372036854775800, TIMESTAMP '2024-01-02 00:00:01',
+         9223372036854775800, 'view', 2.0, '{{}}')
       ) AS v(event_id, ts, user_id, event_type, value, props)
       UNION ALL BY NAME
       SELECT 9004 AS event_id, NULL::TIMESTAMP AS ts, u AS user_id,
