@@ -36,13 +36,29 @@ def normalize(v):
         return v
     if isinstance(v, float):
         return "NaN" if math.isnan(v) else round(v, 9)
+    # Decimals compare EXACTLY — no float round trip. Round 6 proved the
+    # real driver's hasher is representation-sensitive (q_source_csv went
+    # red with bit-identical digits because one side yielded Decimal);
+    # normalizing Decimal -> float made this simulator structurally blind
+    # to that class. Exactness here + the coltype check below make it
+    # locally visible.
     if isinstance(v, decimal.Decimal):
-        return float(v)
+        return v
     if isinstance(v, datetime.datetime):
         return v.replace(tzinfo=None).isoformat()
     if isinstance(v, datetime.date):
         return v.isoformat()
     return v if isinstance(v, (int, str, bytes)) or v is None else str(v)
+
+
+def coltypes(rows, cols):
+    """Python type names observed per column (None excluded)."""
+    seen = {c: set() for c in cols}
+    for r in rows:
+        for c, v in zip(cols, r):
+            if v is not None:
+                seen[c].add(type(v).__name__)
+    return seen
 
 
 def multiset(rows, cols):
@@ -90,6 +106,20 @@ def main() -> int:
                 if not ok:
                     bad.append(name)
                     print("MISMATCH", name, len(srows), len(drows))
+                else:
+                    # representation check: the real driver's hash is type-
+                    # sensitive, so the two engines must yield the SAME
+                    # Python type per column even when values compare equal
+                    # (Decimal(5) == 5 in Python — exactly how round 6's
+                    # q_source_csv red row slipped past value comparison)
+                    st = coltypes([tuple(r) for r in srows], scols)
+                    dt = coltypes(drows, dcols)
+                    for c in scols:
+                        a, b = st[c], dt.get(c, set())
+                        if a and b and a != b:
+                            bad.append(name)
+                            print(f"TYPE-MISMATCH {name} col={c} spark={a} duck={b}")
+                            break
             if len(srows) == 0:
                 empty.append(name)
         except Exception as e:  # noqa: BLE001 — report and continue the sweep

@@ -96,8 +96,12 @@ def test_rotation_spends_budget_on_spill_then_staleness():
     # under the standing rule), ahead of every FRESH-evidence unchanged
     # key in the recorded spill so it cannot drift
     r1_era = {n for n, r in last.items() if r == 1}
+    # default=len(names): if churn/old-evidence keys fill the whole order,
+    # there is no fresh-evidence boundary and the containment checks below
+    # degrade gracefully instead of erroring with StopIteration (ADVICE r6)
     first_fresh = next(
-        i for i, n in enumerate(names) if n not in _CHURN and last.get(n, 0) > 2
+        (i for i, n in enumerate(names) if n not in _CHURN and last.get(n, 0) > 2),
+        len(names),
     )
     misplaced = [n for n in r1_era if n not in names[:first_fresh]]
     assert not misplaced, (
@@ -129,6 +133,7 @@ def test_oracle_outputs_are_driver_hashable(spark, sf_dir):
     oracles = all_oracle_sql()
     qs = all_queries()
     offenders = []
+    decimal_offenders = []
     for name in oracles:
         schema = qs[name](spark, sf_dir).schema
         bad = [
@@ -138,9 +143,20 @@ def test_oracle_outputs_are_driver_hashable(spark, sf_dir):
         ]
         if bad:
             offenders.append((name, bad))
+        dec = [f.name for f in schema.fields if isinstance(f.dataType, T.DecimalType)]
+        if dec:
+            decimal_offenders.append((name, dec))
     assert not offenders, (
         "oracle-bearing queries with driver-unhashable top-level columns "
         f"(pandas sort_values cannot hash them): {offenders}"
+    )
+    # No query may EMIT a decimal column (round 7, VERDICT r6 #1): the
+    # driver's hasher is representation-sensitive — q_source_csv went red
+    # in round 6 with bit-identical values because Spark yielded Decimal
+    # where DuckDB yielded int. 128-bit intermediates are fine; reduce to
+    # BIGINT (sign-safe residue) or a string digest before emitting.
+    assert not decimal_offenders, (
+        f"queries emitting decimal columns (driver-hash hostile): {decimal_offenders}"
     )
 
 

@@ -53,3 +53,49 @@ def test_read_csv_null_conventions(spark, tmp_path):
         for r in read_csv(spark, str(p), schema, null_value=_CSV_NULL).collect()
     }
     assert sentinel == {1: None, 2: None, 3: "x", 4: ""}
+
+
+def test_cache_key_is_content_addressed(tmp_path):
+    """The derived-copy cache key must change when the SOURCE file or the
+    WRITER CONVENTION changes (round 7, VERDICT r6 #5) — a hand-bumped
+    version tag let a mid-round working tree silently poison later reads,
+    including the driver's."""
+    import os
+    import shutil
+    import time
+
+    from graph_vulcan_assets_spark.sources import readers
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    src = sf / "events.parquet"
+    src.write_bytes(b"PAR1 fake bytes")
+
+    k1 = readers._cache_key(str(sf), "csv")
+    assert k1 == readers._cache_key(str(sf), "csv")  # deterministic
+    assert k1 != readers._cache_key(str(sf), "json")  # fmt in the key
+
+    # regenerated source (same path, new bytes/mtime) => new key
+    time.sleep(0.01)
+    src.write_bytes(b"PAR1 other bytes!!")
+    k2 = readers._cache_key(str(sf), "csv")
+    assert k2 != k1
+
+    # convention change => new key, with no version constant to forget
+    orig = readers._WRITER_CONVENTION
+    try:
+        readers._WRITER_CONVENTION = orig + ("csv:quoteAll=true",)
+        assert readers._cache_key(str(sf), "csv") != k2
+    finally:
+        readers._WRITER_CONVENTION = orig
+
+    # directory-shaped source (the real parquet layout) also keys off
+    # per-part sizes/mtimes
+    shutil.rmtree(sf)
+    sf.mkdir()
+    d = sf / "events.parquet"
+    d.mkdir()
+    (d / "part-0.parquet").write_bytes(b"a")
+    k3 = readers._cache_key(str(sf), "csv")
+    (d / "part-1.parquet").write_bytes(b"b")
+    assert readers._cache_key(str(sf), "csv") != k3
