@@ -67,8 +67,12 @@ EMBED_DIM = 64
 # distances, matryoshka norms). |e| < 100 keeps q ≤ 1e8, so
 # 64·(2e8)² = 2.56e18 stays inside BIGINT (9.22e18) with 3.6× headroom.
 # Real embedding components are O(1) (unit-norm-ish corpora), so the
-# bound never bites legitimate data — only corrupt bit patterns.
-EMBED_BOUND = 100.0
+# bound rarely bites legitimate data — but it is a DATA CONTRACT of this
+# ingest pipeline, not a universal property of embeddings (ADVICE r6): an
+# unnormalized corpus with large activations must either be scaled at
+# ingest or override GVAS_EMBED_BOUND, and dropped vectors are countable
+# via :func:`embedding_gate_report` so the filtering is never invisible.
+EMBED_BOUND = float(__import__("os").environ.get("GVAS_EMBED_BOUND", "100.0"))
 
 
 def finite_sql(col: str = "embedding", dim: int = EMBED_DIM) -> str:
@@ -126,6 +130,25 @@ def cosine_embeddings(
     :func:`cosine_sql`."""
     e = F.col(col)
     return df.where(_finite_pred(col, dim) & F.exists(e, lambda x: x != F.lit(0.0)))
+
+
+def embedding_gate_report(
+    df: DataFrame, col: str = "embedding", dim: int = EMBED_DIM
+) -> DataFrame:
+    """One-row drop-count report for the embedding gates (map-only
+    aggregate, scale-free) — the monitoring face of finite/cosine
+    filtering, so a corpus outside the EMBED_BOUND contract surfaces as
+    a count instead of silently vanishing rows (ADVICE r6). Columns:
+    total vectors, vectors dropped by the finite gate, additional
+    vectors dropped by the cosine gate (all-zero)."""
+    e = F.col(col)
+    finite = _finite_pred(col, dim)
+    zero = finite & ~F.exists(e, lambda x: x != F.lit(0.0))
+    return df.agg(
+        F.count("*").alias("n_vectors"),
+        F.sum((~finite).cast("long")).alias("n_dropped_finite_gate"),
+        F.sum(zero.cast("long")).alias("n_zero_vectors"),
+    )
 
 
 @query(

@@ -53,20 +53,30 @@ _SUFFIXES = (
 
 
 def _mutated(text: Column, doc_id: Column) -> Column:
-    """text ⊕ deterministic accent suffix — identical expression both engines."""
+    """text ⊕ deterministic accent suffix — identical expression both engines.
+
+    NULs are stripped FIRST (standard control-char sanitization before
+    Unicode normalization; tokenizers do the same): DuckDB's utf8proc-
+    backed nfc_normalize/strip_accents treat the string as NUL-TERMINATED
+    — nothing after an embedded chr(0) gets normalized — while Python's
+    unicodedata normalizes the whole string, so without the shared
+    sanitization the two engines literally cannot agree on a NUL-bearing
+    document (round-7 extreme-string probe)."""
     m = doc_id % len(_SUFFIXES)
-    out = text
+    out = F.translate(text, "\x00", "")
+    base = out
     for i, suf in enumerate(_SUFFIXES[:-1]):
-        out = F.when(m == i, F.concat(text, F.lit(suf))).otherwise(out)
+        out = F.when(m == i, F.concat(base, F.lit(suf))).otherwise(out)
     return out
 
 
 def _mutated_sql(text: str = "text", doc_id: str = "doc_id") -> str:
+    clean = f"replace({text}, chr(0), '')"
     arms = "".join(
-        f" WHEN {doc_id} % {len(_SUFFIXES)} = {i} THEN {text} || '{suf}'"
+        f" WHEN {doc_id} % {len(_SUFFIXES)} = {i} THEN {clean} || '{suf}'"
         for i, suf in enumerate(_SUFFIXES[:-1])
     )
-    return f"CASE{arms} ELSE {text} END"
+    return f"CASE{arms} ELSE {clean} END"
 
 
 @pandas_udf(StringType())

@@ -22,6 +22,8 @@ from pyspark.sql import functions as F
 from graph_vulcan_assets_spark.registry import query
 from graph_vulcan_assets_spark.tables import (
     FINITE_VALUE_SQL,
+    bounded_times,
+    bounded_ts_sql,
     finite_values,
     load_table,
     plausible_times,
@@ -268,7 +270,7 @@ def _hour_spine(hourly):
              count(*) AS n,
              CAST(sum(CAST(round(value * 1000, 0) AS BIGINT)) AS BIGINT)
                AS sum_value_milli
-      FROM events WHERE {FINITE_VALUE_SQL} AND {plausible_ts_sql()}
+      FROM events WHERE {FINITE_VALUE_SQL} AND {bounded_ts_sql()}
       GROUP BY event_type, date_trunc('hour', ts)),
     bounds AS (
       SELECT min(hour) AS h0, max(hour) AS h1 FROM hourly),
@@ -312,7 +314,10 @@ def q_timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    e = plausible_times(finite_values(load_table(spark, sf_dir, "events")))
+    # BOUNDED ts domain (tables.py domain note): the spine is sized by
+    # max(ts)-min(ts), so one far-future row would explode it — this is
+    # the spine-generator data contract, not the general emit gate
+    e = bounded_times(finite_values(load_table(spark, sf_dir, "events")))
     hourly = e.groupBy(
         "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
     ).agg(
@@ -421,7 +426,7 @@ def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type, date_trunc('hour', ts) AS hour,
              CAST(sum(CAST(round(value * 1000, 0) AS BIGINT)) AS BIGINT)
                AS v_milli
-      FROM events WHERE {FINITE_VALUE_SQL} AND {plausible_ts_sql()}
+      FROM events WHERE {FINITE_VALUE_SQL} AND {bounded_ts_sql()}
       GROUP BY event_type, date_trunc('hour', ts)),
     bounds AS (SELECT min(hour) AS h0, max(hour) AS h1 FROM hourly),
     spine AS (
@@ -480,7 +485,8 @@ def q_timeseries_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    e = plausible_times(finite_values(load_table(spark, sf_dir, "events")))
+    # BOUNDED ts domain: spine-sized, same contract as q_timeseries_gapfill
+    e = bounded_times(finite_values(load_table(spark, sf_dir, "events")))
     hourly = e.groupBy(
         "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
     ).agg(

@@ -265,20 +265,28 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # driver-created sessions), and while it lives each distinct cap reuses
 # one clone — bounded by the number of distinct caps actually used (1-2
 # in practice).
+import threading  # noqa: E402
 import weakref  # noqa: E402
 
 _CTE_SESSIONS: "weakref.WeakKeyDictionary[SparkSession, dict[int, SparkSession]]" = (
     weakref.WeakKeyDictionary()
 )
+# guards clone creation (ADVICE r6 medium): setdefault + newSession +
+# conf.set is not atomic, and two threads racing it could each build a
+# clone (one leaked, conf half-applied). View registration needs no lock
+# once names are per-sf_dir (below): same-name re-registration is only
+# ever the SAME (sf_dir → DataFrame) binding, which is idempotent.
+_CTE_LOCK = threading.Lock()
 
 
 def _cte_session(spark: SparkSession, max_iter: int) -> SparkSession:
-    per_cap = _CTE_SESSIONS.setdefault(spark, {})
-    s2 = per_cap.get(max_iter)
-    if s2 is None:
-        s2 = spark.newSession()
-        s2.conf.set("spark.sql.cteRecursionLevelLimit", str(max_iter))
-        per_cap[max_iter] = s2
+    with _CTE_LOCK:
+        per_cap = _CTE_SESSIONS.setdefault(spark, {})
+        s2 = per_cap.get(max_iter)
+        if s2 is None:
+            s2 = spark.newSession()
+            s2.conf.set("spark.sql.cteRecursionLevelLimit", str(max_iter))
+            per_cap[max_iter] = s2
     return s2
 
 
@@ -332,11 +340,15 @@ def q_recursive_cte(
     #
     # The clone is CACHED per (parent session, cap) — round-5 advice: a
     # fresh newSession() per call accumulated sessions and their temp-view
-    # catalogs without bound in a long-lived driver. Keying by cap keeps
-    # the execution-time conf read correct even when two frames with
-    # different caps are both still unexecuted; re-pointing the temp view
-    # per call is safe because s2.sql() resolves views EAGERLY at analysis
-    # time, so an already-returned DataFrame never sees a later re-point.
+    # catalogs without bound in a long-lived driver. The view is named
+    # per sf_dir (ADVICE r6 medium): a single shared "documents" view
+    # re-pointed per call relied on eager analysis AND a single-threaded
+    # driver — two interleaved calls with the same cap but different
+    # sf_dirs could race createOrReplaceTempView against s2.sql and
+    # resolve the other call's table. Distinct names make each
+    # registration idempotent (same sf_dir → same DataFrame), so there is
+    # nothing to race; the bounded per-clone view count is one per
+    # distinct sf_dir seen (2-3 in practice: test SF + driver SF).
     #
     # Conf-inheritance caveat (documented contract): newSession() copies
     # builder-time configs but NOT runtime spark.conf.set overrides made
@@ -347,15 +359,18 @@ def q_recursive_cte(
     if max_iter is None:
         max_iter = default_max_iter()
     s2 = _cte_session(spark, max_iter)
-    _lt(s2, sf_dir, "documents").createOrReplaceTempView("documents")
+    import hashlib as _hashlib
+
+    view = "documents_" + _hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
+    _lt(s2, sf_dir, "documents").createOrReplaceTempView(view)
     return s2.sql(
-        """
+        f"""
         WITH RECURSIVE edges AS (
           -- DIV, not CAST(/10): double division loses exactness past
           -- 2^53, so a huge doc_id would round to a DIFFERENT parent
           -- than the oracle's integer // (extreme-id probe, round 6)
           SELECT doc_id AS child, doc_id DIV 10 AS parent
-          FROM documents WHERE doc_id > 0),
+          FROM {view} WHERE doc_id > 0),
         anc AS (
           SELECT child AS node, parent AS ancestor, CAST(1 AS BIGINT) AS depth
           FROM edges

@@ -15,6 +15,8 @@ from pyspark.sql import functions as F
 from graph_vulcan_assets_spark.registry import query
 from graph_vulcan_assets_spark.tables import (
     FINITE_VALUE_SQL,
+    bounded_times,
+    bounded_ts_sql,
     finite_values,
     load_table,
     plausible_times,
@@ -258,7 +260,7 @@ def q_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
                        OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
                   THEN 1 ELSE 0 END AS ns
       FROM events
-      WHERE ts IS NOT NULL AND {FINITE_VALUE_SQL} AND {plausible_ts_sql()}
+      WHERE ts IS NOT NULL AND {FINITE_VALUE_SQL} AND {bounded_ts_sql()}
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
     sessioned AS (
       SELECT user_id, ts, value,
@@ -294,7 +296,11 @@ def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     (streaming/windows.session_counts). NULL event-times are
     windowless — dropped on both sides.
     """
-    e = plausible_times(finite_values(load_table(spark, sf_dir, "events"))).where(
+    # BOUNDED ts domain (tables.py domain note): session_window EMITS a
+    # derived instant (end = last event + gap), which crosses datetime.max
+    # for events near year 9999 — unlike the raw-ts-emitting queries,
+    # which take the full representable domain
+    e = bounded_times(finite_values(load_table(spark, sf_dir, "events"))).where(
         F.col("ts").isNotNull()
     )
     micros = F.round(F.col("value") * 1_000_000, 0).cast("long")

@@ -51,116 +51,51 @@ def load_all() -> None:
 # Exposure order for ``queries()`` / ``oracle_sql()``. The driver runs its
 # 50-entry correctness budget over queries in iteration order, so each round
 # rotates the highest-value checks to the front (round-2 verdict item #1:
-# budget rotation, not code). Round-6 order (VERDICT r5 item #1): oracle
-# coverage closed at 174/174 in r5, so the budget is now pure staleness
-# rotation by the standing rule — (module-changed-since-last-driver-row,
-# evidence age):
+# budget rotation, not code). Round-7 order (VERDICT r6 #1/#2): the
+# standing rule — (module-changed-since-last-driver-row, evidence age):
 #
-#   positions 1-7   = the round-5 RECORDED SPILL: the 7 r1-era-evidence keys
-#                     (oldest driver rows in the registry; their
-#                     aggregates/joins modules changed in r4).
-#   positions 8-27  = round-5 churn: the 20 keys whose modules changed in the
-#                     late-r5 hostile-parity hardening AFTER the r5 budget
-#                     was laid down (NOTES_r5 "For round 6" list).
-#   positions 28-50 = round-6 churn: this round's edits — the EMBED_BOUND
-#                     gate (every key flowing through finite_sql/
-#                     cosine_sql), q_dedup_embed's cosine gate (the last
-#                     ungated vector path), the plausible-event-time gate
-#                     (tables.plausible_times: every ts-EMITTING or
-#                     spine-sized events query, 16 keys), and the
-#                     extreme-id arithmetic fixes (128-bit products,
-#                     sign-safe residues, integer DIV, DECIMAL id sums —
-#                     7 more keys). Churn exceeds the 50-slot budget by
-#                     nine; the overflow spills to 51-59 choosing the
-#                     freshest-evidence keys whose modules keep sibling
-#                     keys in-budget, so every changed module still gets
-#                     driver rows.
-#   positions 51+   = RECORDED SPILL for round 7 (the 9 churn overflows —
-#                     each module still covered in-budget — then oldest
-#                     unchanged evidence: the 2 r1-era keys, the r2-era
-#                     block), then r3 / r4 / r5 driver-green inventory,
-#                     freshest evidence last — it loses nothing if the
-#                     fixed-size budget cuts off.
+#   positions 1-3   = the source-reader family: round 6's ONE red row
+#                     (q_source_csv emitted a raw DECIMAL(38,0); now a
+#                     sign-safe BIGINT residue) plus its latent-red
+#                     siblings sharing _rt_agg/_RT_ORACLE — all three
+#                     changed again this round (residue + CSV trim fix).
+#   positions 4-8   = the rest of the round-6 RECORDED SPILL (changed in
+#                     r6, displaced by that round's budget; modules kept
+#                     sibling keys in-budget).
+#   positions 9-10  = r1-era evidence (oldest driver rows in the registry).
+#   positions 11-21 = r2-era evidence, unchanged since.
+#   positions 22-47 = round-7 churn: the event-time domain split (ADVICE
+#                     r6 high — the 22 raw-ts queries widened to the
+#                     REPRESENTABLE domain [1583, 9999-12-31], the 4
+#                     spine/derived-instant/streaming queries moved to
+#                     the explicit BOUNDED domain; every one of the 26
+#                     changed code AND oracle in lockstep), plus
+#   position 48     = q_text_normalize (NUL sanitization before Unicode
+#                     normalization — extreme-string probe: DuckDB's
+#                     utf8proc normalizer is NUL-terminating) and
+#   position 49     = q_recursive_cte (per-sf_dir view names + clone
+#                     lock, ADVICE r6 medium).
+#   position 50     = evidence-age rotation head of the r3-era tail.
+#   positions 51+   = r3 / r4 / r5 / r6 driver-green inventory, oldest
+#                     evidence first, freshest last — it loses nothing if
+#                     the fixed-size budget cuts off.
 PRIORITY: tuple[str, ...] = (
-    # 1-7 -- round-5 recorded spill: r1-era evidence (oldest of all)
-    "q_agg_listagg",
-    "q_agg_mode",
-    "q_agg_percentile",
-    "q_agg_pivot",
-    "q_unpivot",
-    "q_join_cross",
-    "q_join_full",
-    # 8-27 -- round-5 churn (modules changed after the r5 budget was spent;
-    # grouped by module: windows / temporal_queries / analytics / dq /
-    # filters / readers / bpe / stateful / embeddings / graph / skew)
-    "q_win_running_sum",
-    "q_win_range_frame",
-    "q_win_lag_lead",
-    "q_time_sliding",
-    "q_rollup_cascade",
-    "q_session_window",
-    "q_time_weighted_avg",
-    "q_timeseries_gapfill",
-    "q_timeseries_interpolate",
-    "q_drift_psi",
-    "q_filter_notnull",
+    # 1-3 -- source-reader family: the r6 red row + latent-red siblings,
+    # changed again this round (BIGINT residue emit + CSV trim fix)
     "q_source_csv",
-    "q_bpe_pairs",
-    "q_stream_sessionize",
-    "q_embed_centroid",
-    "q_graph_ancestors",
-    "q_graph_subtree_size",
-    "q_graph_pagerank",
-    "q_recursive_cte",
-    "q_agg_salted",
-    # 28-50 -- round-6 churn: embedding-gate keys (one key per changed
-    # module — the EMBED_BOUND change is ONE shared gate function, so
-    # matryoshka/adc/mrl-rerank/semdedup spill to the r7 block with their
-    # modules still covered by quantize/pq_codes/sim_topk/kmeans), the
-    # extreme-id arithmetic fixes (regex_normalize, corpus hash,
-    # temperature mix, framesample, source sums), then the
-    # plausible-event-time keys (windows / temporal / analytics / scans /
-    # aggregates / joins / filters / scd / stateful)
-    "q_embed_quantize",
-    "q_pq_codes",
-    "q_kmeans_assign",
-    "q_dedup_embed",
-    "q_sim_topk",
-    "q_regex_normalize",
-    "q_corpus_shuffle",
-    "q_mix_temperature",
-    "q_multimodal_framesample",
-    "q_win_last_event",
-    "q_win_first_seen",
-    "q_time_tumbling",
-    "q_funnel",
-    "q_retention_cohorts",
-    "q_anomaly_zscore",
-    "q_agg_minmax",
-    "q_upsert_merge",
-    "q_join_asof_tolerance",
-    "q_join_interval",
-    "q_scd2_build",
-    "q_valid_at",
-    "q_filter_eq",
-    "q_scan_events",
-    # ---- 50-entry budget line ----
-    # 51-59 -- RECORDED SPILL for round 7, part 1: the churn overflow
-    # (changed this round, displaced by the fixed budget; their modules
-    # keep sibling keys in-budget)
+    "q_source_jsonl",
+    "q_source_orc",
+    # 4-8 -- remainder of the round-6 recorded spill (changed r6, never
+    # driver-seen since)
     "q_embed_matryoshka",
     "q_pq_adc_topk",
     "q_sim_mrl_rerank",
     "q_dedup_semantic",
     "q_mix_materialize",
-    "q_source_jsonl",
-    "q_source_orc",
-    "q_sessionize",
-    "q_tombstone_expire",
-    # 60-61 -- r1-era evidence, module unchanged since
+    # 9-10 -- r1-era evidence, module unchanged since
     "q_subquery_exists_corr",
     "q_subquery_scalar",
-    # 62-72 -- r2-era evidence, module unchanged since
+    # 11-21 -- r2-era evidence, module unchanged since
     "q_except",
     "q_explode_filter",
     "q_filter_in_like",
@@ -172,8 +107,43 @@ PRIORITY: tuple[str, ...] = (
     "q_split_key",
     "q_union_all",
     "q_union_distinct",
-    # -- r3 driver-green inventory (fresher evidence)
+    # 22-47 -- round-7 churn: event-time domain split. First the 22
+    # REPRESENTABLE-domain (emit-path) keys...
+    "q_scan_events",
+    "q_filter_eq",
+    "q_valid_at",
+    "q_agg_minmax",
+    "q_win_last_event",
+    "q_win_first_seen",
+    "q_win_lag_lead",
+    "q_win_running_sum",
+    "q_win_range_frame",
+    "q_sessionize",
+    "q_tombstone_expire",
+    "q_time_tumbling",
+    "q_time_sliding",
+    "q_rollup_cascade",
+    "q_upsert_merge",
+    "q_join_asof_tolerance",
+    "q_join_interval",
+    "q_funnel",
+    "q_retention_cohorts",
+    "q_time_weighted_avg",
+    "q_anomaly_zscore",
+    "q_scd2_build",
+    # ...then the 4 BOUNDED-domain (spine / derived-instant / streaming
+    # stateful) keys
+    "q_session_window",
+    "q_timeseries_gapfill",
+    "q_timeseries_interpolate",
+    "q_stream_sessionize",
+    # 48-49 -- round-7 churn: extreme-string probe fix + CTE race fix
+    "q_text_normalize",
+    "q_recursive_cte",
+    # 50 -- evidence-age head of the r3-era tail
     "q_chunk_documents",
+    # ---- 50-entry budget line ----
+    # 51+ -- r3 driver-green inventory (oldest unchanged evidence first)
     "q_corpus_mix",
     "q_decontaminate",
     "q_hist_equidepth",
@@ -241,13 +211,12 @@ PRIORITY: tuple[str, ...] = (
     "q_vocab_topn",
     "q_win_distribution",
     "q_win_ratio_to_report",
-    # -- r5 driver-green inventory (freshest evidence, last)
+    # -- r5 driver-green inventory
     "q_length_buckets",
     "q_quantile_filter",
     "q_cap_per_source",
     "q_quality_classifier",
     "q_classifier_route",
-    "q_text_normalize",
     "q_feature_hashing",
     "q_topic_assign",
     "q_array_funcs",
@@ -277,6 +246,32 @@ PRIORITY: tuple[str, ...] = (
     "q_join_range",
     "q_join_semi",
     "q_cascade_expire",
+    # -- r6 driver-green inventory, unchanged this round (freshest
+    # evidence, last)
+    "q_agg_listagg",
+    "q_agg_mode",
+    "q_agg_percentile",
+    "q_agg_pivot",
+    "q_unpivot",
+    "q_join_cross",
+    "q_join_full",
+    "q_drift_psi",
+    "q_filter_notnull",
+    "q_bpe_pairs",
+    "q_embed_centroid",
+    "q_graph_ancestors",
+    "q_graph_subtree_size",
+    "q_graph_pagerank",
+    "q_agg_salted",
+    "q_embed_quantize",
+    "q_pq_codes",
+    "q_kmeans_assign",
+    "q_dedup_embed",
+    "q_sim_topk",
+    "q_regex_normalize",
+    "q_corpus_shuffle",
+    "q_mix_temperature",
+    "q_multimodal_framesample",
 )
 
 

@@ -41,10 +41,22 @@ def read_csv(
     empty field reads as NULL. Pass ``null_value=_CSV_NULL`` for files
     written by this repo's writers, which serialize NULL as ``\\N`` and
     the empty string as an empty field — then the reader keeps the two
-    distinct (``emptyValue ''`` maps empty fields back to '')."""
+    distinct (``emptyValue ''`` maps empty fields back to ''), preserves
+    leading/trailing whitespace (the writer/reader trim defaults silently
+    mangle a tab-or-newline-edged dictionary key — round-7 extreme-string
+    probe), and parses quoted embedded newlines via ``multiLine``.
+    SCALE NOTE: multiLine CSV is NOT splittable (one file = one task) —
+    acceptable for this repo's derived round-trip copies; externally
+    produced big CSVs should avoid embedded newlines instead."""
     reader = spark.read.schema(schema).option("header", str(header).lower())
     if null_value is not None:
-        reader = reader.option("nullValue", null_value).option("emptyValue", "")
+        reader = (
+            reader.option("nullValue", null_value)
+            .option("emptyValue", "")
+            .option("ignoreLeadingWhiteSpace", "false")
+            .option("ignoreTrailingWhiteSpace", "false")
+            .option("multiLine", "true")
+        )
     return reader.csv(path)
 
 
@@ -70,6 +82,11 @@ def write_round_trip_formats(df: DataFrame, base_dir: str) -> dict[str, str]:
                 writer.option("header", "true")
                 .option("nullValue", _CSV_NULL)
                 .option("emptyValue", '""')
+                # trims OFF: writer defaults trim edge whitespace,
+                # silently mangling keys like '\ttab key\n' (round-7
+                # extreme-string probe)
+                .option("ignoreLeadingWhiteSpace", "false")
+                .option("ignoreTrailingWhiteSpace", "false")
             )
         writer.format(fmt).save(out)
         paths[fmt] = out
@@ -131,7 +148,7 @@ _RT_ORACLE = f"""
 # stale copy to a later reader (including the driver's).
 _WRITER_CONVENTION = (
     "cols=event_id,user_id,event_type",
-    f"csv:header=true,nullValue={_CSV_NULL},emptyValue=quoted",
+    f"csv:header=true,nullValue={_CSV_NULL},emptyValue=quoted,trims=off",
 )
 
 
@@ -165,6 +182,11 @@ def _events_copy(spark: SparkSession, sf_dir: str, fmt: str) -> str:
                 writer.option("header", "true")
                 .option("nullValue", _CSV_NULL)
                 .option("emptyValue", '""')
+                # trims OFF: writer defaults trim edge whitespace,
+                # silently mangling keys like '\ttab key\n' (round-7
+                # extreme-string probe)
+                .option("ignoreLeadingWhiteSpace", "false")
+                .option("ignoreTrailingWhiteSpace", "false")
             )
         writer.format(fmt).save(out)
     return out

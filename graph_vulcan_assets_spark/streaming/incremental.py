@@ -38,8 +38,10 @@ _AGG_SCHEMA = "event_type string, n bigint, sum_micros bigint"
 def batch_aggregate(events: DataFrame) -> DataFrame:
     """The per-batch partial: groupBy inside the micro-batch.
 
-    Corrupt-measure gated through :func:`tables.finite_values` like every
-    batch query that quantizes ``value`` (round-5 contract): without it a
+    Corrupt-measure contract: DROP-ROW (finite_values — the windowed-
+    aggregate contract; the sessionizers use count-as-zero instead, see
+    streaming/windows.tumbling_counts for the two-contract note): without
+    the gate a
     single NaN/Inf/1e308 sample in one micro-batch kills the maintained
     aggregate under ANSI (micros cast) — and a poisoned PARTIAL would
     corrupt the merged state forever, which is strictly worse than one

@@ -30,9 +30,9 @@ from pyspark.sql.streaming.state import GroupStateTimeout
 
 from graph_vulcan_assets_spark.tables import (
     VALUE_BOUND,
-    plausible_times,
-    plausible_ts,
-    plausible_ts_sql,
+    bounded_times,
+    bounded_ts,
+    bounded_ts_sql,
     quantizable,
 )
 
@@ -112,12 +112,14 @@ def sessionize_stateful(
     # event-time crashes the pipeline permanently. NULL event-times are
     # dropped (no position on the event-time axis → no session membership);
     # non-finite values contribute 0 to session_value but still count as
-    # events. Both rules are mirrored in the oracle SQL.
+    # events (the COUNT-AS-ZERO contract — distinct from the windowed
+    # aggregates' DROP-ROW contract; see streaming/windows.tumbling_counts
+    # for the two-contract note). Both rules are mirrored in the oracle SQL.
     # tables.quantizable is the single shared predicate (a finite 1e308
     # overflows value*1e6 to Inf before the BIGINT cast, exactly like NaN)
     finite_val = F.col("value").isNotNull() & quantizable("value")
     prepared = (
-        events.where(F.col("ts").isNotNull() & plausible_ts("ts"))
+        events.where(F.col("ts").isNotNull() & bounded_ts("ts"))
         .withWatermark("ts", watermark)
         .select(
             "ts",  # carries the watermark; unused by the pandas stage
@@ -181,12 +183,13 @@ def replay_sessionize(spark, sf_dir: str, checkpoint_dir: str, source_dir: str) 
     """
     from graph_vulcan_assets_spark.tables import load_table
 
-    # plausible-ts gate at the stream source (mirrored in the oracle's
+    # BOUNDED ts domain at the stream source (mirrored in the oracle's
     # every events reference, including the watermark subquery): an
     # out-of-domain event time breaks the state store's watermark/timeout
     # arithmetic (STREAM_FAILED on the extreme-ts probe), and a year-9999
     # row would drag the end-of-stream watermark past every real session
-    events = plausible_times(load_table(spark, sf_dir, "events")).select(
+    # — the streaming-stateful contract from tables.py's domain note
+    events = bounded_times(load_table(spark, sf_dir, "events")).select(
         "event_id", "ts", "user_id", "value"
     )
     events.coalesce(1).write.mode("overwrite").parquet(source_dir)
@@ -234,7 +237,7 @@ from graph_vulcan_assets_spark.registry import query  # noqa: E402
              CASE WHEN lag(ts) OVER w IS NULL
                        OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
                   THEN 1 ELSE 0 END AS new_session
-      FROM events WHERE ts IS NOT NULL AND {plausible_ts_sql()}
+      FROM events WHERE ts IS NOT NULL AND {bounded_ts_sql()}
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
     sessioned AS (
       SELECT user_id, ts, value,
@@ -257,7 +260,7 @@ from graph_vulcan_assets_spark.registry import query  # noqa: E402
                         WHERE s2.user_id = sess.user_id)
        OR epoch_us(session_end) // 1000 + 1800000
           < (SELECT max(epoch_us(ts)) // 1000 FROM events
-             WHERE {plausible_ts_sql()}) - 7200000
+             WHERE {bounded_ts_sql()}) - 7200000
     """,
 )
 def q_stream_sessionize(spark, sf_dir: str) -> DataFrame:

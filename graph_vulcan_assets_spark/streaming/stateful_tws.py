@@ -28,7 +28,7 @@ from graph_vulcan_assets_spark.streaming.stateful import (
     _STATE_SCHEMA,
     GAP_SECONDS,
 )
-from graph_vulcan_assets_spark.tables import plausible_ts, quantizable
+from graph_vulcan_assets_spark.tables import bounded_ts, quantizable
 
 ROCKSDB_PROVIDER = "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 
@@ -109,12 +109,14 @@ def sessionize_tws(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     (round-5 hardening, applied here round 6 so the twins cannot diverge
     the day this path unlocks): NULL event-times are dropped (no position
     on the event-time axis), and NULL/NaN/Inf/1e308 values contribute 0
-    to session_value but still count as events — without the gate the
+    to session_value but still count as events (the COUNT-AS-ZERO
+    contract; windowed aggregates use DROP-ROW instead — see
+    streaming/windows.tumbling_counts) — without the gate the
     micros cast replays the same poisoned micro-batch forever under ANSI.
     """
     finite_val = F.col("value").isNotNull() & quantizable("value")
     prepared = (
-        events.where(F.col("ts").isNotNull() & plausible_ts("ts"))
+        events.where(F.col("ts").isNotNull() & bounded_ts("ts"))
         .withWatermark("ts", watermark)
         .select(
             "ts",

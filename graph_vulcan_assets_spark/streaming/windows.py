@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from graph_vulcan_assets_spark.tables import finite_values, plausible_times
+from graph_vulcan_assets_spark.tables import bounded_times, finite_values
 
 
 def _sum_value_micros():
@@ -34,13 +34,24 @@ def _sum_value_micros():
 def tumbling_counts(events: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
     """Tumbling event-time window; works on batch and streaming frames.
 
-    Gated through :func:`tables.finite_values` like the batch twin
-    (q_time_tumbling) and the stateful sessionizer: the micros cast in
-    ``_sum_value_micros`` dies on a NaN/Inf/1e308 sample under ANSI, and
-    one corrupt sensor reading must not kill (or skew) a long-running
-    stream — the same round-5 corrupt-measure contract, applied here so
-    the streaming and batch forms stay equivalent on dirty data too."""
-    src = plausible_times(finite_values(events))
+    Corrupt-measure contract — DROP-ROW (one of TWO distinct contracts in
+    the streaming layer, ADVICE r6): a non-quantizable measure
+    (NaN/Inf/1e308) drops the whole row via :func:`tables.finite_values`,
+    so it is excluded from ``n`` as well — same as the batch windowed
+    aggregates (q_time_tumbling) and incremental.batch_aggregate. The
+    SESSIONIZERS (stateful.py / stateful_tws.py) use the other contract:
+    COUNT-AS-ZERO (the event still counts, its value contributes 0) —
+    session membership is positional, so dropping the row would also
+    move session boundaries. The micros cast would die on a corrupt
+    sample under ANSI; one bad sensor reading must not kill (or skew) a
+    long-running stream.
+
+    Event-time domain: BOUNDED ([tables.BOUNDED_TS_LO, BOUNDED_TS_HI)) —
+    streaming watermark/state arithmetic breaks near the representable
+    edges, and window structs emit derived instants (tables.py domain
+    note). The batch q_time_tumbling takes the full representable domain
+    (it emits only window starts)."""
+    src = bounded_times(finite_values(events))
     src = src.withWatermark("ts", watermark) if src.isStreaming else src
     return (
         src.groupBy(F.window("ts", window).alias("w"), "event_type")
@@ -54,7 +65,7 @@ def sliding_counts(events: DataFrame, window: str = "1 hour", slide: str = "15 m
     # NaN sample still counts as an event here, exactly like count(*).
     # The event-TIME domain gate still applies: the emitted window starts
     # come from ts, and out-of-domain times break watermark arithmetic
-    src = plausible_times(events)
+    src = bounded_times(events)
     src = src.withWatermark("ts", "2 hours") if src.isStreaming else src
     return (
         src.groupBy(F.window("ts", window, slide).alias("w"), "event_type")
@@ -71,9 +82,13 @@ def sliding_counts(events: DataFrame, window: str = "1 hour", slide: str = "15 m
 def session_counts(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     """Session windows per user: a session closes after `gap` of silence.
 
-    Corrupt-measure gated like :func:`tumbling_counts` (it sums value
-    micros too)."""
-    src = plausible_times(finite_values(events))
+    Corrupt-measure contract: DROP-ROW, like :func:`tumbling_counts` (it
+    sums value micros too) — NOT the sessionizers' count-as-zero contract;
+    this operator is engine-managed (session_window), so it has no
+    per-event positional state for a zeroed value to preserve. Bounded
+    event-time domain: session_window emits end = last event + gap,
+    which crosses datetime.max near year 9999."""
+    src = bounded_times(finite_values(events))
     src = src.withWatermark("ts", "2 hours") if src.isStreaming else src
     return (
         src.groupBy(F.session_window("ts", gap).alias("w"), "user_id")

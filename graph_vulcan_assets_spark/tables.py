@@ -103,53 +103,130 @@ def finite_values(df: DataFrame, col: str = "value") -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Plausible event-time domain (round 6 — the VALUE_BOUND/EMBED_BOUND
-# insight applied to timestamps): corrupt bits decode to "valid" ancient
-# or far-future timestamps as readily as to NaN. Outside [1900, 2200),
-# three failure classes, each reproduced by the extreme-ts probe:
-#   1. the parquet Julian↔proleptic-Gregorian rebase shifts ancient dates
-#      by days, so the engines do not even agree what instant the cell IS
-#      — 0001-01-01 reads back in year 0, which Python's datetime cannot
-#      represent, so the driver's collect() dies on ANY query that emits
-#      or window-aligns the row;
-#   2. per-interval spine generators (timeseries gapfill/interpolate)
-#      size themselves by max(ts)−min(ts): one year-9999 row turns a
-#      one-day spine into hundreds of millions of rows — a hang;
-#   3. watermark/interval arithmetic near the timestamp domain edges
-#      overflows in streaming state handling.
-# Any real event time sits centuries inside the bounds, so the gate never
-# bites legitimate data. NULL passes — NULL event-time handling stays a
-# per-query semantic (windows drop it, scans keep it), exactly like the
-# NULL rule in finite_values.
+# Event-time domains (round 6 gate, re-scoped in round 7 per ADVICE r6
+# high: a blanket [1900, 2200) gate silently dropped VALID far-future
+# data — the reference framework treats 9999-12-12 as a legitimate
+# in-band "Unexpired" sentinel, inventory.go:31, and a year-2300 row is
+# fully representable in Spark, Parquet, DuckDB, and Python).
+#
+# Two domains, matched to what actually breaks:
+#
+# 1. REPRESENTABLE domain [TS_LO, TS_HI] — the default gate
+#    (plausible_times). Drops ONLY what the engines genuinely cannot
+#    process or agree on:
+#      - ancient dates: below ~1583 the parquet Julian↔proleptic-Gregorian
+#        rebase shifts the instant by days, so the engines disagree what
+#        instant the cell IS, and 0001-01-01 reads back in year 0 — a
+#        value Python's datetime cannot even represent, so any consumer
+#        collecting the row dies;
+#      - beyond year 9999: past datetime.max / the engines' formatting
+#        range.
+#    The reference's 9999-12-12 sentinel and any far-future event PASS.
+#
+# 2. BOUNDED domain [BOUNDED_TS_LO, BOUNDED_TS_HI) — opt-in, for the
+#    operators whose OUTPUT or STATE grows past the row's own timestamp:
+#      - per-interval spine generators (timeseries gapfill/interpolate)
+#        size themselves by max(ts)−min(ts): one year-9999 row turns a
+#        one-day spine into hundreds of millions of rows — a hang;
+#      - session/window aggregates that EMIT a derived instant beyond the
+#        event (session end = last event + gap crosses datetime.max);
+#      - streaming watermark/state arithmetic near the domain edges.
+#    This is a documented data contract of those operators, not a claim
+#    about timestamps at large.
+#
+# Both gates keep NULLs — NULL event-time handling stays a per-query
+# semantic (windows drop it, scans keep it), like the NULL rule in
+# finite_values. Bounds are configurable via environment (GVAS_TS_LO,
+# GVAS_TS_HI, GVAS_BOUNDED_TS_LO, GVAS_BOUNDED_TS_HI) for corpora whose
+# plausible domain differs. For drop visibility, route the complement
+# through :func:`ts_dead_letter` / count with :func:`gate_report` —
+# the same counted-dead-letter discipline as the streaming ingest gate.
 # ---------------------------------------------------------------------------
 
-TS_LO = "1900-01-01"
-TS_HI = "2200-01-01"
+TS_LO = os.environ.get("GVAS_TS_LO", "1583-01-01")
+TS_HI = os.environ.get("GVAS_TS_HI", "9999-12-31 23:59:59.999999")
+
+BOUNDED_TS_LO = os.environ.get("GVAS_BOUNDED_TS_LO", "1900-01-01")
+BOUNDED_TS_HI = os.environ.get("GVAS_BOUNDED_TS_HI", "2200-01-01")
 
 
 def plausible_ts_sql(col: str = "ts") -> str:
     """DuckDB mirror of :func:`plausible_ts` (interpolate, never copy)."""
     return (
         f"({col} IS NULL OR ({col} >= TIMESTAMP '{TS_LO}'"
-        f" AND {col} < TIMESTAMP '{TS_HI}'))"
+        f" AND {col} <= TIMESTAMP '{TS_HI}'))"
     )
 
 
 def plausible_ts(col="ts") -> "F.Column":
-    """True when the event time is NULL or inside the plausible domain.
-    The comparison itself is safe on both engines even where the exact
+    """True when the event time is NULL or engine-representable
+    ([TS_LO, TS_HI], both inclusive — TS_HI is datetime.max). The
+    comparison itself is safe on both engines even where the exact
     ancient instant diverges by the calendar rebase — both readings sit
-    centuries below TS_LO, so the row classifies identically."""
+    decades below TS_LO, so the row classifies identically."""
     c = F.col(col) if isinstance(col, str) else col
     lo = F.lit(TS_LO).cast("timestamp")
     hi = F.lit(TS_HI).cast("timestamp")
-    return c.isNull() | ((c >= lo) & (c < hi))
+    return c.isNull() | ((c >= lo) & (c <= hi))
 
 
 def plausible_times(df: DataFrame, col: str = "ts") -> DataFrame:
-    """Drop rows whose event time is outside [TS_LO, TS_HI); keep NULLs.
+    """Drop rows whose event time the engines cannot represent/agree on;
+    keep NULLs and the full valid domain including far-future sentinels.
     DuckDB oracle mirror: :func:`plausible_ts_sql`."""
     return df.where(plausible_ts(col))
+
+
+def bounded_ts_sql(col: str = "ts") -> str:
+    """DuckDB mirror of :func:`bounded_ts` (interpolate, never copy)."""
+    return (
+        f"({col} IS NULL OR ({col} >= TIMESTAMP '{BOUNDED_TS_LO}'"
+        f" AND {col} < TIMESTAMP '{BOUNDED_TS_HI}'))"
+    )
+
+
+def bounded_ts(col="ts") -> "F.Column":
+    """True when the event time is NULL or inside the BOUNDED domain —
+    the data contract of spine-sized / derived-instant-emitting /
+    streaming-stateful operators (see the domain note above)."""
+    c = F.col(col) if isinstance(col, str) else col
+    lo = F.lit(BOUNDED_TS_LO).cast("timestamp")
+    hi = F.lit(BOUNDED_TS_HI).cast("timestamp")
+    return c.isNull() | ((c >= lo) & (c < hi))
+
+
+def bounded_times(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Drop rows outside [BOUNDED_TS_LO, BOUNDED_TS_HI); keep NULLs.
+    DuckDB oracle mirror: :func:`bounded_ts_sql`."""
+    return df.where(bounded_ts(col))
+
+
+def ts_dead_letter(df: DataFrame, col: str = "ts", bounded: bool = False) -> DataFrame:
+    """The COMPLEMENT of the chosen gate (non-NULL rows it drops) — route
+    to a dead-letter sink or count for monitoring, so out-of-domain data
+    is never silently invisible (ADVICE r6)."""
+    gate = bounded_ts(col) if bounded else plausible_ts(col)
+    return df.where(~gate)
+
+
+def gate_report(df: DataFrame, ts_col: str = "ts", value_col: str | None = "value") -> DataFrame:
+    """One-row drop-count report over every ingest gate this module
+    defines — the monitoring face of the gates (map-only aggregate,
+    scale-free). Columns: total rows, rows outside the representable ts
+    domain, rows outside the bounded ts domain, non-quantizable measures."""
+    aggs = [
+        F.count("*").alias("n_rows"),
+        F.sum((~plausible_ts(ts_col)).cast("long")).alias("n_ts_unrepresentable"),
+        F.sum((~bounded_ts(ts_col)).cast("long")).alias("n_ts_out_of_bounded"),
+    ]
+    if value_col is not None:
+        v = F.col(value_col)
+        aggs.append(
+            F.sum((~(v.isNull() | quantizable(v))).cast("long")).alias(
+                "n_value_not_quantizable"
+            )
+        )
+    return df.agg(*aggs)
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

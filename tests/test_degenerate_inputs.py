@@ -54,9 +54,14 @@ def _build_hostile_dir(out: str, src: str) -> None:
     1e308 value (overflows integer-micros quantization to Inf), a
     NULL-ts and a NULL-value event INSIDE a busy user's partition (so
     NULL-ordering divergence has neighbors to corrupt), NULL
-    event-times, malformed JSON props. The round-5 sweep over exactly this
-    data found (and fixed) 8 crashes and one quadratic-fold hang — this
-    fixture keeps them fixed."""
+    event-times, malformed JSON props, extreme timestamps on both sides
+    of the two event-time domains, extreme 64-bit ids, and (round 7)
+    extreme STRINGS in keyed/dictionary columns — 100 KB keys, embedded
+    NULs, control-char-edged keys. The round-5 sweep over exactly this
+    data found (and fixed) 8 crashes and one quadratic-fold hang; the
+    round-7 string probe found (and fixed) the CSV writer's silent
+    whitespace trimming and DuckDB's NUL-terminating Unicode normalizer
+    — this fixture keeps them all fixed."""
     import duckdb
 
     os.makedirs(out, exist_ok=True)
@@ -104,7 +109,16 @@ def _build_hostile_dir(out: str, src: str) -> None:
         -- and a 2^62 id breaks double-division parent derivation and
         -- unreduced multiplicative hashes
         (-7, 'negative id doc words here', 'en', 'web', 27),
-        (4611686018427387904, 'huge id doc more words', 'en', 'web', 22)
+        (4611686018427387904, 'huge id doc more words', 'en', 'web', 22),
+        -- extreme STRINGS in keyed/dictionary columns (round 7 probe):
+        -- lang and source are group/partition keys for the curation and
+        -- text-analysis families; a 100 KB key, embedded NULs, and a
+        -- NUL inside the text body stress dictionary pages, shuffle-key
+        -- hashing, and tokenizers on both engines
+        (9011, 'plain words here', repeat('L', 100000), 'web', 16),
+        (9012, 'more plain words', 'en' || chr(0) || 'x',
+         'src' || chr(0) || 'dev', 16),
+        (9013, 'nul' || chr(0) || 'body text words', 'en', 'web', 19)
       ) AS v(doc_id, text, lang, source, n_chars)
     ) TO '{out}/documents.parquet' (FORMAT parquet)
     """)
@@ -154,19 +168,40 @@ def _build_hostile_dir(out: str, src: str) -> None:
         (9002, TIMESTAMP '2024-01-01 00:00:01', 1, 'click', 'infinity'::DOUBLE, '{{not json'),
         (9003, TIMESTAMP '2024-01-01 00:00:02', 1, 'click', '-infinity'::DOUBLE, '[]'),
         (9005, TIMESTAMP '2024-01-01 00:00:03', 3, 'view', 1e308, '{{"k": 1}}'),
-        -- extreme event times (round 6): corrupt bits decode to "valid"
-        -- ancient/far-future timestamps as readily as to NaN. Year-1
-        -- crosses the parquet Julian/Gregorian rebase into year 0 (the
-        -- Python driver cannot even represent it — collect() dies on any
-        -- query that emits or window-aligns the row) and a year-9999 row
-        -- explodes range-sized spines (gapfill/interpolate) and watermark
-        -- arithmetic. 9101 sits INSIDE a busy partition, 9102 inside the
-        -- purchase slices (q_filter_eq user 7 / as-of probe side), and
-        -- 9103 is a LONE user's ONLY event — so "some later event always
-        -- wins" luck cannot mask an ungated last-event/min-max path.
+        -- extreme event times (round 6, re-scoped round 7 — two domains):
+        -- Year-1 crosses the parquet Julian/Gregorian rebase into year 0
+        -- (the Python driver cannot even represent it — collect() dies on
+        -- any query that emits the row) and stays GATED by the
+        -- representable domain's 1583 floor. Far-future rows (year 2300,
+        -- the reference's 9999-12-12 Unexpired sentinel, 9999-12-31) are
+        -- VALID data: they must FLOW THROUGH every raw-ts query
+        -- (scan/lookup/last-event/minmax/SCD/as-of/funnel) and be dropped
+        -- only by the BOUNDED-domain operators (spine generators,
+        -- session_window's end = last + gap, streaming state). 9101 sits
+        -- INSIDE a busy partition, 9102 inside the purchase slices
+        -- (q_filter_eq user 7 / as-of probe side), and 9103 is a LONE
+        -- user's ONLY event — so "some later event always wins" luck
+        -- cannot mask an ungated last-event/min-max path. 9104 is a
+        -- far-future CLICK (probe side of as-of: exercises
+        -- ts + INTERVAL arithmetic past year 9999 internally), 9105/9106
+        -- far-future and pre-1900 rows inside busy user 1.
         (9101, TIMESTAMP '0001-01-01 00:00:00', 1, 'click', 1.0, '{{}}'),
         (9102, TIMESTAMP '9999-12-31 23:59:59', 7, 'purchase', 1.0, '{{}}'),
         (9103, TIMESTAMP '0001-06-01 00:00:00', 7777, 'click', 2.0, '{{}}'),
+        (9104, TIMESTAMP '9999-12-12 00:00:00', 7, 'click', 3.0, '{{}}'),
+        (9105, TIMESTAMP '2300-06-15 12:34:56', 1, 'view', 2.5, '{{}}'),
+        (9106, TIMESTAMP '1700-01-01 06:00:00', 1, 'click', 0.5, '{{}}'),
+        -- extreme STRINGS in keyed/dictionary columns (round 7 probe):
+        -- event_type is THE string shuffle/group key of the schema, so a
+        -- 100 KB value, an embedded NUL, and control chars exercise
+        -- dictionary encodings, shuffle-key hashing, regex/LIKE paths,
+        -- and pivot/classification CASE arms on both engines
+        (9201, TIMESTAMP '2024-01-03 00:00:00', 42,
+         repeat('k', 100000), 1.0, '{{}}'),
+        (9202, TIMESTAMP '2024-01-03 00:00:01', 42,
+         'nul' || chr(0) || 'key', 2.0, '{{}}'),
+        (9203, TIMESTAMP '2024-01-03 00:00:02', 42,
+         chr(9) || 'tab key' || chr(10), 1.5, '{{}}'),
         -- extreme 64-bit ids (round 6): ids are OPAQUE surrogate keys, so
         -- negative / near-INT64_MAX values are legitimate at scale, not
         -- corrupt — id arithmetic must be overflow-safe and sign-safe BY

@@ -3,9 +3,9 @@
 The driver checks the FIRST 50 queries in iteration order against their
 oracles — these tests pin the properties that make that budget count:
 every exposed query is callable, every first-50 entry carries an oracle,
-and the round-6 rotation (r1-era spill + round-5/6 churn + oldest
-unchanged evidence) stays at the front until the next deliberate
-rotation.
+and the round-7 rotation (r6 red row + recorded spill + r1/r2-era
+evidence + round-7 churn + evidence-age tail) stays at the front until
+the next deliberate rotation.
 """
 
 from __future__ import annotations
@@ -35,7 +35,7 @@ def test_first_50_all_have_oracles():
 
 def _last_green_round() -> dict[str, int]:
     last: dict[str, int] = {}
-    for r in (1, 2, 3, 4, 5):
+    for r in (1, 2, 3, 4, 5, 6):
         path = os.path.join(REPO, f"CORRECTNESS_r0{r}.json")
         if os.path.exists(path):
             for k, v in json.load(open(path)).items():
@@ -45,39 +45,35 @@ def _last_green_round() -> dict[str, int]:
 
 
 # Keys whose implementing modules changed AFTER their latest driver row
-# (the module-change analysis behind the round-6 rotation — NOTES_r5 "For
-# round 6" for the r5 churn, NOTES_r6 for this round's EMBED_BOUND /
-# readers.py churn). A top-50 slot is justified for these regardless of
-# how fresh their last green row is, because that row predates the code.
+# (the module-change analysis behind the round-7 rotation — NOTES_r6 "For
+# round 7" for the r6-spill keys, NOTES_r7 for this round's changes). A
+# top-50 slot is justified for these regardless of how fresh their last
+# green row is, because that row predates the code.
 _CHURN = {
-    # round-5 churn (modules changed after the r5 budget was laid down)
-    "q_win_running_sum", "q_win_range_frame", "q_win_lag_lead",
-    "q_time_sliding", "q_rollup_cascade", "q_session_window",
-    "q_time_weighted_avg", "q_timeseries_gapfill", "q_timeseries_interpolate",
-    "q_drift_psi", "q_filter_notnull", "q_source_csv", "q_bpe_pairs",
-    "q_stream_sessionize", "q_embed_centroid", "q_graph_ancestors",
-    "q_graph_subtree_size", "q_graph_pagerank", "q_recursive_cte",
-    "q_agg_salted",
-    # round-6 churn: EMBED_BOUND gate, q_dedup_embed cosine gating,
-    # readers.py null-convention scoping (q_source_csv — jsonl/orc paths
-    # were untouched), and the plausible-event-time gate over every
-    # ts-emitting / spine-sized events query
-    "q_embed_quantize", "q_embed_matryoshka", "q_pq_codes", "q_pq_adc_topk",
-    "q_kmeans_assign", "q_dedup_semantic", "q_dedup_embed", "q_sim_topk",
-    "q_sim_mrl_rerank",
-    "q_win_last_event", "q_win_first_seen", "q_time_tumbling", "q_funnel",
-    "q_retention_cohorts", "q_anomaly_zscore", "q_agg_minmax",
-    "q_upsert_merge", "q_join_asof_tolerance", "q_join_interval",
-    "q_scd2_build", "q_valid_at", "q_filter_eq", "q_scan_events",
-    "q_sessionize", "q_tombstone_expire",
-    # round-6 churn, extreme-id pass: overflow-safe id arithmetic
-    # (HUGEINT/DECIMAL products, sign-safe residues, integer DIV) changed
-    # these queries' code AND oracles; q_source_jsonl/orc are churn after
-    # all (the shared _rt_agg/_RT_ORACLE sums went DECIMAL)
-    "q_regex_normalize", "q_corpus_shuffle", "q_mix_temperature",
-    "q_mix_materialize", "q_multimodal_framesample", "q_source_jsonl",
-    "q_source_orc",
+    # round-6 churn never driver-seen (the r6 recorded spill): EMBED_BOUND
+    # gate / semantic-dedup / mix materialization changed in late r6,
+    # displaced by that round's fixed budget
+    "q_embed_matryoshka", "q_pq_adc_topk", "q_sim_mrl_rerank",
+    "q_dedup_semantic", "q_mix_materialize",
+    # round-7 churn: source-reader family (BIGINT residue emit + CSV
+    # whitespace-trim fix)
+    "q_source_csv", "q_source_jsonl", "q_source_orc",
+    # round-7 churn: event-time domain split (ADVICE r6 high) — the 22
+    # REPRESENTABLE-domain keys and the 4 BOUNDED-domain keys, each
+    # changed code AND oracle in lockstep
+    "q_scan_events", "q_filter_eq", "q_valid_at", "q_agg_minmax",
+    "q_win_last_event", "q_win_first_seen", "q_win_lag_lead",
+    "q_win_running_sum", "q_win_range_frame", "q_sessionize",
+    "q_tombstone_expire", "q_time_tumbling", "q_time_sliding",
+    "q_rollup_cascade", "q_upsert_merge", "q_join_asof_tolerance",
+    "q_join_interval", "q_funnel", "q_retention_cohorts",
+    "q_time_weighted_avg", "q_anomaly_zscore", "q_scd2_build",
+    "q_session_window", "q_timeseries_gapfill", "q_timeseries_interpolate",
+    "q_stream_sessionize",
+    # round-7 churn: extreme-string probe fix + CTE clone race fix
+    "q_text_normalize", "q_recursive_cte",
 }
+
 
 
 def test_rotation_spends_budget_on_spill_then_staleness():
@@ -110,13 +106,22 @@ def test_rotation_spends_budget_on_spill_then_staleness():
     )
 
     # every budget slot must be justified: code changed since the last
-    # driver row, or the evidence is r1/r2-era (the oldest in the registry)
-    squatters = [
-        n for n in first50 if n not in _CHURN and last.get(n, 0) > 2
-    ]
-    assert not squatters, (
-        f"fresh-evidence unchanged keys squatting on budget slots: {squatters}"
-    )
+    # driver row, the evidence is r1/r2-era (the oldest in the registry),
+    # or — when churn + r1/r2 keys leave spare slots — the key heads the
+    # OLDEST-evidence tail (evidence-age rotation fills the remainder; a
+    # key may not sit in the budget while an older-evidence unchanged key
+    # waits outside it)
+    unjustified = [n for n in first50 if n not in _CHURN and last.get(n, 0) > 2]
+    for n in unjustified:
+        older_outside = [
+            m
+            for m in names[50:]
+            if m not in _CHURN and last.get(m, 0) and last[m] < last.get(n, 0)
+        ]
+        assert not older_outside, (
+            f"{n} (evidence r{last.get(n)}) squats on a budget slot while "
+            f"older-evidence keys wait outside: {older_outside[:5]}"
+        )
 
 
 def test_oracle_outputs_are_driver_hashable(spark, sf_dir):
