@@ -173,17 +173,32 @@ def q_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
       -- json_valid guard mirrors get_json_object's NULL-on-malformed:
       -- DuckDB's json_extract_string RAISES on malformed JSON (one bad
       -- payload row kills the oracle), Spark quietly yields NULL
+      -- NULs stripped BEFORE parsing (round-7 JSON probe): RFC 8259
+      -- forbids raw control chars in strings, and the engines disagree
+      -- about leniency — Spark's Jackson accepts a raw NUL, DuckDB's
+      -- json_valid rejects it. Same control-char sanitization as the
+      -- Unicode normalizer.
       SELECT event_id,
-             CASE WHEN json_valid(props)
-                  THEN json_extract_string(props, '$.k') END AS ks,
-             CASE WHEN json_valid(props)
-                  THEN json_extract_string(props, '$.missing') END AS missing
-      FROM events)
-    SELECT event_id,
-           CAST(ks AS BIGINT) AS k,
-           CAST(ks AS BIGINT) * 2 AS k2,
-           missing
-    FROM j
+             CASE WHEN json_valid(replace(props, chr(0), ''))
+                  THEN json_extract_string(replace(props, chr(0), ''), '$.k')
+             END AS ks,
+             CASE WHEN json_valid(replace(props, chr(0), ''))
+                  THEN json_extract_string(replace(props, chr(0), ''), '$.missing')
+             END AS missing
+      FROM events),
+    -- integer-regex + TRY_CAST (round-7 JSON probe): a payload whose k is
+    -- "abc" kills a bare ANSI CAST on Spark; 1.9 ROUNDS to 2 in DuckDB's
+    -- cast but errors in Spark's; 99999999999999999999 parses as a double
+    -- in DuckDB's JSON reader but stays raw text in Spark's — the regex
+    -- admits only integer text (identical on both engines) and TRY_CAST
+    -- turns the remaining overflow class into NULL on both
+    typed AS (
+      SELECT event_id, missing,
+             CASE WHEN regexp_matches(ks, '^-?[0-9]+$')
+                  THEN TRY_CAST(ks AS BIGINT) END AS k
+      FROM j)
+    SELECT event_id, k, k * 2 AS k2, missing
+    FROM typed
     """,
 )
 def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -193,12 +208,19 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     get_json_object is a codegen'd path expression — no Python involved.
     """
     e = load_table(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("long")
+    # NUL-sanitize before parse (mirrored in the oracle): Spark's Jackson
+    # leniently accepts raw control chars RFC 8259 forbids; DuckDB rejects
+    props = F.translate("props", "\x00", "")
+    ks = F.get_json_object(props, "$.k")
+    # integer-regex + try_cast, mirrored in the oracle (see the oracle
+    # comment): JSON values are UNTYPED text at extraction — a bare ANSI
+    # cast dies on "abc" and diverges on "1.9" / out-of-range numbers
+    k = F.when(ks.rlike("^-?[0-9]+$"), ks.try_cast("long"))
     return e.select(
         "event_id",
         k.alias("k"),
         (k * 2).alias("k2"),
-        F.get_json_object("props", "$.missing").alias("missing"),
+        F.get_json_object(props, "$.missing").alias("missing"),
     )
 
 

@@ -30,8 +30,11 @@ from graph_vulcan_assets_spark.tables import load_table, plausible_times, plausi
     WHERE props IS NOT NULL
       -- CASE guard mirrors get_json_object's NULL-on-malformed (DuckDB's
       -- extractor raises on a malformed payload; Spark filters it out)
-      AND CASE WHEN json_valid(props)
-               THEN json_extract_string(props, '$.k') END IS NOT NULL
+      -- NUL-sanitize before parse (round-7 JSON probe; see
+      -- functions/scalars.py q_json_extract)
+      AND CASE WHEN json_valid(replace(props, chr(0), ''))
+               THEN json_extract_string(replace(props, chr(0), ''), '$.k')
+          END IS NOT NULL
     """,
 )
 def q_filter_notnull(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -42,7 +45,8 @@ def q_filter_notnull(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = load_table(spark, sf_dir, "events")
     return e.where(
-        F.col("props").isNotNull() & F.get_json_object("props", "$.k").isNotNull()
+        F.col("props").isNotNull()
+        & F.get_json_object(F.translate("props", "\x00", ""), "$.k").isNotNull()
     ).select("event_id", "user_id", "event_type", "props")
 
 

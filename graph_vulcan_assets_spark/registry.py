@@ -137,13 +137,21 @@ PRIORITY: tuple[str, ...] = (
     "q_timeseries_gapfill",
     "q_timeseries_interpolate",
     "q_stream_sessionize",
-    # 48-49 -- round-7 churn: extreme-string probe fix + CTE race fix
+    # 48-50 -- round-7 churn: extreme-string probe fix, CTE race fix,
+    # JSON-probe typing fix (integer-regex + try_cast + NUL sanitization)
     "q_text_normalize",
     "q_recursive_cte",
-    # 50 -- evidence-age head of the r3-era tail
-    "q_chunk_documents",
+    "q_json_extract",
     # ---- 50-entry budget line ----
-    # 51+ -- r3 driver-green inventory (oldest unchanged evidence first)
+    # 51 -- RECORDED SPILL for round 8: q_filter_notnull also changed
+    # this round (NUL-sanitized props parse), but the churn overflows the
+    # budget by one; it spills as the freshest-evidence churn key whose
+    # module (filters.py) keeps sibling keys in-budget (q_filter_eq,
+    # q_valid_at) — the round-6 precedent's rule
+    "q_filter_notnull",
+    # 52 -- evidence-age head of the r3-era tail
+    "q_chunk_documents",
+    # 53+ -- r3 driver-green inventory (oldest unchanged evidence first)
     "q_corpus_mix",
     "q_decontaminate",
     "q_hist_equidepth",
@@ -222,7 +230,6 @@ PRIORITY: tuple[str, ...] = (
     "q_array_funcs",
     "q_case_when",
     "q_date_funcs",
-    "q_json_extract",
     "q_map_funcs",
     "q_math_funcs",
     "q_str_funcs",
@@ -256,7 +263,6 @@ PRIORITY: tuple[str, ...] = (
     "q_join_cross",
     "q_join_full",
     "q_drift_psi",
-    "q_filter_notnull",
     "q_bpe_pairs",
     "q_embed_centroid",
     "q_graph_ancestors",

@@ -202,6 +202,27 @@ def _build_hostile_dir(out: str, src: str) -> None:
          'nul' || chr(0) || 'key', 2.0, '{{}}'),
         (9203, TIMESTAMP '2024-01-03 00:00:02', 42,
          chr(9) || 'tab key' || chr(10), 1.5, '{{}}'),
+        -- hostile JSON payloads (round-7 second axis): a string-valued k
+        -- kills a bare ANSI cast; a >int64 number parses as DOUBLE in
+        -- DuckDB's JSON reader but stays raw text in Spark's; 1.9 rounds
+        -- in DuckDB's cast but errors in Spark's; duplicate keys (both
+        -- engines take the FIRST — verified); 100-deep nesting and a
+        -- 100 KB payload stress the parsers; raw control chars make the
+        -- payload INVALID JSON (json_valid false / Jackson NULL)
+        (9301, TIMESTAMP '2024-01-04 00:00:00', 5, 'view', 1.0,
+         '{{"k": "abc"}}'),
+        (9302, TIMESTAMP '2024-01-04 00:00:01', 5, 'view', 1.0,
+         '{{"k": 99999999999999999999}}'),
+        (9303, TIMESTAMP '2024-01-04 00:00:02', 5, 'view', 1.0,
+         '{{"k": 1.9}}'),
+        (9304, TIMESTAMP '2024-01-04 00:00:03', 5, 'view', 1.0,
+         '{{"k": 7, "k": 8}}'),
+        (9305, TIMESTAMP '2024-01-04 00:00:04', 5, 'view', 1.0,
+         repeat('{{"a":', 100) || '1' || repeat('}}', 100)),
+        (9306, TIMESTAMP '2024-01-04 00:00:05', 5, 'view', 1.0,
+         '{{"k": 4, "pad": "' || repeat('z', 100000) || '"}}'),
+        (9307, TIMESTAMP '2024-01-04 00:00:06', 5, 'view', 1.0,
+         '{{"k": 5, "s": "a' || chr(0) || 'b"}}'),
         -- extreme 64-bit ids (round 6): ids are OPAQUE surrogate keys, so
         -- negative / near-INT64_MAX values are legitimate at scale, not
         -- corrupt — id arithmetic must be overflow-safe and sign-safe BY

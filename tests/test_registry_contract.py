@@ -70,8 +70,11 @@ _CHURN = {
     "q_time_weighted_avg", "q_anomaly_zscore", "q_scd2_build",
     "q_session_window", "q_timeseries_gapfill", "q_timeseries_interpolate",
     "q_stream_sessionize",
-    # round-7 churn: extreme-string probe fix + CTE clone race fix
-    "q_text_normalize", "q_recursive_cte",
+    # round-7 churn: extreme-string probe fix + CTE clone race fix +
+    # JSON-probe typing/NUL-sanitization fixes (q_filter_notnull is the
+    # round-8 recorded spill: churn overflowed the budget by one)
+    "q_text_normalize", "q_recursive_cte", "q_json_extract",
+    "q_filter_notnull",
 }
 
 
