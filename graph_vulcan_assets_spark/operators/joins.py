@@ -387,16 +387,16 @@ def q_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     split = "2024-01-15 00:00:00"
 
     def last_per_key(df: DataFrame) -> DataFrame:
-        w = Window.partitionBy("user_id", "event_type").orderBy(
-            F.col("ts").desc(), F.col("event_id").desc()
-        )
-        wall = Window.partitionBy("user_id", "event_type")
-        return (
-            df.withColumn("first_seen", F.min("ts").over(wall))
-            .withColumn("last_seen", F.max("ts").over(wall))
-            .withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .select("user_id", "event_type", "value", "first_seen", "last_seen")
+        # one partial/final HashAggregate instead of two window passes +
+        # a row_number sort (round 7): min/max/max_by all combine
+        # map-side, so the MERGE's snapshot reduction shuffles one
+        # candidate per (key, map partition) and a hot key cannot
+        # serialize a partition sort — the same argmax-as-aggregate
+        # rationale as q_win_last_event
+        return df.groupBy("user_id", "event_type").agg(
+            F.max_by("value", F.struct("ts", "event_id")).alias("value"),
+            F.min("ts").alias("first_seen"),
+            F.max("ts").alias("last_seen"),
         )
 
     e = plausible_times(load_table(spark, sf_dir, "events"))

@@ -46,16 +46,22 @@ def q_tombstone_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
     event per key; the key is expired iff that event is a tombstone
     (here: event_type = 'error' stands in for value IS NULL).
     """
+    # argmax-as-aggregate (round 7, same rationale as q_win_last_event):
+    # max_by gives a partial/final aggregate pair — skew-immune, shuffle
+    # carries one candidate per (key, map partition), no (ts, event_id)
+    # ordering sort
     e = plausible_times(load_table(spark, sf_dir, "events"))
-    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    best = F.max_by(
+        F.struct("event_id", "ts", "event_type"), F.struct("ts", "event_id")
+    )
     return (
-        e.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
+        e.groupBy("user_id")
+        .agg(best.alias("b"))
         .select(
             "user_id",
-            F.col("event_id").alias("last_event_id"),
-            F.col("ts").alias("last_ts"),
-            (F.col("event_type") == "error").alias("expired"),
+            F.col("b.event_id").alias("last_event_id"),
+            F.col("b.ts").alias("last_ts"),
+            (F.col("b.event_type") == "error").alias("expired"),
         )
     )
 

@@ -107,6 +107,20 @@ def test_flagship_aggregate_is_partial_final(spark, sf_dir):
 
 
 @pytest.mark.parametrize(
+    "name", ["q_win_last_event", "q_tombstone_expire", "q_upsert_merge"]
+)
+def test_argmax_is_aggregate_not_window(spark, sf_dir, name):
+    """Last-event-per-key reductions must be max_by AGGREGATES (round 7):
+    partial_max_by before the exchange means the shuffle carries one
+    candidate per (key, map partition) and a hot key reduces map-side —
+    a row_number-over-sorted-partition Window would serialize the hot
+    key's full sort and ship every event through the shuffle."""
+    p = plan_of(spark, sf_dir, name)
+    assert "partial_max_by" in p, "snapshot reduction lost its map-side partial"
+    assert "Window" not in p, "argmax regressed to a window plan"
+
+
+@pytest.mark.parametrize(
     "name",
     [
         "q_dedup_near",
