@@ -37,12 +37,21 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     difference between shuffling hashes and shuffling the corpus. The
     oracle partitions by raw text (same answer absent SHA-256 collisions).
     """
+    # argmin-as-aggregate (round 7, the q_win_last_event rationale): the
+    # representative row per digest is min_by, a partial/final aggregate
+    # pair — the shuffle carries one candidate per (digest, map
+    # partition), so a duplicate-heavy corpus (the dedup TARGET) reduces
+    # map-side instead of funneling every copy into one partition sort
     d = load_table(spark, sf_dir, "documents")
-    w = Window.partitionBy(F.sha2(F.col("text"), 256)).orderBy("doc_id")
+    keep = F.min_by(F.struct("doc_id", "lang", "source"), F.col("doc_id"))
     return (
-        d.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("doc_id", "lang", "source")
+        d.groupBy(F.sha2(F.col("text"), 256).alias("h"))
+        .agg(keep.alias("b"))
+        .select(
+            F.col("b.doc_id").alias("doc_id"),
+            F.col("b.lang").alias("lang"),
+            F.col("b.source").alias("source"),
+        )
     )
 
 
@@ -402,11 +411,16 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist = keyed.where(F.col("doc_id") % 5 < 4).select("fp").distinct()
     batch = keyed.where(F.col("doc_id") % 5 == 4)
     fresh = batch.join(hist, "fp", "left_anti")
-    w = Window.partitionBy("fp").orderBy("doc_id")
+    # argmin-as-aggregate, same as q_dedup_exact
+    keep = F.min_by(F.struct("doc_id", "lang", "source"), F.col("doc_id"))
     return (
-        fresh.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("doc_id", "lang", "source")
+        fresh.groupBy("fp")
+        .agg(keep.alias("b"))
+        .select(
+            F.col("b.doc_id").alias("doc_id"),
+            F.col("b.lang").alias("lang"),
+            F.col("b.source").alias("source"),
+        )
     )
 
 

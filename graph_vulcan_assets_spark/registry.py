@@ -115,8 +115,6 @@ PRIORITY: tuple[str, ...] = (
     "q_agg_minmax",
     "q_win_last_event",
     "q_win_first_seen",
-    "q_win_lag_lead",
-    "q_win_running_sum",
     "q_win_range_frame",
     "q_sessionize",
     "q_tombstone_expire",
@@ -137,21 +135,30 @@ PRIORITY: tuple[str, ...] = (
     "q_timeseries_gapfill",
     "q_timeseries_interpolate",
     "q_stream_sessionize",
-    # 48-50 -- round-7 churn: extreme-string probe fix, CTE race fix,
+    # 46-48 -- round-7 churn: extreme-string probe fix, CTE race fix,
     # JSON-probe typing fix (integer-regex + try_cast + NUL sanitization)
     "q_text_normalize",
     "q_recursive_cte",
     "q_json_extract",
+    # 49-50 -- round-7 churn: argmin-as-aggregate dedup reductions
+    # (min_by instead of row_number windows; r5/r4-era evidence, the
+    # oldest of the changed keys)
+    "q_dedup_exact",
+    "q_dedup_incremental",
     # ---- 50-entry budget line ----
-    # 51 -- RECORDED SPILL for round 8: q_filter_notnull also changed
-    # this round (NUL-sanitized props parse), but the churn overflows the
-    # budget by one; it spills as the freshest-evidence churn key whose
-    # module (filters.py) keeps sibling keys in-budget (q_filter_eq,
-    # q_valid_at) — the round-6 precedent's rule
+    # 51-53 -- RECORDED SPILL for round 8: these three also changed this
+    # round (NUL-sanitized props parse; the event-time domain split), but
+    # the churn overflows the budget by three; they spill as the
+    # freshest-evidence (r6) churn keys whose modules keep sibling keys
+    # in-budget (filters.py via q_filter_eq/q_valid_at; windows.py via
+    # q_win_last_event/q_win_first_seen/q_win_range_frame/q_sessionize) —
+    # the round-6 precedent's rule
     "q_filter_notnull",
-    # 52 -- evidence-age head of the r3-era tail
+    "q_win_lag_lead",
+    "q_win_running_sum",
+    # 54 -- evidence-age head of the r3-era tail
     "q_chunk_documents",
-    # 53+ -- r3 driver-green inventory (oldest unchanged evidence first)
+    # 55+ -- r3 driver-green inventory (oldest unchanged evidence first)
     "q_corpus_mix",
     "q_decontaminate",
     "q_hist_equidepth",
@@ -193,7 +200,6 @@ PRIORITY: tuple[str, ...] = (
     "q_dedup_boilerplate",
     "q_dedup_clusters",
     "q_dedup_containment",
-    "q_dedup_incremental",
     "q_dedup_ngram",
     "q_dedup_span_clean",
     "q_dedup_spans",
@@ -233,7 +239,6 @@ PRIORITY: tuple[str, ...] = (
     "q_map_funcs",
     "q_math_funcs",
     "q_str_funcs",
-    "q_dedup_exact",
     "q_text_search",
     "q_text_stats",
     "q_agg_any_active",

@@ -107,16 +107,23 @@ def test_flagship_aggregate_is_partial_final(spark, sf_dir):
 
 
 @pytest.mark.parametrize(
-    "name", ["q_win_last_event", "q_tombstone_expire", "q_upsert_merge"]
+    "name,partial",
+    [
+        ("q_win_last_event", "partial_max_by"),
+        ("q_tombstone_expire", "partial_max_by"),
+        ("q_upsert_merge", "partial_max_by"),
+        ("q_dedup_exact", "partial_min_by"),
+        ("q_dedup_incremental", "partial_min_by"),
+    ],
 )
-def test_argmax_is_aggregate_not_window(spark, sf_dir, name):
-    """Last-event-per-key reductions must be max_by AGGREGATES (round 7):
-    partial_max_by before the exchange means the shuffle carries one
-    candidate per (key, map partition) and a hot key reduces map-side —
-    a row_number-over-sorted-partition Window would serialize the hot
-    key's full sort and ship every event through the shuffle."""
+def test_argmax_is_aggregate_not_window(spark, sf_dir, name, partial):
+    """Per-key snapshot/representative reductions must be max_by/min_by
+    AGGREGATES (round 7): a partial before the exchange means the shuffle
+    carries one candidate per (key, map partition) and a hot key reduces
+    map-side — a row_number-over-sorted-partition Window would serialize
+    the hot key's full sort and ship every row through the shuffle."""
     p = plan_of(spark, sf_dir, name)
-    assert "partial_max_by" in p, "snapshot reduction lost its map-side partial"
+    assert partial in p, "snapshot reduction lost its map-side partial"
     assert "Window" not in p, "argmax regressed to a window plan"
 
 

@@ -71,10 +71,12 @@ _CHURN = {
     "q_session_window", "q_timeseries_gapfill", "q_timeseries_interpolate",
     "q_stream_sessionize",
     # round-7 churn: extreme-string probe fix + CTE clone race fix +
-    # JSON-probe typing/NUL-sanitization fixes (q_filter_notnull is the
-    # round-8 recorded spill: churn overflowed the budget by one)
+    # JSON-probe typing/NUL-sanitization fixes + argmin-as-aggregate
+    # dedup reductions (q_filter_notnull / q_win_lag_lead /
+    # q_win_running_sum are the round-8 recorded spill: churn overflowed
+    # the budget by three)
     "q_text_normalize", "q_recursive_cte", "q_json_extract",
-    "q_filter_notnull",
+    "q_filter_notnull", "q_dedup_exact", "q_dedup_incremental",
 }
 
 
