@@ -166,24 +166,61 @@ def q_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- shared JSON pre-parse sanitization (rounds 7-8 probe fixes) -----
+#
+# The engines disagree about MALFORMED-ish payloads in two ways:
+#   * raw control chars (RFC 8259 forbids them in strings): Spark's
+#     Jackson leniently accepts a raw NUL, DuckDB's json_valid rejects
+#     the payload (round 7) — so raw NULs are stripped before parsing;
+#   * LONE surrogate escapes (round 8): a payload containing a high
+#     surrogate escape with no low partner is ACCEPTED by Jackson
+#     (extracts every other key fine) but json_valid=false in DuckDB's
+#     yyjson — one hostile row flips a whole payload between the engines.
+# The fix is a shared TEXTUAL transformation applied identically on both
+# sides before any parse: delete lone surrogate escapes, keep valid
+# pairs. Lookaround-free by construction (DuckDB's RE2 has no
+# lookbehind): a single left-to-right alternation whose first branch
+# matches a VALID pair and replaces it with itself (group 1), so the
+# lone-surrogate branches can only consume what the pair branch didn't.
+# Caveat (documented, parity-safe): the pattern cannot see an even
+# number of preceding backslashes, so the literal text
+# backslash-backslash-u-d-8-0-0 (an ESCAPED backslash, valid JSON) also
+# loses its 'u d800' tail and turns invalid — on BOTH engines equally,
+# which is the contract that matters here (one-bad-row discipline, not
+# perfect JSON semantics).
+_SURR_HI = r"\\u[dD][89abAB][0-9a-fA-F]{2}"
+_SURR_LO = r"\\u[dD][c-fC-F][0-9a-fA-F]{2}"
+_LONE_SURROGATE_RE = f"({_SURR_HI}{_SURR_LO})|{_SURR_HI}|{_SURR_LO}"
+
+
+def json_sanitize(col):
+    """Spark side: strip raw NULs, delete lone surrogate escapes."""
+    return F.regexp_replace(F.translate(col, "\x00", ""), _LONE_SURROGATE_RE, "$1")
+
+
+def json_sanitize_sql(expr: str) -> str:
+    """DuckDB mirror of :func:`json_sanitize` (RE2 \\1 backreference)."""
+    return (
+        f"regexp_replace(replace({expr}, chr(0), ''), "
+        f"'{_LONE_SURROGATE_RE}', '\\1', 'g')"
+    )
+
+
 @query(
     "q_json_extract",
-    oracle="""
+    oracle=f"""
     WITH j AS (
       -- json_valid guard mirrors get_json_object's NULL-on-malformed:
       -- DuckDB's json_extract_string RAISES on malformed JSON (one bad
-      -- payload row kills the oracle), Spark quietly yields NULL
-      -- NULs stripped BEFORE parsing (round-7 JSON probe): RFC 8259
-      -- forbids raw control chars in strings, and the engines disagree
-      -- about leniency — Spark's Jackson accepts a raw NUL, DuckDB's
-      -- json_valid rejects it. Same control-char sanitization as the
-      -- Unicode normalizer.
+      -- payload row kills the oracle), Spark quietly yields NULL.
+      -- Pre-parse sanitization (NUL strip + lone-surrogate-escape
+      -- delete) shared with the Spark side — see json_sanitize_sql.
       SELECT event_id,
-             CASE WHEN json_valid(replace(props, chr(0), ''))
-                  THEN json_extract_string(replace(props, chr(0), ''), '$.k')
+             CASE WHEN json_valid({json_sanitize_sql('props')})
+                  THEN json_extract_string({json_sanitize_sql('props')}, '$.k')
              END AS ks,
-             CASE WHEN json_valid(replace(props, chr(0), ''))
-                  THEN json_extract_string(replace(props, chr(0), ''), '$.missing')
+             CASE WHEN json_valid({json_sanitize_sql('props')})
+                  THEN json_extract_string({json_sanitize_sql('props')}, '$.missing')
              END AS missing
       FROM events),
     -- integer-regex + TRY_CAST (round-7 JSON probe): a payload whose k is
@@ -197,7 +234,16 @@ def q_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN regexp_matches(ks, '^-?[0-9]+$')
                   THEN TRY_CAST(ks AS BIGINT) END AS k
       FROM j)
-    SELECT event_id, k, k * 2 AS k2, missing
+    -- k2 gated to |k| < 2^62 (ADVICE r7): a valid-int64 payload k >= 2^62
+    -- passes the regex and TRY_CAST, then the bare multiply errors under
+    -- ANSI on Spark and out-of-ranges in DuckDB — identical fates, so
+    -- parity held, but one hostile row killed the whole query. Explicit
+    -- range compare (NOT abs(): abs(-2^63) itself overflows) mirrors the
+    -- Spark branch exactly; out-of-range k keeps its value, only k2 nulls.
+    SELECT event_id, k,
+           CASE WHEN k > -4611686018427387904 AND k < 4611686018427387904
+                THEN k * 2 END AS k2,
+           missing
     FROM typed
     """,
 )
@@ -208,18 +254,23 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     get_json_object is a codegen'd path expression — no Python involved.
     """
     e = load_table(spark, sf_dir, "events")
-    # NUL-sanitize before parse (mirrored in the oracle): Spark's Jackson
-    # leniently accepts raw control chars RFC 8259 forbids; DuckDB rejects
-    props = F.translate("props", "\x00", "")
+    # shared pre-parse sanitization (NUL strip + lone-surrogate-escape
+    # delete), mirrored in the oracle — see json_sanitize above
+    props = json_sanitize("props")
     ks = F.get_json_object(props, "$.k")
     # integer-regex + try_cast, mirrored in the oracle (see the oracle
     # comment): JSON values are UNTYPED text at extraction — a bare ANSI
     # cast dies on "abc" and diverges on "1.9" / out-of-range numbers
     k = F.when(ks.rlike("^-?[0-9]+$"), ks.try_cast("long"))
+    # overflow-safe doubling (ADVICE r7): |k| < 2^62 gate, range compares
+    # only (abs(-2^63) overflows under ANSI); mirrored in the oracle —
+    # out-of-range k survives, only its double nulls
+    lim = 4611686018427387904  # 2^62
+    k2 = F.when((k > -lim) & (k < lim), k * 2)
     return e.select(
         "event_id",
         k.alias("k"),
-        (k * 2).alias("k2"),
+        k2.alias("k2"),
         F.get_json_object(props, "$.missing").alias("missing"),
     )
 

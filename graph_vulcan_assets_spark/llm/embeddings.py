@@ -72,7 +72,39 @@ EMBED_DIM = 64
 # unnormalized corpus with large activations must either be scaled at
 # ingest or override GVAS_EMBED_BOUND, and dropped vectors are countable
 # via :func:`embedding_gate_report` so the filtering is never invisible.
-EMBED_BOUND = float(__import__("os").environ.get("GVAS_EMBED_BOUND", "100.0"))
+
+
+def _validated_embed_bound() -> float:
+    """Parse + validate the GVAS_EMBED_BOUND override (ADVICE r7).
+
+    The headroom argument above only holds while EMBED_DIM·(2·bound·1e6)²
+    stays inside BIGINT — an override past that silently re-enables the
+    ANSI overflow crashes the bound exists to prevent, so reject it
+    loudly instead. Max for dim 64 is sqrt(9.22e18/64)/2e6 ≈ 189.8."""
+    import math
+    import os
+
+    raw = os.environ.get("GVAS_EMBED_BOUND", "100.0")
+    try:
+        bound = float(raw)
+    except ValueError as exc:
+        raise ValueError(
+            f"GVAS_EMBED_BOUND={raw!r} is not a number; set a positive "
+            f"float (component-magnitude gate for embedding ingest)"
+        ) from exc
+    max_bound = math.sqrt(9.22e18 / EMBED_DIM) / 2e6
+    if not (0 < bound <= max_bound):
+        raise ValueError(
+            f"GVAS_EMBED_BOUND={bound!r} out of range (0, {max_bound:.1f}]: "
+            f"the squared-micros distance sum EMBED_DIM*(2*bound*1e6)^2 "
+            f"must stay inside BIGINT or the exact-integer kmeans/PQ/ADC "
+            f"arithmetic overflows under ANSI — scale the corpus at "
+            f"ingest instead of raising the bound past {max_bound:.1f}"
+        )
+    return bound
+
+
+EMBED_BOUND = _validated_embed_bound()
 
 
 def finite_sql(col: str = "embedding", dim: int = EMBED_DIM) -> str:

@@ -22,31 +22,38 @@ from graph_vulcan_assets_spark.registry import query
 from graph_vulcan_assets_spark.tables import load_table, plausible_times, plausible_ts_sql
 
 
-@query(
-    "q_filter_notnull",
-    oracle="""
+def _filter_notnull_oracle() -> str:
+    from graph_vulcan_assets_spark.functions.scalars import json_sanitize_sql
+
+    return f"""
     SELECT event_id, user_id, event_type, props
     FROM events
     WHERE props IS NOT NULL
       -- CASE guard mirrors get_json_object's NULL-on-malformed (DuckDB's
-      -- extractor raises on a malformed payload; Spark filters it out)
-      -- NUL-sanitize before parse (round-7 JSON probe; see
-      -- functions/scalars.py q_json_extract)
-      AND CASE WHEN json_valid(replace(props, chr(0), ''))
-               THEN json_extract_string(replace(props, chr(0), ''), '$.k')
+      -- extractor raises on a malformed payload; Spark filters it out).
+      -- Shared pre-parse sanitization: NUL strip (round-7 JSON probe) +
+      -- lone-surrogate-escape delete (round-8 probe — Jackson accepts an
+      -- unpaired surrogate escape, yyjson rejects the payload); see
+      -- functions/scalars.py json_sanitize_sql
+      AND CASE WHEN json_valid({json_sanitize_sql('props')})
+               THEN json_extract_string({json_sanitize_sql('props')}, '$.k')
           END IS NOT NULL
-    """,
-)
+    """
+
+
+@query("q_filter_notnull", oracle=_filter_notnull_oracle())
 def q_filter_notnull(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Null-guard predicate (P1): mandatory-field check as a filter.
 
     Reference errors when a mandatory header is missing
     (vulcan/vulcan.go:136-156); the engine splits valid rows by predicate.
     """
+    from graph_vulcan_assets_spark.functions.scalars import json_sanitize
+
     e = load_table(spark, sf_dir, "events")
     return e.where(
         F.col("props").isNotNull()
-        & F.get_json_object(F.translate("props", "\x00", ""), "$.k").isNotNull()
+        & F.get_json_object(json_sanitize("props"), "$.k").isNotNull()
     ).select("event_id", "user_id", "event_type", "props")
 
 

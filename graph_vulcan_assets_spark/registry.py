@@ -51,114 +51,43 @@ def load_all() -> None:
 # Exposure order for ``queries()`` / ``oracle_sql()``. The driver runs its
 # 50-entry correctness budget over queries in iteration order, so each round
 # rotates the highest-value checks to the front (round-2 verdict item #1:
-# budget rotation, not code). Round-7 order (VERDICT r6 #1/#2): the
-# standing rule — (module-changed-since-last-driver-row, evidence age):
+# budget rotation, not code). Round-8 order (VERDICT r7 #1): the standing
+# rule — (module-changed-since-last-driver-row, evidence age):
 #
-#   positions 1-3   = the source-reader family: round 6's ONE red row
-#                     (q_source_csv emitted a raw DECIMAL(38,0); now a
-#                     sign-safe BIGINT residue) plus its latent-red
-#                     siblings sharing _rt_agg/_RT_ORACLE — all three
-#                     changed again this round (residue + CSV trim fix).
-#   positions 4-8   = the rest of the round-6 RECORDED SPILL (changed in
-#                     r6, displaced by that round's budget; modules kept
-#                     sibling keys in-budget).
-#   positions 9-10  = r1-era evidence (oldest driver rows in the registry).
-#   positions 11-21 = r2-era evidence, unchanged since.
-#   positions 22-47 = round-7 churn: the event-time domain split (ADVICE
-#                     r6 high — the 22 raw-ts queries widened to the
-#                     REPRESENTABLE domain [1583, 9999-12-31], the 4
-#                     spine/derived-instant/streaming queries moved to
-#                     the explicit BOUNDED domain; every one of the 26
-#                     changed code AND oracle in lockstep), plus
-#   position 48     = q_text_normalize (NUL sanitization before Unicode
-#                     normalization — extreme-string probe: DuckDB's
-#                     utf8proc normalizer is NUL-terminating) and
-#   position 49     = q_recursive_cte (per-sf_dir view names + clone
-#                     lock, ADVICE r6 medium).
-#   position 50     = evidence-age rotation head of the r3-era tail.
-#   positions 51+   = r3 / r4 / r5 / r6 driver-green inventory, oldest
-#                     evidence first, freshest last — it loses nothing if
-#                     the fixed-size budget cuts off.
+#   positions 1-3   = the round-7 RECORDED SPILL (changed r7 — NUL-
+#                     sanitized props parse / widened ts domain — and
+#                     displaced by that round's fixed budget; judge
+#                     re-verified green, but the driver must confirm).
+#                     q_filter_notnull also changed AGAIN in r8 (shared
+#                     lone-surrogate JSON sanitization).
+#   position 4      = q_json_extract: changed r8 (overflow-safe k2 gate,
+#                     ADVICE r7 + lone-surrogate-escape sanitization from
+#                     the round-8 JSON probe — query AND oracle).
+#   positions 5-7   = the source-reader trio: readers.py changed r8
+#                     (unconditional reader fidelity options + atomic
+#                     cache publish, ADVICE r7) — driver-path behavior is
+#                     argued unchanged, but the module-churn rule does
+#                     not take arguments, it takes driver rows.
+#   positions 8-42  = the r3-era evidence tail (the 35 oldest driver rows
+#                     in the registry, all modules unchanged since).
+#   positions 43-50 = head of the r4-era evidence block.
+#   positions 51+   = rest of r4, then r5 / r6 / r7 driver-green
+#                     inventory, oldest evidence first, freshest last —
+#                     it loses nothing if the fixed-size budget cuts off.
 PRIORITY: tuple[str, ...] = (
-    # 1-3 -- source-reader family: the r6 red row + latent-red siblings,
-    # changed again this round (BIGINT residue emit + CSV trim fix)
-    "q_source_csv",
-    "q_source_jsonl",
-    "q_source_orc",
-    # 4-8 -- remainder of the round-6 recorded spill (changed r6, never
-    # driver-seen since)
-    "q_embed_matryoshka",
-    "q_pq_adc_topk",
-    "q_sim_mrl_rerank",
-    "q_dedup_semantic",
-    "q_mix_materialize",
-    # 9-10 -- r1-era evidence, module unchanged since
-    "q_subquery_exists_corr",
-    "q_subquery_scalar",
-    # 11-21 -- r2-era evidence, module unchanged since
-    "q_except",
-    "q_explode_filter",
-    "q_filter_in_like",
-    "q_filter_range",
-    "q_intersect",
-    "q_limit_offset",
-    "q_scan_pruned",
-    "q_semver_gate",
-    "q_split_key",
-    "q_union_all",
-    "q_union_distinct",
-    # 22-47 -- round-7 churn: event-time domain split. First the 22
-    # REPRESENTABLE-domain (emit-path) keys...
-    "q_scan_events",
-    "q_filter_eq",
-    "q_valid_at",
-    "q_agg_minmax",
-    "q_win_last_event",
-    "q_win_first_seen",
-    "q_win_range_frame",
-    "q_sessionize",
-    "q_tombstone_expire",
-    "q_time_tumbling",
-    "q_time_sliding",
-    "q_rollup_cascade",
-    "q_upsert_merge",
-    "q_join_asof_tolerance",
-    "q_join_interval",
-    "q_funnel",
-    "q_retention_cohorts",
-    "q_time_weighted_avg",
-    "q_anomaly_zscore",
-    "q_scd2_build",
-    # ...then the 4 BOUNDED-domain (spine / derived-instant / streaming
-    # stateful) keys
-    "q_session_window",
-    "q_timeseries_gapfill",
-    "q_timeseries_interpolate",
-    "q_stream_sessionize",
-    # 46-48 -- round-7 churn: extreme-string probe fix, CTE race fix,
-    # JSON-probe typing fix (integer-regex + try_cast + NUL sanitization)
-    "q_text_normalize",
-    "q_recursive_cte",
-    "q_json_extract",
-    # 49-50 -- round-7 churn: argmin-as-aggregate dedup reductions
-    # (min_by instead of row_number windows; r5/r4-era evidence, the
-    # oldest of the changed keys)
-    "q_dedup_exact",
-    "q_dedup_incremental",
-    # ---- 50-entry budget line ----
-    # 51-53 -- RECORDED SPILL for round 8: these three also changed this
-    # round (NUL-sanitized props parse; the event-time domain split), but
-    # the churn overflows the budget by three; they spill as the
-    # freshest-evidence (r6) churn keys whose modules keep sibling keys
-    # in-budget (filters.py via q_filter_eq/q_valid_at; windows.py via
-    # q_win_last_event/q_win_first_seen/q_win_range_frame/q_sessionize) —
-    # the round-6 precedent's rule
+    # 1-3 -- round-7 recorded spill (changed r7, never driver-seen since;
+    # q_filter_notnull changed again r8)
     "q_filter_notnull",
     "q_win_lag_lead",
     "q_win_running_sum",
-    # 54 -- evidence-age head of the r3-era tail
+    # 4 -- round-8 churn: overflow-safe k2 + lone-surrogate sanitization
+    "q_json_extract",
+    # 5-7 -- round-8 churn: readers.py fidelity/atomic-publish fixes
+    "q_source_csv",
+    "q_source_jsonl",
+    "q_source_orc",
+    # 8-42 -- r3-era evidence tail (oldest driver rows, unchanged code)
     "q_chunk_documents",
-    # 55+ -- r3 driver-green inventory (oldest unchanged evidence first)
     "q_corpus_mix",
     "q_decontaminate",
     "q_hist_equidepth",
@@ -193,7 +122,7 @@ PRIORITY: tuple[str, ...] = (
     "q_udtf_sentences",
     "q_win_rank",
     "q_win_topk_group",
-    # -- r4 driver-green inventory
+    # 43-50 -- head of the r4-era evidence block ...
     "q_agg_filtered",
     "q_agg_grouping_sets",
     "q_cms_heavy_hitters",
@@ -202,6 +131,9 @@ PRIORITY: tuple[str, ...] = (
     "q_dedup_containment",
     "q_dedup_ngram",
     "q_dedup_span_clean",
+    # ---- 50-entry budget line ----
+    # 51+ -- rest of the r4 block; no recorded spill this round (every
+    # key changed in r8 sits inside the budget)
     "q_dedup_spans",
     "q_dq_checks",
     "q_entity_pairs",
@@ -258,8 +190,7 @@ PRIORITY: tuple[str, ...] = (
     "q_join_range",
     "q_join_semi",
     "q_cascade_expire",
-    # -- r6 driver-green inventory, unchanged this round (freshest
-    # evidence, last)
+    # -- r6 driver-green inventory, unchanged this round
     "q_agg_listagg",
     "q_agg_mode",
     "q_agg_percentile",
@@ -283,6 +214,55 @@ PRIORITY: tuple[str, ...] = (
     "q_corpus_shuffle",
     "q_mix_temperature",
     "q_multimodal_framesample",
+    # -- r7 driver-green inventory, unchanged this round (freshest
+    # evidence, last): the r6 spill + r1/r2 refresh + event-time domain
+    # split + probe-fix keys, all driver-confirmed in CORRECTNESS_r07
+    "q_embed_matryoshka",
+    "q_pq_adc_topk",
+    "q_sim_mrl_rerank",
+    "q_dedup_semantic",
+    "q_mix_materialize",
+    "q_subquery_exists_corr",
+    "q_subquery_scalar",
+    "q_except",
+    "q_explode_filter",
+    "q_filter_in_like",
+    "q_filter_range",
+    "q_intersect",
+    "q_limit_offset",
+    "q_scan_pruned",
+    "q_semver_gate",
+    "q_split_key",
+    "q_union_all",
+    "q_union_distinct",
+    "q_scan_events",
+    "q_filter_eq",
+    "q_valid_at",
+    "q_agg_minmax",
+    "q_win_last_event",
+    "q_win_first_seen",
+    "q_win_range_frame",
+    "q_sessionize",
+    "q_tombstone_expire",
+    "q_time_tumbling",
+    "q_time_sliding",
+    "q_rollup_cascade",
+    "q_upsert_merge",
+    "q_join_asof_tolerance",
+    "q_join_interval",
+    "q_funnel",
+    "q_retention_cohorts",
+    "q_time_weighted_avg",
+    "q_anomaly_zscore",
+    "q_scd2_build",
+    "q_session_window",
+    "q_timeseries_gapfill",
+    "q_timeseries_interpolate",
+    "q_stream_sessionize",
+    "q_text_normalize",
+    "q_recursive_cte",
+    "q_dedup_exact",
+    "q_dedup_incremental",
 )
 
 

@@ -34,6 +34,7 @@ def read_csv(
     schema: T.StructType,
     header: bool = True,
     null_value: str | None = None,
+    multi_line: bool = True,
 ) -> DataFrame:
     """Explicit-schema CSV reader.
 
@@ -41,22 +42,27 @@ def read_csv(
     empty field reads as NULL. Pass ``null_value=_CSV_NULL`` for files
     written by this repo's writers, which serialize NULL as ``\\N`` and
     the empty string as an empty field — then the reader keeps the two
-    distinct (``emptyValue ''`` maps empty fields back to ''), preserves
-    leading/trailing whitespace (the writer/reader trim defaults silently
-    mangle a tab-or-newline-edged dictionary key — round-7 extreme-string
-    probe), and parses quoted embedded newlines via ``multiLine``.
-    SCALE NOTE: multiLine CSV is NOT splittable (one file = one task) —
-    acceptable for this repo's derived round-trip copies; externally
-    produced big CSVs should avoid embedded newlines instead."""
-    reader = spark.read.schema(schema).option("header", str(header).lower())
+    distinct (``emptyValue ''`` maps empty fields back to '').
+
+    Fidelity options are UNCONDITIONAL (ADVICE r7 — they used to hinge on
+    the null-sentinel argument, so a caller reading a repo-written CSV
+    without ``null_value`` silently got different trim/newline handling):
+    leading/trailing whitespace is always preserved (the trim defaults
+    silently mangle a tab-or-newline-edged dictionary key — round-7
+    extreme-string probe), and quoted embedded newlines parse via
+    ``multiLine``. SCALE NOTE: multiLine CSV is NOT splittable (one file
+    = one task) — right for this repo's derived round-trip copies; pass
+    ``multi_line=False`` for large externally produced CSVs, which should
+    avoid embedded newlines instead."""
+    reader = (
+        spark.read.schema(schema)
+        .option("header", str(header).lower())
+        .option("ignoreLeadingWhiteSpace", "false")
+        .option("ignoreTrailingWhiteSpace", "false")
+        .option("multiLine", str(multi_line).lower())
+    )
     if null_value is not None:
-        reader = (
-            reader.option("nullValue", null_value)
-            .option("emptyValue", "")
-            .option("ignoreLeadingWhiteSpace", "false")
-            .option("ignoreTrailingWhiteSpace", "false")
-            .option("multiLine", "true")
-        )
+        reader = reader.option("nullValue", null_value).option("emptyValue", "")
     return reader.csv(path)
 
 
@@ -169,13 +175,26 @@ def _cache_key(sf_dir: str, fmt: str) -> str:
 
 
 def _events_copy(spark: SparkSession, sf_dir: str, fmt: str) -> str:
-    """Materialize the 3-column events projection as `fmt`, once."""
+    """Materialize the 3-column events projection as `fmt`, once.
+
+    Publication is ATOMIC (ADVICE r7): the copy is written to a
+    process-private temp dir and os.rename'd into place, so a crashed or
+    concurrent writer can never leave a half-written directory where a
+    reader (including the driver's) would find it — the cache path either
+    doesn't exist or holds a complete _SUCCESS-marked copy."""
     tag = sf_dir.strip("/").replace("/", "_")
     out = f"/tmp/gvas-src-cache/{tag}/{_cache_key(sf_dir, fmt)}/{fmt}"
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        if os.path.isdir(out):
+            # unmarked directory = garbage from a pre-atomic-publish crash;
+            # clear it so the rename below can land
+            import shutil
+
+            shutil.rmtree(out, ignore_errors=True)
         df = load_table(spark, sf_dir, "events").select(
             "event_id", "user_id", "event_type"
         )
+        tmp = f"{out}.tmp-{os.getpid()}"
         writer = df.write.mode("overwrite")
         if fmt == "csv":
             writer = (
@@ -188,7 +207,16 @@ def _events_copy(spark: SparkSession, sf_dir: str, fmt: str) -> str:
                 .option("ignoreLeadingWhiteSpace", "false")
                 .option("ignoreTrailingWhiteSpace", "false")
             )
-        writer.format(fmt).save(out)
+        writer.format(fmt).save(tmp)
+        try:
+            os.rename(tmp, out)
+        except OSError:
+            # a concurrent writer published first — its copy is complete
+            # (rename is atomic) and content-identical (content-addressed
+            # key); drop ours
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
     return out
 
 

@@ -118,7 +118,25 @@ def _build_hostile_dir(out: str, src: str) -> None:
         (9011, 'plain words here', repeat('L', 100000), 'web', 16),
         (9012, 'more plain words', 'en' || chr(0) || 'x',
          'src' || chr(0) || 'dev', 16),
-        (9013, 'nul' || chr(0) || 'body text words', 'en', 'web', 19)
+        (9013, 'nul' || chr(0) || 'body text words', 'en', 'web', 19),
+        -- zero-width / combining-char storms (round 8 probe): ZWSP/ZWNJ/
+        -- ZWJ/BOM between letters (invisible to the eye, real to every
+        -- tokenizer and hash), a 30-mark zalgo storm (canonical-ordering
+        -- stress for NFC; all-Mn drop for accent folding), and bidi
+        -- controls (RLO/LRM) — divergence candidates between Python's
+        -- unicodedata and DuckDB's utf8proc on both the NFC and the
+        -- NFD-drop-Mn paths, and shuffle-key / dictionary stress for the
+        -- tokenizing queries
+        (9021, 'zero' || chr(8203) || 'width' || chr(8204) || 'join'
+               || chr(8205) || 'er ' || chr(65279) || 'bom word', 'en', 'web', 26),
+        (9022, 'e' || repeat(chr(769), 30) || ' zalgo '
+               || 'a' || chr(768) || chr(769) || chr(776) || chr(803)
+               || chr(769) || ' storm', 'en', 'web', 45),
+        (9023, 'abc ' || chr(8238) || 'cba' || chr(8237) || ' mid '
+               || chr(8206) || 'end', 'en', 'web', 14),
+        -- the id-bounded-subset twin (ground truths filter doc_id < 200)
+        (153, 'p' || chr(8203) || 'air e' || repeat(chr(769), 8)
+              || ' words', 'en', 'web', 21)
       ) AS v(doc_id, text, lang, source, n_chars)
     ) TO '{out}/documents.parquet' (FORMAT parquet)
     """)
@@ -223,6 +241,33 @@ def _build_hostile_dir(out: str, src: str) -> None:
          '{{"k": 4, "pad": "' || repeat('z', 100000) || '"}}'),
         (9307, TIMESTAMP '2024-01-04 00:00:06', 5, 'view', 1.0,
          '{{"k": 5, "s": "a' || chr(0) || 'b"}}'),
+        -- int64-EDGE k values (round 8, ADVICE r7): valid int64 text that
+        -- passes the integer regex and TRY_CAST, then overflows any bare
+        -- downstream arithmetic (k*2 at |k| >= 2^62) — ANSI error on
+        -- Spark, out-of-range on DuckDB, both fatal; pins the range-gated
+        -- k2 (and abs() is NOT the gate: abs(-2^63) itself overflows)
+        (9308, TIMESTAMP '2024-01-04 00:00:07', 5, 'view', 1.0,
+         '{{"k": 4611686018427387904}}'),
+        (9309, TIMESTAMP '2024-01-04 00:00:08', 5, 'view', 1.0,
+         '{{"k": -9223372036854775808}}'),
+        (9310, TIMESTAMP '2024-01-04 00:00:09', 5, 'view', 1.0,
+         '{{"k": 9223372036854775807}}'),
+        -- unicode-escape surrogate handling (round 8 probe): a VALID
+        -- escaped surrogate pair (astral 😀), a raw astral char, and a
+        -- LONE high surrogate escape — the lone surrogate is the
+        -- divergence candidate (parsers may reject, replace with U+FFFD,
+        -- or pass through unpaired)
+        (9311, TIMESTAMP '2024-01-04 00:00:10', 5, 'view', 1.0,
+         '{{"k": 11, "s": "\\ud83d\\ude00"}}'),
+        (9312, TIMESTAMP '2024-01-04 00:00:11', 5, 'view', 1.0,
+         '{{"k": 12, "s": "😀 raw astral"}}'),
+        (9313, TIMESTAMP '2024-01-04 00:00:12', 5, 'view', 1.0,
+         '{{"k": 13, "s": "lone \\ud800 surrogate"}}'),
+        -- an ESCAPED NUL (backslash-u0000) is VALID JSON per RFC 8259 — unlike the
+        -- raw control char in 9307 — so it survives the pre-parse raw-NUL
+        -- strip and lands a real NUL inside the EXTRACTED string
+        (9314, TIMESTAMP '2024-01-04 00:00:13', 5, 'view', 1.0,
+         '{{"k": 14, "s": "esc\\u0000nul"}}'),
         -- extreme 64-bit ids (round 6): ids are OPAQUE surrogate keys, so
         -- negative / near-INT64_MAX values are legitimate at scale, not
         -- corrupt — id arithmetic must be overflow-safe and sign-safe BY

@@ -106,3 +106,33 @@ def test_pq_gate_evaluates_once_per_pipeline(spark, sf_dir):
             assert "Scan ExistingRDD" in plan  # the checkpoint is the source
     finally:
         vecs.unpersist()
+
+
+def test_embed_bound_override_is_validated(monkeypatch):
+    """GVAS_EMBED_BOUND guardrails (ADVICE r7): a malformed value must
+    fail with a named, actionable error (not a bare float() traceback at
+    import), and an override past the BIGINT-headroom ceiling — which
+    would silently re-enable the ANSI overflow crashes the bound exists
+    to prevent — must be rejected loudly."""
+    import pytest
+
+    from graph_vulcan_assets_spark.llm import embeddings as E
+
+    monkeypatch.setenv("GVAS_EMBED_BOUND", "not-a-number")
+    with pytest.raises(ValueError, match="GVAS_EMBED_BOUND"):
+        E._validated_embed_bound()
+
+    # past the ceiling: dim*(2*bound*1e6)^2 > BIGINT for bound ~ 1e4
+    monkeypatch.setenv("GVAS_EMBED_BOUND", "10000")
+    with pytest.raises(ValueError, match="BIGINT"):
+        E._validated_embed_bound()
+
+    monkeypatch.setenv("GVAS_EMBED_BOUND", "-1")
+    with pytest.raises(ValueError):
+        E._validated_embed_bound()
+
+    monkeypatch.setenv("GVAS_EMBED_BOUND", "50.5")
+    assert E._validated_embed_bound() == 50.5
+
+    monkeypatch.delenv("GVAS_EMBED_BOUND")
+    assert E._validated_embed_bound() == 100.0

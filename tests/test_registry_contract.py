@@ -3,9 +3,9 @@
 The driver checks the FIRST 50 queries in iteration order against their
 oracles — these tests pin the properties that make that budget count:
 every exposed query is callable, every first-50 entry carries an oracle,
-and the round-7 rotation (r6 red row + recorded spill + r1/r2-era
-evidence + round-7 churn + evidence-age tail) stays at the front until
-the next deliberate rotation.
+and the round-8 rotation (r7 recorded spill + round-8 churn + the
+r3/r4-era evidence-age tail) stays at the front until the next
+deliberate rotation.
 """
 
 from __future__ import annotations
@@ -35,7 +35,7 @@ def test_first_50_all_have_oracles():
 
 def _last_green_round() -> dict[str, int]:
     last: dict[str, int] = {}
-    for r in (1, 2, 3, 4, 5, 6):
+    for r in (1, 2, 3, 4, 5, 6, 7):
         path = os.path.join(REPO, f"CORRECTNESS_r0{r}.json")
         if os.path.exists(path):
             for k, v in json.load(open(path)).items():
@@ -45,38 +45,24 @@ def _last_green_round() -> dict[str, int]:
 
 
 # Keys whose implementing modules changed AFTER their latest driver row
-# (the module-change analysis behind the round-7 rotation — NOTES_r6 "For
-# round 7" for the r6-spill keys, NOTES_r7 for this round's changes). A
+# (the module-change analysis behind the round-8 rotation — NOTES_r7 "For
+# round 8" for the r7-spill keys, NOTES_r8 for this round's changes). A
 # top-50 slot is justified for these regardless of how fresh their last
 # green row is, because that row predates the code.
 _CHURN = {
-    # round-6 churn never driver-seen (the r6 recorded spill): EMBED_BOUND
-    # gate / semantic-dedup / mix materialization changed in late r6,
-    # displaced by that round's fixed budget
-    "q_embed_matryoshka", "q_pq_adc_topk", "q_sim_mrl_rerank",
-    "q_dedup_semantic", "q_mix_materialize",
-    # round-7 churn: source-reader family (BIGINT residue emit + CSV
-    # whitespace-trim fix)
+    # round-7 churn never driver-seen (the r7 recorded spill, VERDICT r7
+    # #1): NUL-sanitized props parse / widened ts domain landed in r7 but
+    # the 26-key domain-split churn overflowed that round's budget
+    "q_filter_notnull", "q_win_lag_lead", "q_win_running_sum",
+    # round-8 churn: overflow-safe k2 gate (ADVICE r7) + shared
+    # lone-surrogate JSON sanitization (round-8 probe find — Jackson
+    # accepts an unpaired surrogate escape, yyjson rejects the payload),
+    # query AND oracle in lockstep (q_filter_notnull shares it, above)
+    "q_json_extract",
+    # round-8 churn: readers.py — unconditional reader fidelity options +
+    # atomic cache publish (ADVICE r7); driver-path behavior argued
+    # unchanged, but the module-churn rule takes driver rows, not args
     "q_source_csv", "q_source_jsonl", "q_source_orc",
-    # round-7 churn: event-time domain split (ADVICE r6 high) — the 22
-    # REPRESENTABLE-domain keys and the 4 BOUNDED-domain keys, each
-    # changed code AND oracle in lockstep
-    "q_scan_events", "q_filter_eq", "q_valid_at", "q_agg_minmax",
-    "q_win_last_event", "q_win_first_seen", "q_win_lag_lead",
-    "q_win_running_sum", "q_win_range_frame", "q_sessionize",
-    "q_tombstone_expire", "q_time_tumbling", "q_time_sliding",
-    "q_rollup_cascade", "q_upsert_merge", "q_join_asof_tolerance",
-    "q_join_interval", "q_funnel", "q_retention_cohorts",
-    "q_time_weighted_avg", "q_anomaly_zscore", "q_scd2_build",
-    "q_session_window", "q_timeseries_gapfill", "q_timeseries_interpolate",
-    "q_stream_sessionize",
-    # round-7 churn: extreme-string probe fix + CTE clone race fix +
-    # JSON-probe typing/NUL-sanitization fixes + argmin-as-aggregate
-    # dedup reductions (q_filter_notnull / q_win_lag_lead /
-    # q_win_running_sum are the round-8 recorded spill: churn overflowed
-    # the budget by three)
-    "q_text_normalize", "q_recursive_cte", "q_json_extract",
-    "q_filter_notnull", "q_dedup_exact", "q_dedup_incremental",
 }
 
 

@@ -99,3 +99,48 @@ def test_cache_key_is_content_addressed(tmp_path):
     k3 = readers._cache_key(str(sf), "csv")
     (d / "part-1.parquet").write_bytes(b"b")
     assert readers._cache_key(str(sf), "csv") != k3
+
+
+def test_read_csv_fidelity_unconditional(spark, tmp_path):
+    """Trim/multiLine fidelity must NOT hinge on the null-sentinel
+    argument (ADVICE r7): a repo-written CSV read back WITHOUT
+    null_value keeps edge whitespace and quoted embedded newlines."""
+    import pyspark.sql.types as T
+
+    p = tmp_path / "ws"
+    p.mkdir()
+    (p / "part.csv").write_text('id,name\n1,"\ttab key\n"\n2,"  padded  "\n')
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("name", T.StringType())]
+    )
+    got = {r["id"]: r["name"] for r in read_csv(spark, str(p), schema).collect()}
+    assert got == {1: "\ttab key\n", 2: "  padded  "}
+
+    # the scale escape hatch: multi_line=False restores splittable reads
+    # (and therefore splits the embedded-newline row — that is the
+    # documented trade, not silent truncation of the option set)
+    flat = read_csv(spark, str(p), schema, multi_line=False)
+    assert flat.count() == 3  # newline row split in two + the padded row
+
+
+def test_events_copy_recovers_stale_partial_cache(spark, sf_dir):
+    """Atomic publication (ADVICE r7): a cache directory WITHOUT _SUCCESS
+    (a pre-atomic-publish crash artifact) must be cleared and rebuilt, not
+    poison every later call with path-already-exists."""
+    import os
+    import shutil
+
+    from graph_vulcan_assets_spark.sources import readers
+
+    out = readers._events_copy(spark, sf_dir, "csv")
+    assert os.path.exists(os.path.join(out, "_SUCCESS"))
+
+    # simulate the crash: same cache path, marker gone, files half-there
+    os.remove(os.path.join(out, "_SUCCESS"))
+    rebuilt = readers._events_copy(spark, sf_dir, "csv")
+    assert rebuilt == out
+    assert os.path.exists(os.path.join(out, "_SUCCESS"))
+    # and no orphaned temp dirs left behind
+    parent = os.path.dirname(out)
+    assert not [d for d in os.listdir(parent) if ".tmp-" in d]
+    shutil.rmtree(parent, ignore_errors=True)  # drop the now-unmarked-free cache
