@@ -283,10 +283,14 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(CAST(embedding[1] AS DOUBLE), 6) AS first_component,
            -- the CASE mirrors Spark's NULL-STRICT aggregate fold: one NULL
            -- component makes the whole norm NULL there, while DuckDB's
-           -- list_sum would silently SKIP the NULL and return a partial norm
+           -- list_sum would silently SKIP the NULL and return a partial norm.
+           -- The coalesce mirrors the fold's 0.0 INIT value on an EMPTY
+           -- array (round-8 probe): Spark's aggregate over [] returns the
+           -- init (norm 0.0) while DuckDB's list_sum([]) is NULL
            CASE WHEN len(list_filter(embedding, x -> x IS NULL)) = 0
-                THEN round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
-                                                        x -> x * x))), 6)
+                THEN round(sqrt(coalesce(list_sum(
+                       list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)),
+                       0.0)), 6)
            END AS l2_norm,
            CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
            round(CAST(list_max(embedding) AS DOUBLE), 6) AS max_component
@@ -299,12 +303,23 @@ def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference: annotation-array iteration (main.go:131-138). The L2 norm is
     a higher-order `aggregate` fold — fully JVM-side, the pattern reused by
     the cosine-similarity operator.
+
+    try_element_at, not element_at (round-8 probe): under ANSI a bare
+    element_at on an EMPTY array kills the whole query with
+    INVALID_ARRAY_INDEX_IN_ELEMENT_AT, while DuckDB's embedding[1]
+    returns NULL — one zero-length vector (a decoder bug, a truncated
+    write) must cost one NULL, not the job. The other element_at sites in
+    the package are safe by construction: short-circuiting And guards
+    (Catalyst's And skips the right side when size(...) fails) or
+    index ranges derived from the array's own size.
     """
     e = load_table(spark, sf_dir, "embeddings")
     return e.select(
         "vec_id",
         F.size("embedding").cast("long").alias("dim"),
-        F.round(F.element_at("embedding", 1).cast("double"), 6).alias("first_component"),
+        F.round(F.try_element_at("embedding", F.lit(1)).cast("double"), 6).alias(
+            "first_component"
+        ),
         F.round(
             F.sqrt(
                 F.aggregate(

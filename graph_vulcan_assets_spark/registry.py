@@ -68,9 +68,15 @@ def load_all() -> None:
 #                     cache publish, ADVICE r7) — driver-path behavior is
 #                     argued unchanged, but the module-churn rule does
 #                     not take arguments, it takes driver rows.
-#   positions 8-42  = the r3-era evidence tail (the 35 oldest driver rows
+#   position 8      = q_array_funcs: changed r8 (try_element_at + the
+#                     oracle's empty-array coalesce — the round-8
+#                     empty-vector probe find, query AND oracle).
+#   positions 9-43  = the r3-era evidence tail (the 35 oldest driver rows
 #                     in the registry, all modules unchanged since).
-#   positions 43-50 = head of the r4-era evidence block.
+#   positions 44-50 = head of the r4-era evidence block
+#                     (q_dedup_span_clean is the round-8 RECORDED SPILL:
+#                     displaced to 51 by the q_array_funcs churn; code
+#                     unchanged since r4, module siblings in-budget).
 #   positions 51+   = rest of r4, then r5 / r6 / r7 driver-green
 #                     inventory, oldest evidence first, freshest last —
 #                     it loses nothing if the fixed-size budget cuts off.
@@ -86,7 +92,10 @@ PRIORITY: tuple[str, ...] = (
     "q_source_csv",
     "q_source_jsonl",
     "q_source_orc",
-    # 8-42 -- r3-era evidence tail (oldest driver rows, unchanged code)
+    # 8 -- round-8 churn: try_element_at + empty-array norm coalesce
+    # (the empty-vector probe find)
+    "q_array_funcs",
+    # 9-43 -- r3-era evidence tail (oldest driver rows, unchanged code)
     "q_chunk_documents",
     "q_corpus_mix",
     "q_decontaminate",
@@ -130,10 +139,13 @@ PRIORITY: tuple[str, ...] = (
     "q_dedup_clusters",
     "q_dedup_containment",
     "q_dedup_ngram",
-    "q_dedup_span_clean",
     # ---- 50-entry budget line ----
-    # 51+ -- rest of the r4 block; no recorded spill this round (every
-    # key changed in r8 sits inside the budget)
+    # 51 -- q_dedup_span_clean is the round-8 RECORDED SPILL: displaced
+    # by the q_array_funcs churn insertion at position 8; its code is
+    # unchanged since its r4 driver row and its module siblings
+    # (q_dedup_spans and the r3-tail dedup keys) sit in-budget
+    "q_dedup_span_clean",
+    # 52+ -- rest of the r4 block
     "q_dedup_spans",
     "q_dq_checks",
     "q_entity_pairs",
@@ -165,7 +177,6 @@ PRIORITY: tuple[str, ...] = (
     "q_classifier_route",
     "q_feature_hashing",
     "q_topic_assign",
-    "q_array_funcs",
     "q_case_when",
     "q_date_funcs",
     "q_map_funcs",

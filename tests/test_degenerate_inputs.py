@@ -152,12 +152,19 @@ def _build_hostile_dir(out: str, src: str) -> None:
         (9005, [1.0, 2.0, 3.0]::FLOAT[], 3),
         (9006, {nullcomp}, 4),
         (9007, {huge}, 5),
+        -- EMPTY vector (round 8): dim 0 is the extreme wrong-dimension —
+        -- a bare ANSI element_at dies on it (pins q_array_funcs'
+        -- try_element_at) and Spark's aggregate fold returns the 0.0 init
+        -- where DuckDB's list_sum([]) is NULL (pins the oracle's coalesce);
+        -- every gated embedding query drops it via len = 64
+        (9008, []::FLOAT[], 8),
         -- poison INSIDE the id-bounded subsets (q_dedup_embed's
         -- vec_id < 200): an id bound is not a gate, and before round 6
         -- these rows would 0/0-crash / NaN-pair that query while every
         -- 9xxx row sailed past its filter
         (150, {zero}, 6),
-        (151, {huge}, 7)
+        (151, {huge}, 7),
+        (152, []::FLOAT[], 9)
       ) AS v(vec_id, embedding, label)
       UNION ALL BY NAME
       -- a clean vector under a NEGATIVE id (ids are opaque 64-bit keys):

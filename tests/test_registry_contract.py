@@ -63,6 +63,11 @@ _CHURN = {
     # atomic cache publish (ADVICE r7); driver-path behavior argued
     # unchanged, but the module-churn rule takes driver rows, not args
     "q_source_csv", "q_source_jsonl", "q_source_orc",
+    # round-8 churn: the empty-vector probe find — try_element_at (a bare
+    # ANSI element_at dies on a zero-length embedding) + the oracle's
+    # empty-array norm coalesce (Spark's fold returns the 0.0 init where
+    # DuckDB's list_sum([]) is NULL), query and oracle in lockstep
+    "q_array_funcs",
 }
 
 
