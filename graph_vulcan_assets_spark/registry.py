@@ -51,101 +51,35 @@ def load_all() -> None:
 # Exposure order for ``queries()`` / ``oracle_sql()``. The driver runs its
 # 50-entry correctness budget over queries in iteration order, so each round
 # rotates the highest-value checks to the front (round-2 verdict item #1:
-# budget rotation, not code). Round-8 order (VERDICT r7 #1): the standing
-# rule — (module-changed-since-last-driver-row, evidence age):
+# budget rotation, not code). Round-9 order (VERDICT r8 #1): CORRECTNESS_r08
+# landed 50/50 green and NO query module changed this round (all round-9
+# work is test/script/docstring-only), so the standing rule
+# (module-changed-since-last-driver-row, evidence age) degenerates to PURE
+# evidence age — oldest driver rows first, freshest last:
 #
-#   positions 1-3   = the round-7 RECORDED SPILL (changed r7 — NUL-
-#                     sanitized props parse / widened ts domain — and
-#                     displaced by that round's fixed budget; judge
-#                     re-verified green, but the driver must confirm).
-#                     q_filter_notnull also changed AGAIN in r8 (shared
-#                     lone-surrogate JSON sanitization).
-#   position 4      = q_json_extract: changed r8 (overflow-safe k2 gate,
-#                     ADVICE r7 + lone-surrogate-escape sanitization from
-#                     the round-8 JSON probe — query AND oracle).
-#   positions 5-7   = the source-reader trio: readers.py changed r8
-#                     (unconditional reader fidelity options + atomic
-#                     cache publish, ADVICE r7) — driver-path behavior is
-#                     argued unchanged, but the module-churn rule does
-#                     not take arguments, it takes driver rows.
-#   position 8      = q_array_funcs: changed r8 (try_element_at + the
-#                     oracle's empty-array coalesce — the round-8
-#                     empty-vector probe find, query AND oracle).
-#   positions 9-43  = the r3-era evidence tail (the 35 oldest driver rows
-#                     in the registry, all modules unchanged since).
-#   positions 44-50 = head of the r4-era evidence block
-#                     (q_dedup_span_clean is the round-8 RECORDED SPILL:
-#                     displaced to 51 by the q_array_funcs churn; code
-#                     unchanged since r4, module siblings in-budget).
-#   positions 51+   = rest of r4, then r5 / r6 / r7 driver-green
-#                     inventory, oldest evidence first, freshest last —
-#                     it loses nothing if the fixed-size budget cuts off.
+#   positions 1-24  = the full r4-era evidence block. Position 1 is
+#                     q_dedup_span_clean, the round-8 RECORDED SPILL
+#                     (displaced by the q_array_funcs churn insertion;
+#                     judge re-checked it OK via check_subset, but the
+#                     driver has not seen it since r4). The other 23 are
+#                     every remaining key whose latest driver row is r4
+#                     (text/lang/search family, q_entity_pairs,
+#                     q_keyset_page, q_join_salted, set-ops, window
+#                     distribution/ratio) — all code unchanged since.
+#   positions 25-50 = the head of the r5-era block (26 of its 31 keys,
+#                     existing relative order preserved: scalar-function
+#                     and classifier keys first, then the agg family,
+#                     then joins through q_join_inner).
+#   positions 51-55 = the r5-era remainder (q_join_left, q_join_multiway,
+#                     q_join_range, q_join_semi, q_cascade_expire) — the
+#                     round-9 RECORDED SPILL if the budget stays at 50;
+#                     they head the round-10 rotation.
+#   positions 56+   = r6 / r7 / r8 driver-green inventory, oldest
+#                     evidence first, freshest last — loses nothing if
+#                     the fixed-size budget cuts off.
 PRIORITY: tuple[str, ...] = (
-    # 1-3 -- round-7 recorded spill (changed r7, never driver-seen since;
-    # q_filter_notnull changed again r8)
-    "q_filter_notnull",
-    "q_win_lag_lead",
-    "q_win_running_sum",
-    # 4 -- round-8 churn: overflow-safe k2 + lone-surrogate sanitization
-    "q_json_extract",
-    # 5-7 -- round-8 churn: readers.py fidelity/atomic-publish fixes
-    "q_source_csv",
-    "q_source_jsonl",
-    "q_source_orc",
-    # 8 -- round-8 churn: try_element_at + empty-array norm coalesce
-    # (the empty-vector probe find)
-    "q_array_funcs",
-    # 9-43 -- r3-era evidence tail (oldest driver rows, unchanged code)
-    "q_chunk_documents",
-    "q_corpus_mix",
-    "q_decontaminate",
-    "q_hist_equidepth",
-    "q_hist_equiwidth",
-    "q_join_lateral",
-    "q_pack_sequences",
-    "q_pii_redact",
-    "q_profile_columns",
-    "q_sample_stratified",
-    "q_shape_q10",
-    "q_shape_q13",
-    "q_shape_q14",
-    "q_shape_q15",
-    "q_shape_q17",
-    "q_shape_q18",
-    "q_shape_q19",
-    "q_shape_q2",
-    "q_shape_q20",
-    "q_shape_q21",
-    "q_shape_q22",
-    "q_shape_q3",
-    "q_shape_q4",
-    "q_shape_q5",
-    "q_shape_q6",
-    "q_shape_q7",
-    "q_shape_q8",
-    "q_sort_multi",
-    "q_split_leakage_safe",
-    "q_split_train_test",
-    "q_subquery_not_in",
-    "q_topk",
-    "q_udtf_sentences",
-    "q_win_rank",
-    "q_win_topk_group",
-    # 43-50 -- head of the r4-era evidence block ...
-    "q_agg_filtered",
-    "q_agg_grouping_sets",
-    "q_cms_heavy_hitters",
-    "q_dedup_boilerplate",
-    "q_dedup_clusters",
-    "q_dedup_containment",
-    "q_dedup_ngram",
-    # ---- 50-entry budget line ----
-    # 51 -- q_dedup_span_clean is the round-8 RECORDED SPILL: displaced
-    # by the q_array_funcs churn insertion at position 8; its code is
-    # unchanged since its r4 driver row and its module siblings
-    # (q_dedup_spans and the r3-tail dedup keys) sit in-budget
+    # -- r4-era evidence block (positions 1+)
     "q_dedup_span_clean",
-    # 52+ -- rest of the r4 block
     "q_dedup_spans",
     "q_dq_checks",
     "q_entity_pairs",
@@ -169,7 +103,7 @@ PRIORITY: tuple[str, ...] = (
     "q_vocab_topn",
     "q_win_distribution",
     "q_win_ratio_to_report",
-    # -- r5 driver-green inventory
+    # -- r5-era evidence block (positions 25+)
     "q_length_buckets",
     "q_quantile_filter",
     "q_cap_per_source",
@@ -201,7 +135,7 @@ PRIORITY: tuple[str, ...] = (
     "q_join_range",
     "q_join_semi",
     "q_cascade_expire",
-    # -- r6 driver-green inventory, unchanged this round
+    # -- r6-era evidence block (positions 56+)
     "q_agg_listagg",
     "q_agg_mode",
     "q_agg_percentile",
@@ -225,9 +159,7 @@ PRIORITY: tuple[str, ...] = (
     "q_corpus_shuffle",
     "q_mix_temperature",
     "q_multimodal_framesample",
-    # -- r7 driver-green inventory, unchanged this round (freshest
-    # evidence, last): the r6 spill + r1/r2 refresh + event-time domain
-    # split + probe-fix keys, all driver-confirmed in CORRECTNESS_r07
+    # -- r7-era evidence block (positions 79+)
     "q_embed_matryoshka",
     "q_pq_adc_topk",
     "q_sim_mrl_rerank",
@@ -274,6 +206,57 @@ PRIORITY: tuple[str, ...] = (
     "q_recursive_cte",
     "q_dedup_exact",
     "q_dedup_incremental",
+    # -- r8-era evidence block (positions 125+)
+    "q_filter_notnull",
+    "q_win_lag_lead",
+    "q_win_running_sum",
+    "q_json_extract",
+    "q_source_csv",
+    "q_source_jsonl",
+    "q_source_orc",
+    "q_array_funcs",
+    "q_chunk_documents",
+    "q_corpus_mix",
+    "q_decontaminate",
+    "q_hist_equidepth",
+    "q_hist_equiwidth",
+    "q_join_lateral",
+    "q_pack_sequences",
+    "q_pii_redact",
+    "q_profile_columns",
+    "q_sample_stratified",
+    "q_shape_q10",
+    "q_shape_q13",
+    "q_shape_q14",
+    "q_shape_q15",
+    "q_shape_q17",
+    "q_shape_q18",
+    "q_shape_q19",
+    "q_shape_q2",
+    "q_shape_q20",
+    "q_shape_q21",
+    "q_shape_q22",
+    "q_shape_q3",
+    "q_shape_q4",
+    "q_shape_q5",
+    "q_shape_q6",
+    "q_shape_q7",
+    "q_shape_q8",
+    "q_sort_multi",
+    "q_split_leakage_safe",
+    "q_split_train_test",
+    "q_subquery_not_in",
+    "q_topk",
+    "q_udtf_sentences",
+    "q_win_rank",
+    "q_win_topk_group",
+    "q_agg_filtered",
+    "q_agg_grouping_sets",
+    "q_cms_heavy_hitters",
+    "q_dedup_boilerplate",
+    "q_dedup_clusters",
+    "q_dedup_containment",
+    "q_dedup_ngram",
 )
 
 

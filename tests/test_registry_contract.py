@@ -3,9 +3,10 @@
 The driver checks the FIRST 50 queries in iteration order against their
 oracles — these tests pin the properties that make that budget count:
 every exposed query is callable, every first-50 entry carries an oracle,
-and the round-8 rotation (r7 recorded spill + round-8 churn + the
-r3/r4-era evidence-age tail) stays at the front until the next
-deliberate rotation.
+and the round-9 rotation (pure evidence age: the full r4-era block led
+by the q_dedup_span_clean recorded spill, then the head of the r5-era
+block — no query module changed this round) stays at the front until
+the next deliberate rotation.
 """
 
 from __future__ import annotations
@@ -35,7 +36,7 @@ def test_first_50_all_have_oracles():
 
 def _last_green_round() -> dict[str, int]:
     last: dict[str, int] = {}
-    for r in (1, 2, 3, 4, 5, 6, 7):
+    for r in (1, 2, 3, 4, 5, 6, 7, 8):
         path = os.path.join(REPO, f"CORRECTNESS_r0{r}.json")
         if os.path.exists(path):
             for k, v in json.load(open(path)).items():
@@ -44,31 +45,14 @@ def _last_green_round() -> dict[str, int]:
     return last
 
 
-# Keys whose implementing modules changed AFTER their latest driver row
-# (the module-change analysis behind the round-8 rotation — NOTES_r7 "For
-# round 8" for the r7-spill keys, NOTES_r8 for this round's changes). A
-# top-50 slot is justified for these regardless of how fresh their last
-# green row is, because that row predates the code.
-_CHURN = {
-    # round-7 churn never driver-seen (the r7 recorded spill, VERDICT r7
-    # #1): NUL-sanitized props parse / widened ts domain landed in r7 but
-    # the 26-key domain-split churn overflowed that round's budget
-    "q_filter_notnull", "q_win_lag_lead", "q_win_running_sum",
-    # round-8 churn: overflow-safe k2 gate (ADVICE r7) + shared
-    # lone-surrogate JSON sanitization (round-8 probe find — Jackson
-    # accepts an unpaired surrogate escape, yyjson rejects the payload),
-    # query AND oracle in lockstep (q_filter_notnull shares it, above)
-    "q_json_extract",
-    # round-8 churn: readers.py — unconditional reader fidelity options +
-    # atomic cache publish (ADVICE r7); driver-path behavior argued
-    # unchanged, but the module-churn rule takes driver rows, not args
-    "q_source_csv", "q_source_jsonl", "q_source_orc",
-    # round-8 churn: the empty-vector probe find — try_element_at (a bare
-    # ANSI element_at dies on a zero-length embedding) + the oracle's
-    # empty-array norm coalesce (Spark's fold returns the 0.0 init where
-    # DuckDB's list_sum([]) is NULL), query and oracle in lockstep
-    "q_array_funcs",
-}
+# Keys whose implementing modules changed AFTER their latest driver row.
+# Round 9: EMPTY — CORRECTNESS_r08 confirmed every r7/r8-churn key green,
+# and no query module changes this round (all round-9 work is test /
+# script / docstring-only: load-aware scale-rehearsal bounds, skew-join
+# deterministic effect pin, ab_drift hardening, element_at docstring
+# reword — NOTES_r9 churn section). The budget is therefore pure
+# evidence age, and the set stays declared for the next churn round.
+_CHURN: set[str] = set()
 
 
 
