@@ -23,8 +23,12 @@ harness separates them:
    today, the r5-vs-r7 gap is epoch, not code.
 
 Usage:
-    python _scripts/ab_drift.py --entry both --reps 5
-(run from a checkout root; imports that checkout's bench.py + package).
+    python /path/to/checkout/_scripts/ab_drift.py --entry both --reps 5
+The measured checkout is the one CONTAINING this script (derived from
+the script path, not the cwd — ADVICE r8: a cwd-relative import could
+silently measure whichever bench.py shadows the path, in an A/B that
+exists precisely to compare checkouts). The JSON line records the
+checkout's git SHA next to the label so runs are self-identifying.
 Prints one JSON line: per-rep seconds for each entry.
 """
 
@@ -34,6 +38,7 @@ import argparse
 import gc
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -45,15 +50,26 @@ def main() -> None:
     ap.add_argument("--label", default="HEAD")
     args = ap.parse_args()
 
-    root = os.getcwd()
+    # measure the checkout this script lives in, wherever it is launched from
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if not os.path.exists(os.path.join(root, "bench.py")):
+        sys.exit(f"ab_drift: no bench.py next to {root!r} — not a checkout root")
     sys.path.insert(0, root)
+    try:
+        sha = subprocess.run(
+            ["git", "-C", root, "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=10, check=True,
+        ).stdout.strip()
+    except Exception:  # detached tarball, git missing — still measurable
+        sha = "unknown"
 
     import bench  # the checkout's bench.py: reuse its fixtures verbatim
     from graph_vulcan_assets_spark.session import get_spark
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark()
-    out: dict = {"label": args.label, "sf_dir": sf_dir, "pid": os.getpid(),
+    out: dict = {"label": args.label, "git_sha": sha, "root": root,
+                 "sf_dir": sf_dir, "pid": os.getpid(),
                  "loadavg_start": round(os.getloadavg()[0], 2)}
 
     if args.entry in ("replay", "both"):
