@@ -162,14 +162,35 @@ def test_dimension_broadcast_survives_10x(spark, blown_dir):
 @pytest.mark.slow
 @pytest.mark.parametrize("name", REHEARSAL)
 def test_wall_time_scales_subquadratically(spark, blown_dir, name):
+    """10x data: linear scaling lands well under 10x wall-time on 8 cores
+    with fixed overheads; quadratic lands near 100x. 25x separates the
+    regimes cleanly.
+
+    Load-aware form (round 9, VERDICT r8 #2): the old absolute 10 s floor
+    false-redded q_join_asof when a co-tenant Spark session shared the
+    host (11.14 s measured, 25 s total on isolated re-run). Now the 1x
+    base runs BRACKET the 10x run — a co-tenant spike inflates the
+    co-measured base alongside the numerator, so the bound tracks host
+    load instead of wall-clock absolutes — and a transient spike that
+    hits only the 10x window gets one full re-measure before failing.
+    The 0.4 s base floor keeps the quiet-host limit at the old 10 s for
+    overhead-dominated entries; a quadratic blowup still exceeds the
+    bound on both attempts."""
     _seconds(spark, BASE_SF, name, runs=1)  # codegen warmup
-    t1 = _seconds(spark, BASE_SF, name)
-    t10 = _seconds(spark, blown_dir, name)
-    # 10x data: linear scaling lands well under 10x wall-time on 8 cores
-    # with fixed overheads; quadratic lands near 100x. The bound is loose
-    # (shared host) but cleanly separates the two regimes.
-    limit = max(25.0 * t1, 10.0)  # floor absorbs fixed-overhead-dominated bases
-    assert t10 <= limit, f"{name}: {t1:.2f}s -> {t10:.2f}s at 10x (limit {limit:.1f}s)"
+    last = ""
+    for _attempt in range(2):
+        t1_pre = _seconds(spark, BASE_SF, name)
+        t10 = _seconds(spark, blown_dir, name)
+        t1_post = _seconds(spark, BASE_SF, name, runs=1)
+        base = max(t1_pre, t1_post, 0.4)
+        limit = 25.0 * base
+        if t10 <= limit:
+            return
+        last = (
+            f"{name}: base {t1_pre:.2f}/{t1_post:.2f}s -> {t10:.2f}s at 10x "
+            f"(limit {limit:.1f}s)"
+        )
+    pytest.fail(f"superquadratic on both attempts: {last}")
 
 
 @pytest.mark.slow

@@ -120,6 +120,24 @@ def _best_seconds(fn, runs: int = 2) -> float:
     return best
 
 
+def _assert_ratio_bounded(run, uni_dir: str, skew_dir: str, bound: float, label: str):
+    """Wall-time effect pin with one full re-measure (ADVICE r8): the
+    deterministic plan pins carry the skew signal; this ratio bound only
+    catches superlinear blow-ups, so a co-tenant load spike that hits a
+    single measurement window gets one retry instead of redding CI. The
+    0.75 s floor keeps sub-scheduling-noise runtimes from faking a ratio."""
+    last = ""
+    for _ in range(2):
+        t_uni = _best_seconds(lambda: run(uni_dir))
+        t_skew = _best_seconds(lambda: run(skew_dir))
+        ratio = t_skew / max(t_uni, 1e-9)
+        print(f"{label}: uniform={t_uni:.2f}s skew={t_skew:.2f}s ratio={ratio:.2f}")
+        if t_skew <= bound * max(t_uni, 0.75):
+            return
+        last = f"uniform={t_uni:.2f}s skew={t_skew:.2f}s ratio={ratio:.1f}"
+    pytest.fail(f"{label} blew its {bound}x bound on both attempts: {last}")
+
+
 @pytest.mark.slow
 def test_hot_key_shuffle_join_aqe_splits(spark, tmp_path):
     """Inner SMJ with a 90%-hot fact key: AQE must split the hot
@@ -132,7 +150,10 @@ def test_hot_key_shuffle_join_aqe_splits(spark, tmp_path):
 
     with _shuffle_join_conf(spark):
         # mechanism: run to completion via the SAME DataFrame's plan, then
-        # read the finalized adaptive plan — the hot run must show skew=true
+        # read the finalized adaptive plan — the hot run must show skew=true.
+        # (String pin tied to pyspark 4.1.2's SortMergeJoin rendering; if a
+        # version bump reds this, check the plan format before suspecting a
+        # lost OptimizeSkewedJoin — ADVICE r8.)
         df = q(spark, skew_dir).select("o_orderkey")
         df.collect()
         plan = df._jdf.queryExecution().executedPlan().toString()
@@ -140,22 +161,31 @@ def test_hot_key_shuffle_join_aqe_splits(spark, tmp_path):
             "OptimizeSkewedJoin did not split the 90%-hot partition; "
             "final plan:\n" + plan[:2000]
         )
+        # deterministic EFFECT pin (ADVICE r8): the splitter must have
+        # rewritten the skewed fixture's shuffle read ("AQEShuffleRead ...
+        # skewed" = the hot partition was actually sliced), and the uniform
+        # twin — same code, same confs, same volume — must NOT trip it.
+        # A load spike can't forge or hide this differential, so wall-time
+        # below is only a backstop for superlinear regressions.
+        assert any(
+            "AQEShuffleRead" in ln and "skewed" in ln for ln in plan.splitlines()
+        ), "no skew-sliced shuffle read in the finalized plan:\n" + plan[:2000]
+        uni_df = q(spark, uni_dir).select("o_orderkey")
+        uni_df.collect()
+        uni_plan = uni_df._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" not in uni_plan, (
+            "uniform twin reported skew splits — fixture or threshold "
+            "no longer isolates the hot key:\n" + uni_plan[:2000]
+        )
 
         def run(sf_dir: str) -> None:
             q(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
         run(uni_dir)  # warm
-        t_uni = _best_seconds(lambda: run(uni_dir))
-        t_skew = _best_seconds(lambda: run(skew_dir))
-    ratio = t_skew / max(t_uni, 1e-9)
-    print(f"skew-join inner: uniform={t_uni:.2f}s skew={t_skew:.2f}s ratio={ratio:.2f}")
-    # split slices re-parallelize the hot key; 3x absorbs slice scheduling
-    # overhead on a shared host, and a serialized partition (the mechanism
-    # failing) would show up well above it at this N
-    assert t_skew <= 3.0 * max(t_uni, 0.75), (
-        f"hot-key inner join blew its bound: uniform={t_uni:.2f}s "
-        f"skew={t_skew:.2f}s ratio={ratio:.1f}"
-    )
+        # split slices re-parallelize the hot key; 3x absorbs slice
+        # scheduling overhead on a shared host, and a serialized partition
+        # (the mechanism failing) would show up well above it at this N
+        _assert_ratio_bounded(run, uni_dir, skew_dir, 3.0, "skew-join inner")
 
 
 @pytest.mark.slow
@@ -174,11 +204,7 @@ def test_hot_key_asof_right_side_bounded(spark, tmp_path):
 
     with _shuffle_join_conf(spark):
         run(uni_dir)  # warm
-        t_uni = _best_seconds(lambda: run(uni_dir))
-        t_skew = _best_seconds(lambda: run(skew_dir))
-    ratio = t_skew / max(t_uni, 1e-9)
-    print(f"skew-join asof: uniform={t_uni:.2f}s skew={t_skew:.2f}s ratio={ratio:.2f}")
-    assert t_skew <= 5.0 * max(t_uni, 0.75), (
-        f"hot-right-side as-of join went superlinear: uniform={t_uni:.2f}s "
-        f"skew={t_skew:.2f}s ratio={ratio:.1f}"
-    )
+        # no mechanism exists here (AQE can't split the preserved-opposite
+        # side of the outer form), so the wall bound IS the pin — the retry
+        # keeps a one-window load spike from redding it
+        _assert_ratio_bounded(run, uni_dir, skew_dir, 5.0, "skew-join asof")
