@@ -309,9 +309,18 @@ def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     INVALID_ARRAY_INDEX_IN_ELEMENT_AT, while DuckDB's embedding[1]
     returns NULL — one zero-length vector (a decoder bug, a truncated
     write) must cost one NULL, not the job. The other element_at sites in
-    the package are safe by construction: short-circuiting And guards
-    (Catalyst's And skips the right side when size(...) fails) or
-    index ranges derived from the array's own size.
+    the package are safe by construction, each for a concrete structural
+    reason (NOT by conjunct evaluation order, which the optimizer may
+    reorder — ADVICE r8): split() always yields at least one element, so
+    element_at(parts, 1) on a split result cannot see an empty array
+    (operators/filters.py, plans/temporal.py key split); indices are
+    generated from the array's own size, so every access is in range
+    (llm/bpe.py pair enumeration, llm/dedup.py + llm/curation.py +
+    llm/text.py shingle windows); or a SEPARATE preceding .where stage
+    has already dropped short arrays (operators/filters.py:138). Map-key
+    element_at sites construct the map with those literal keys present
+    (q_map_funcs). Any new site without such a structural guarantee
+    should use try_element_at.
     """
     e = load_table(spark, sf_dir, "embeddings")
     return e.select(
