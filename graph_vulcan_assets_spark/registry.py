@@ -77,6 +77,14 @@ def load_all() -> None:
 #   positions 56+   = r6 / r7 / r8 driver-green inventory, oldest
 #                     evidence first, freshest last — loses nothing if
 #                     the fixed-size budget cuts off.
+# The driver-evidence horizon this PRIORITY was computed from: the
+# rotation above ranks keys by their latest green row in
+# CORRECTNESS_r01..r{this}. Bump it together with every rotation — the
+# contract test judges the order against exactly this evidence set, so
+# a CORRECTNESS file the rotation could not have seen (written by the
+# driver after the rotation) does not red the staleness invariants.
+ROTATION_EVIDENCE_THROUGH: int = 8
+
 PRIORITY: tuple[str, ...] = (
     # -- r4-era evidence block (positions 1+)
     "q_dedup_span_clean",

@@ -11,10 +11,17 @@ the next deliberate rotation.
 
 from __future__ import annotations
 
+import glob
 import json
 import os
+import re
 
-from graph_vulcan_assets_spark.registry import PRIORITY, all_oracle_sql, all_queries
+from graph_vulcan_assets_spark.registry import (
+    PRIORITY,
+    ROTATION_EVIDENCE_THROUGH,
+    all_oracle_sql,
+    all_queries,
+)
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -35,13 +42,24 @@ def test_first_50_all_have_oracles():
 
 
 def _last_green_round() -> dict[str, int]:
+    """Latest driver-green round per key, from the CORRECTNESS_r*.json
+    files the CURRENT rotation was computed from (rounds <=
+    ROTATION_EVIDENCE_THROUGH). Files from later rounds are deliberately
+    excluded: the driver writes CORRECTNESS_r{N}.json before the round-
+    {N+1} rotation exists, and judging the old PRIORITY against evidence
+    it could not have seen would red the suite in exactly that window
+    (round 9: this replaced a hardcoded round list whose one-round lag
+    provided the same exclusion by accident)."""
+    rounds: list[tuple[int, str]] = []
+    for path in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
+        m = re.search(r"_r(\d+)\.json$", path)
+        if m and int(m.group(1)) <= ROTATION_EVIDENCE_THROUGH:
+            rounds.append((int(m.group(1)), path))
     last: dict[str, int] = {}
-    for r in (1, 2, 3, 4, 5, 6, 7, 8):
-        path = os.path.join(REPO, f"CORRECTNESS_r0{r}.json")
-        if os.path.exists(path):
-            for k, v in json.load(open(path)).items():
-                if v.get("hash_match"):
-                    last[k] = r
+    for r, path in sorted(rounds):
+        for k, v in json.load(open(path)).items():
+            if v.get("hash_match"):
+                last[k] = r
     return last
 
 
