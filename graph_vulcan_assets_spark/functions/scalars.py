@@ -206,23 +206,116 @@ def json_sanitize_sql(expr: str) -> str:
     )
 
 
+# Round-9 JSON probe: Jackson (Spark) and yyjson (DuckDB) disagree on
+# FOUR asymmetric payload classes, each a value divergence (not an
+# error, so no ANSI gate catches it):
+#   1. trailing garbage ('{"k":1} extra', '{"k":1}}') — Jackson parses
+#      the first root value and ignores the rest; yyjson rejects.
+#   2. nesting depth >= 1000 — Jackson's StreamReadConstraints kill the
+#      payload (get_json_object -> NULL); yyjson parses any depth.
+#   3. number tokens >= 1001 digits (same constraints, same split).
+#      Key names > 50000 chars are the same class via maxNameLength.
+#   4. bare NaN/Infinity literals — yyjson accepts them (json_valid is
+#      TRUE and extraction yields 'NaN'); Jackson rejects the payload.
+# (Duplicate keys are NOT a class: both engines take the FIRST value —
+# pinned by hostile row 9304 and tests/test_json_edges.py.)
+#
+# No Spark-side strict-validity primitive exists (get_json_object,
+# from_json, try_parse_json, json_object_keys are ALL lenient about
+# trailing input — measured, see tests/test_json_edges.py), so the
+# lockstep fix is a shared string-level PARSE ENVELOPE evaluated
+# identically on both engines before parsing: a payload is treated as
+# unparseable (NULL) unless it is <= 16384 chars, object-rooted with
+# balanced braces/brackets, free of whitespace-adjacent '}' '{' root
+# seams, has <= 256 opening braces+brackets (depth can never exceed
+# opener count), no 1001+ digit run, and no bare NaN/Infinity token.
+# Inside the envelope both parsers agree; outside it both sides NULL
+# the row — one weird payload costs one NULL, never a divergence or
+# the job. String values can false-positive the token regexes (a text
+# field containing ': NaN', a quote-free 1001-digit string) — that
+# gates a legit row SYMMETRICALLY, which parity tolerates by design.
+# KNOWN RESIDUAL (documented, not representable at string level):
+# comma-joined multi-roots ('{"a":1},{"b":2}') are indistinguishable
+# from an array-of-objects INTERIOR ('[{"a":1},{"b":2}]'), so they
+# stay Jackson-lenient/yyjson-strict; kept out of fixtures.
+# Patterns use [{] / [}] character classes so the same text is valid
+# in Java regex and RE2 without dialect-specific brace escaping.
+_JSON_MAX_LEN = 16384
+_JSON_MAX_OPENERS = 256
+# a 1001+ digit run, written as {1000}+1 because RE2 rejects repetition
+# counts above 1000 ("invalid repetition size: {1001}")
+_JSON_DIGIT_RUN_RE = "[0-9]{1000}[0-9]"
+_JSON_NONSTD_RE = r"[:,\[]\s*[+-]?(NaN|Infinity)"
+
+
+def _char_count(col, ch: str):
+    return F.length(col) - F.length(F.translate(col, ch, ""))
+
+
+def json_parseable(col):
+    """Spark side: sanitized payload gated to the shared parse envelope
+    (NULL outside it). Feed the RESULT to get_json_object."""
+    s = json_sanitize(col)
+    guard = (
+        (F.length(s) <= _JSON_MAX_LEN)
+        & s.rlike(r"^\s*[{]")
+        & s.rlike(r"[}]\s*$")
+        & (_char_count(s, "{") == _char_count(s, "}"))
+        & (_char_count(s, "[") == _char_count(s, "]"))
+        & ~s.rlike(r"[}]\s*[{]")
+        & ((_char_count(s, "{") + _char_count(s, "[")) <= _JSON_MAX_OPENERS)
+        & ~s.rlike(_JSON_DIGIT_RUN_RE)
+        & ~s.rlike(_JSON_NONSTD_RE)
+    )
+    return F.when(guard, s)
+
+
+def json_parseable_sql(expr: str) -> str:
+    """DuckDB mirror of :func:`json_parseable` — identical envelope,
+    identical regexes (RE2 accepts the same [{]-class patterns)."""
+    s = json_sanitize_sql(expr)
+
+    def cnt(ch: str) -> str:
+        return f"(length({s}) - length(replace({s}, '{ch}', '')))"
+
+    guard = " AND ".join(
+        [
+            f"length({s}) <= {_JSON_MAX_LEN}",
+            f"regexp_matches({s}, '^\\s*[{{]')",
+            f"regexp_matches({s}, '[}}]\\s*$')",
+            f"{cnt('{')} = {cnt('}')}",
+            f"{cnt('[')} = {cnt(']')}",
+            f"NOT regexp_matches({s}, '[}}]\\s*[{{]')",
+            f"{cnt('{')} + {cnt('[')} <= {_JSON_MAX_OPENERS}",
+            f"NOT regexp_matches({s}, '{_JSON_DIGIT_RUN_RE}')",
+            f"NOT regexp_matches({s}, '{_JSON_NONSTD_RE}')",
+        ]
+    )
+    return f"CASE WHEN {guard} THEN {s} END"
+
+
 @query(
     "q_json_extract",
     oracle=f"""
-    WITH j AS (
+    WITH g AS (
+      -- shared parse envelope (round-9 JSON probe) on top of the shared
+      -- pre-parse sanitization: NULLs the four Jackson/yyjson-asymmetric
+      -- payload classes (trailing garbage, >=1000 nesting, >=1001-digit
+      -- numbers / >50k names, bare NaN/Infinity) identically on both
+      -- engines — see json_parseable_sql
+      SELECT event_id, {json_parseable_sql('props')} AS p FROM events),
+    j AS (
       -- json_valid guard mirrors get_json_object's NULL-on-malformed:
       -- DuckDB's json_extract_string RAISES on malformed JSON (one bad
       -- payload row kills the oracle), Spark quietly yields NULL.
-      -- Pre-parse sanitization (NUL strip + lone-surrogate-escape
-      -- delete) shared with the Spark side — see json_sanitize_sql.
       SELECT event_id,
-             CASE WHEN json_valid({json_sanitize_sql('props')})
-                  THEN json_extract_string({json_sanitize_sql('props')}, '$.k')
+             CASE WHEN json_valid(p)
+                  THEN json_extract_string(p, '$.k')
              END AS ks,
-             CASE WHEN json_valid({json_sanitize_sql('props')})
-                  THEN json_extract_string({json_sanitize_sql('props')}, '$.missing')
+             CASE WHEN json_valid(p)
+                  THEN json_extract_string(p, '$.missing')
              END AS missing
-      FROM events),
+      FROM g),
     -- integer-regex + TRY_CAST (round-7 JSON probe): a payload whose k is
     -- "abc" kills a bare ANSI CAST on Spark; 1.9 ROUNDS to 2 in DuckDB's
     -- cast but errors in Spark's; 99999999999999999999 parses as a double
@@ -252,11 +345,19 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reference: json.Unmarshal of the event payload (vulcan/vulcan.go:105).
     get_json_object is a codegen'd path expression — no Python involved.
+    Round 9: extraction reads through json_parseable (the shared parse
+    envelope) — Jackson and yyjson give DIFFERENT ANSWERS, not errors,
+    on trailing-garbage, deep-nesting, huge-number and NaN/Infinity
+    payloads, so both engines now null those rows identically (hostile
+    rows 9315-9324 pin every class; tests/test_json_edges.py pins the
+    raw engine behaviors that force the envelope).
     """
     e = load_table(spark, sf_dir, "events")
     # shared pre-parse sanitization (NUL strip + lone-surrogate-escape
-    # delete), mirrored in the oracle — see json_sanitize above
-    props = json_sanitize("props")
+    # delete) PLUS the round-9 shared parse envelope — the four
+    # Jackson/yyjson-asymmetric payload classes become NULL identically
+    # on both engines before any parser runs; see json_parseable above
+    props = json_parseable("props")
     ks = F.get_json_object(props, "$.k")
     # integer-regex + try_cast, mirrored in the oracle (see the oracle
     # comment): JSON values are UNTYPED text at extraction — a bare ANSI

@@ -23,7 +23,7 @@ from graph_vulcan_assets_spark.tables import load_table, plausible_times, plausi
 
 
 def _filter_notnull_oracle() -> str:
-    from graph_vulcan_assets_spark.functions.scalars import json_sanitize_sql
+    from graph_vulcan_assets_spark.functions.scalars import json_parseable_sql
 
     return f"""
     SELECT event_id, user_id, event_type, props
@@ -31,12 +31,12 @@ def _filter_notnull_oracle() -> str:
     WHERE props IS NOT NULL
       -- CASE guard mirrors get_json_object's NULL-on-malformed (DuckDB's
       -- extractor raises on a malformed payload; Spark filters it out).
-      -- Shared pre-parse sanitization: NUL strip (round-7 JSON probe) +
-      -- lone-surrogate-escape delete (round-8 probe — Jackson accepts an
-      -- unpaired surrogate escape, yyjson rejects the payload); see
-      -- functions/scalars.py json_sanitize_sql
-      AND CASE WHEN json_valid({json_sanitize_sql('props')})
-               THEN json_extract_string({json_sanitize_sql('props')}, '$.k')
+      -- Shared pre-parse sanitization (NUL strip r7, lone-surrogate
+      -- delete r8) + shared parse envelope (r9: trailing garbage, deep
+      -- nesting, huge numbers, NaN/Infinity — the Jackson/yyjson
+      -- asymmetric classes); see functions/scalars.py json_parseable_sql
+      AND CASE WHEN json_valid({json_parseable_sql('props')})
+               THEN json_extract_string({json_parseable_sql('props')}, '$.k')
           END IS NOT NULL
     """
 
@@ -47,13 +47,16 @@ def q_filter_notnull(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reference errors when a mandatory header is missing
     (vulcan/vulcan.go:136-156); the engine splits valid rows by predicate.
+    Round 9: the mandatory-field probe reads through json_parseable (the
+    shared Jackson/yyjson parse envelope) so a payload both engines
+    cannot agree on is FILTERED, not a divergence.
     """
-    from graph_vulcan_assets_spark.functions.scalars import json_sanitize
+    from graph_vulcan_assets_spark.functions.scalars import json_parseable
 
     e = load_table(spark, sf_dir, "events")
     return e.where(
         F.col("props").isNotNull()
-        & F.get_json_object(json_sanitize("props"), "$.k").isNotNull()
+        & F.get_json_object(json_parseable("props"), "$.k").isNotNull()
     ).select("event_id", "user_id", "event_type", "props")
 
 

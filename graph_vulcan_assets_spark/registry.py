@@ -51,30 +51,33 @@ def load_all() -> None:
 # Exposure order for ``queries()`` / ``oracle_sql()``. The driver runs its
 # 50-entry correctness budget over queries in iteration order, so each round
 # rotates the highest-value checks to the front (round-2 verdict item #1:
-# budget rotation, not code). Round-9 order (VERDICT r8 #1): CORRECTNESS_r08
-# landed 50/50 green and NO query module changed this round (all round-9
-# work is test/script/docstring-only), so the standing rule
-# (module-changed-since-last-driver-row, evidence age) degenerates to PURE
-# evidence age — oldest driver rows first, freshest last:
+# budget rotation, not code). Round-9 order (VERDICT r8 #1), standing rule
+# (module-changed-since-last-driver-row, evidence age):
 #
-#   positions 1-24  = the full r4-era evidence block. Position 1 is
+#   positions 1-2   = the round-9 CHURN: the round-9 JSON probe found
+#                     four Jackson/yyjson-asymmetric payload classes and
+#                     q_json_extract + q_filter_notnull now read through
+#                     the shared parse envelope (json_parseable), query
+#                     AND oracle in lockstep; their green r8 rows predate
+#                     the change, so churn outranks evidence age.
+#   positions 3-26  = the full r4-era evidence block. Position 3 is
 #                     q_dedup_span_clean, the round-8 RECORDED SPILL
-#                     (displaced by the q_array_funcs churn insertion;
-#                     judge re-checked it OK via check_subset, but the
+#                     (judge re-checked it OK via check_subset, but the
 #                     driver has not seen it since r4). The other 23 are
 #                     every remaining key whose latest driver row is r4
 #                     (text/lang/search family, q_entity_pairs,
 #                     q_keyset_page, q_join_salted, set-ops, window
 #                     distribution/ratio) — all code unchanged since.
-#   positions 25-50 = the head of the r5-era block (26 of its 31 keys,
+#   positions 27-50 = the head of the r5-era block (24 of its 31 keys,
 #                     existing relative order preserved: scalar-function
 #                     and classifier keys first, then the agg family,
-#                     then joins through q_join_inner).
-#   positions 51-55 = the r5-era remainder (q_join_left, q_join_multiway,
+#                     then joins through q_join_asof).
+#   positions 51-57 = the r5-era remainder (q_join_broadcast,
+#                     q_join_inner, q_join_left, q_join_multiway,
 #                     q_join_range, q_join_semi, q_cascade_expire) — the
 #                     round-9 RECORDED SPILL if the budget stays at 50;
 #                     they head the round-10 rotation.
-#   positions 56+   = r6 / r7 / r8 driver-green inventory, oldest
+#   positions 58+   = r6 / r7 / r8 driver-green inventory, oldest
 #                     evidence first, freshest last — loses nothing if
 #                     the fixed-size budget cuts off.
 # The driver-evidence horizon this PRIORITY was computed from: the
@@ -86,7 +89,15 @@ def load_all() -> None:
 ROTATION_EVIDENCE_THROUGH: int = 8
 
 PRIORITY: tuple[str, ...] = (
-    # -- r4-era evidence block (positions 1+)
+    # -- round-9 churn (positions 1-2): the round-9 JSON probe found four
+    # Jackson/yyjson-asymmetric payload classes (trailing garbage, deep
+    # nesting, huge numbers/names, bare NaN/Infinity — VALUE divergences,
+    # not errors) and both keys now read through the shared parse
+    # envelope (json_parseable), query AND oracle in lockstep; their r8
+    # driver rows predate the change, so churn outranks evidence age
+    "q_json_extract",
+    "q_filter_notnull",
+    # -- r4-era evidence block
     "q_dedup_span_clean",
     "q_dedup_spans",
     "q_dq_checks",
@@ -215,10 +226,8 @@ PRIORITY: tuple[str, ...] = (
     "q_dedup_exact",
     "q_dedup_incremental",
     # -- r8-era evidence block (positions 125+)
-    "q_filter_notnull",
     "q_win_lag_lead",
     "q_win_running_sum",
-    "q_json_extract",
     "q_source_csv",
     "q_source_jsonl",
     "q_source_orc",

@@ -275,6 +275,42 @@ def _build_hostile_dir(out: str, src: str) -> None:
         -- strip and lands a real NUL inside the EXTRACTED string
         (9314, TIMESTAMP '2024-01-04 00:00:13', 5, 'view', 1.0,
          '{{"k": 14, "s": "esc\\u0000nul"}}'),
+        -- round-9 JSON probe: the four Jackson/yyjson-ASYMMETRIC payload
+        -- classes (VALUE divergences, not errors) that forced the shared
+        -- parse envelope (functions/scalars.py json_parseable). 9315-9317
+        -- trailing garbage / extra brace / ws-separated multi-root:
+        -- Jackson parses the first root and ignores the rest, yyjson
+        -- rejects. 9318-9319 bare NaN/Infinity: yyjson ACCEPTS them
+        -- (json_valid true, extraction yields 'NaN'), Jackson rejects.
+        -- 9320 nesting depth 1200: Jackson's StreamReadConstraints kill
+        -- the payload at depth 1000, yyjson parses any depth. 9321 a
+        -- 1001-digit number and 9322 a 60k-char key name: same
+        -- constraints split (maxNumberLength 1000 / maxNameLength 50000).
+        -- All eight must come out NULL/filtered on BOTH engines via the
+        -- envelope. 9323-9324 pin the envelope's PRECISION: a legit
+        -- nested payload and an array-of-objects value (whose '}},{{'
+        -- seams look like the multi-root pattern but are comma-joined)
+        -- must SURVIVE with k intact on both engines.
+        (9315, TIMESTAMP '2024-01-04 00:00:14', 5, 'view', 1.0,
+         '{{"k": 15}} extra'),
+        (9316, TIMESTAMP '2024-01-04 00:00:15', 5, 'view', 1.0,
+         '{{"k": 16}}}}'),
+        (9317, TIMESTAMP '2024-01-04 00:00:16', 5, 'view', 1.0,
+         '{{"k": 17}} {{"x": 1}}'),
+        (9318, TIMESTAMP '2024-01-04 00:00:17', 5, 'view', 1.0,
+         '{{"missing": NaN, "k": 18}}'),
+        (9319, TIMESTAMP '2024-01-04 00:00:18', 5, 'view', 1.0,
+         '{{"k": 19, "v": -Infinity}}'),
+        (9320, TIMESTAMP '2024-01-04 00:00:19', 5, 'view', 1.0,
+         '{{"k": 20, "d": ' || repeat('[', 1200) || repeat(']', 1200) || '}}'),
+        (9321, TIMESTAMP '2024-01-04 00:00:20', 5, 'view', 1.0,
+         '{{"k": 21, "n": ' || repeat('9', 1001) || '}}'),
+        (9322, TIMESTAMP '2024-01-04 00:00:21', 5, 'view', 1.0,
+         '{{"' || repeat('a', 60000) || '": 1, "k": 22}}'),
+        (9323, TIMESTAMP '2024-01-04 00:00:22', 5, 'view', 1.0,
+         '{{"k": 23, "d": {{"a": [1, {{"b": 2}}]}}}}'),
+        (9324, TIMESTAMP '2024-01-04 00:00:23', 5, 'view', 1.0,
+         '{{"k": 24, "l": [{{"a": 1}}, {{"b": 2}}]}}'),
         -- extreme 64-bit ids (round 6): ids are OPAQUE surrogate keys, so
         -- negative / near-INT64_MAX values are legitimate at scale, not
         -- corrupt — id arithmetic must be overflow-safe and sign-safe BY

@@ -1,0 +1,184 @@
+"""JSON parser divergence catalog (round-9 probe find).
+
+Jackson (Spark's get_json_object) and yyjson (DuckDB's JSON reader)
+give DIFFERENT ANSWERS — not errors — on four payload classes, so no
+ANSI gate or try_ function catches them; they silently diverge a
+cross-engine comparison one row at a time:
+
+1. **Trailing garbage** (``{"k":1} extra``, ``{"k":1}}``): Jackson
+   parses the first root value and ignores the rest; yyjson's
+   ``json_valid`` is strict, so DuckDB nulls what Spark answers.
+2. **Deep nesting**: Jackson's default StreamReadConstraints abort the
+   whole payload at depth 1000 (999 parses, 1000 does not — pinned
+   below); yyjson parses any depth, so Spark nulls what DuckDB answers.
+3. **Token-length constraints**: 1001+-digit numbers (maxNumberLength
+   1000) and >50000-char key names (maxNameLength) kill the payload on
+   Spark only. 1000 digits and 100k-char string VALUES parse on both
+   (maxStringLength is 20M).
+4. **Bare NaN/Infinity literals**: yyjson accepts them
+   (``json_valid`` TRUE, extraction yields ``'NaN'``); Jackson rejects
+   the payload.
+
+And the agreement worth pinning: **duplicate keys are first-wins on
+BOTH engines** (no gate needed).
+
+No Spark primitive is strict about trailing input — get_json_object,
+from_json (struct and map schemas), try_parse_json and
+json_object_keys all accept ``{"k":1} extra`` (pinned below) — so the
+lockstep fix is the shared string-level PARSE ENVELOPE
+(functions/scalars.py ``json_parseable`` / ``json_parseable_sql``):
+both engines null any payload outside it before parsing. The last
+tests here drive every class through the envelope on both engines and
+assert identical results; hostile rows 9315-9324 pin the same classes
+end-to-end through the registered queries.
+
+Known residual (documented in the scalars.py module comment):
+comma-joined multi-roots (``{"a":1},{"b":2}``) are indistinguishable
+at string level from an array-of-objects interior, so they remain
+Jackson-lenient/yyjson-strict and are kept out of fixtures.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from pyspark.sql import functions as F
+
+from graph_vulcan_assets_spark.functions.scalars import (
+    json_parseable,
+    json_parseable_sql,
+)
+
+TRAILING = '{"k":1} extra'
+TRAILING_BRACE = '{"k":1}}'
+DEEP = lambda d: '{"k":7,"d":' + "[" * d + "]" * d + "}"  # noqa: E731
+NUM = lambda n: '{"k":7,"n":' + "9" * n + "}"  # noqa: E731
+NAN = '{"missing":NaN,"k":7}'
+DUP = '{"k":1,"k":2}'
+
+
+def _spark_k(spark, payloads):
+    df = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(payloads)], "i long, props string"
+    )
+    rows = df.select("i", F.get_json_object("props", "$.k").alias("k")).collect()
+    return [r.k for r in sorted(rows, key=lambda r: r.i)]
+
+
+def _duck_valid_and_k(payloads):
+    con = duckdb.connect()
+    out = []
+    for p in payloads:
+        out.append(
+            con.execute(
+                "SELECT json_valid(?::VARCHAR),"
+                " CASE WHEN json_valid(?::VARCHAR)"
+                "      THEN json_extract_string(?::VARCHAR, '$.k') END",
+                [p, p, p],
+            ).fetchone()
+        )
+    return out
+
+
+def test_trailing_garbage_is_the_lenient_strict_split(spark):
+    """Class 1: Jackson answers, DuckDB rejects."""
+    assert _spark_k(spark, [TRAILING, TRAILING_BRACE]) == ["1", "1"]
+    assert _duck_valid_and_k([TRAILING, TRAILING_BRACE]) == [
+        (False, None),
+        (False, None),
+    ]
+
+
+def test_no_spark_primitive_is_strict_on_trailing(spark):
+    """The fact that forces a string-level envelope: every Spark JSON
+    entry point accepts trailing garbage."""
+    df = spark.createDataFrame([(TRAILING,)], "props string")
+    row = df.select(
+        F.get_json_object("props", "$.k").isNotNull().alias("gjo"),
+        F.from_json("props", "k string").isNotNull().alias("fj_struct"),
+        F.from_json("props", "map<string,string>").isNotNull().alias("fj_map"),
+        F.try_parse_json("props").isNotNull().alias("variant"),
+        F.json_object_keys("props").isNotNull().alias("objkeys"),
+    ).collect()[0]
+    assert all([row.gjo, row.fj_struct, row.fj_map, row.variant, row.objkeys])
+
+
+def test_depth_constraint_is_spark_only(spark):
+    """Class 2: depth 999 parses on Spark, 1000 kills the payload;
+    DuckDB parses both."""
+    assert _spark_k(spark, [DEEP(999), DEEP(1000)]) == ["7", None]
+    assert [v for v, _ in _duck_valid_and_k([DEEP(999), DEEP(1000)])] == [True, True]
+
+
+def test_number_length_constraint_is_spark_only(spark):
+    """Class 3: 1000 digits parse on both; 1001 kills the payload on
+    Spark only."""
+    assert _spark_k(spark, [NUM(1000), NUM(1001)]) == ["7", None]
+    assert [v for v, _ in _duck_valid_and_k([NUM(1000), NUM(1001)])] == [True, True]
+
+
+def test_nan_literal_is_duckdb_only(spark):
+    """Class 4: yyjson accepts bare NaN; Jackson rejects the payload."""
+    assert _spark_k(spark, [NAN]) == [None]
+    assert _duck_valid_and_k([NAN]) == [(True, "7")]
+
+
+def test_duplicate_keys_are_first_wins_on_both(spark):
+    assert _spark_k(spark, [DUP]) == ["1"]
+    assert _duck_valid_and_k([DUP])[0][1] == "1"
+
+
+# every divergent class plus the precision pins (legit payloads that
+# must SURVIVE the envelope with values intact)
+ENVELOPE_CASES = [
+    ("trailing", TRAILING, None),
+    ("trailing_brace", TRAILING_BRACE, None),
+    ("ws_multi_root", '{"k":1} {"x":2}', None),
+    ("nan", NAN, None),
+    ("neg_inf", '{"k":1,"v":-Infinity}', None),
+    ("deep_1200", DEEP(1200), None),
+    ("num_1001", NUM(1001), None),
+    ("long_name_60k", '{"' + "a" * 60000 + '":1,"k":5}', None),
+    ("legit_nested", '{"k":23,"d":{"a":[1,{"b":2}]}}', "23"),
+    ("arr_of_objs", '{"k":24,"l":[{"a":1},{"b":2}]}', "24"),
+    ("num_1000", NUM(1000), "7"),
+    ("dup_first_wins", DUP, "1"),
+    ("clean", '{"k":9}', "9"),
+]
+
+
+def test_envelope_closes_every_class_identically(spark):
+    """Both engines, reading through json_parseable/json_parseable_sql,
+    produce the SAME k for every divergent class (NULL) and every
+    precision pin (the value)."""
+    names = [n for n, _, _ in ENVELOPE_CASES]
+    payloads = [p for _, p, _ in ENVELOPE_CASES]
+    want = [w for _, _, w in ENVELOPE_CASES]
+
+    df = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(payloads)], "i long, props string"
+    )
+    rows = df.select(
+        "i", F.get_json_object(json_parseable("props"), "$.k").alias("k")
+    ).collect()
+    got_spark = [r.k for r in sorted(rows, key=lambda r: r.i)]
+
+    con = duckdb.connect()
+    g = json_parseable_sql("?::VARCHAR")
+    nparams = g.count("?::VARCHAR")
+    got_duck = [
+        con.execute(
+            f"SELECT CASE WHEN json_valid(p) THEN json_extract_string(p, '$.k') END"
+            f" FROM (SELECT {g} AS p)",
+            [p] * nparams,
+        ).fetchone()[0]
+        for p in payloads
+    ]
+
+    bad = [
+        (n, s, d, w)
+        for n, s, d, w in zip(names, got_spark, got_duck, want)
+        if not (s == d == w)
+    ]
+    assert not bad, f"envelope mismatches (name, spark, duck, want): {bad}"

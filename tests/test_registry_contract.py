@@ -3,10 +3,10 @@
 The driver checks the FIRST 50 queries in iteration order against their
 oracles — these tests pin the properties that make that budget count:
 every exposed query is callable, every first-50 entry carries an oracle,
-and the round-9 rotation (pure evidence age: the full r4-era block led
-by the q_dedup_span_clean recorded spill, then the head of the r5-era
-block — no query module changed this round) stays at the front until
-the next deliberate rotation.
+and the round-9 rotation (the two JSON-probe churn keys first, then the
+full r4-era block led by the q_dedup_span_clean recorded spill, then
+the head of the r5-era block) stays at the front until the next
+deliberate rotation.
 """
 
 from __future__ import annotations
@@ -64,13 +64,13 @@ def _last_green_round() -> dict[str, int]:
 
 
 # Keys whose implementing modules changed AFTER their latest driver row.
-# Round 9: EMPTY — CORRECTNESS_r08 confirmed every r7/r8-churn key green,
-# and no query module changes this round (all round-9 work is test /
-# script / docstring-only: load-aware scale-rehearsal bounds, skew-join
-# deterministic effect pin, ab_drift hardening, element_at docstring
-# reword — NOTES_r9 churn section). The budget is therefore pure
-# evidence age, and the set stays declared for the next churn round.
-_CHURN: set[str] = set()
+# Round-9 churn: the round-9 JSON probe found four Jackson/yyjson-
+# ASYMMETRIC payload classes (trailing garbage, >=1000 nesting depth,
+# >=1001-digit numbers / >50k key names, bare NaN/Infinity — value
+# divergences, not errors) and both JSON-consuming keys now read through
+# the shared parse envelope (functions/scalars.py json_parseable), query
+# AND oracle in lockstep; their green r8 driver rows predate the change.
+_CHURN: set[str] = {"q_json_extract", "q_filter_notnull"}
 
 
 
