@@ -322,9 +322,14 @@ def json_parseable_sql(expr: str) -> str:
     -- in DuckDB's JSON reader but stays raw text in Spark's — the regex
     -- admits only integer text (identical on both engines) and TRY_CAST
     -- turns the remaining overflow class into NULL on both
+    -- \\z, not $ (round-9 regex-dialect probe): Java's $ matches BEFORE a
+    -- final line terminator while RE2's $ is end-of-text only, and
+    -- Spark's cast then TRIMS the terminator — so a payload k of
+    -- "123\\n" yielded 123 on Spark and NULL here. \\z is the absolute
+    -- end-of-text anchor in BOTH dialects (hostile rows 9325-9326).
     typed AS (
       SELECT event_id, missing,
-             CASE WHEN regexp_matches(ks, '^-?[0-9]+$')
+             CASE WHEN regexp_matches(ks, '^-?[0-9]+\\z')
                   THEN TRY_CAST(ks AS BIGINT) END AS k
       FROM j)
     -- k2 gated to |k| < 2^62 (ADVICE r7): a valid-int64 payload k >= 2^62
@@ -361,8 +366,11 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ks = F.get_json_object(props, "$.k")
     # integer-regex + try_cast, mirrored in the oracle (see the oracle
     # comment): JSON values are UNTYPED text at extraction — a bare ANSI
-    # cast dies on "abc" and diverges on "1.9" / out-of-range numbers
-    k = F.when(ks.rlike("^-?[0-9]+$"), ks.try_cast("long"))
+    # cast dies on "abc" and diverges on "1.9" / out-of-range numbers.
+    # \z, not $ (round-9 regex-dialect probe): Java's $ matches before a
+    # final line terminator while RE2's is end-of-text only, and cast
+    # trims the terminator — "123\n" was 123 here, NULL on the oracle
+    k = F.when(ks.rlike("^-?[0-9]+\\z"), ks.try_cast("long"))
     # overflow-safe doubling (ADVICE r7): |k| < 2^62 gate, range compares
     # only (abs(-2^63) overflows under ANSI); mirrored in the oracle —
     # out-of-range k survives, only its double nulls

@@ -311,6 +311,16 @@ def _build_hostile_dir(out: str, src: str) -> None:
          '{{"k": 23, "d": {{"a": [1, {{"b": 2}}]}}}}'),
         (9324, TIMESTAMP '2024-01-04 00:00:23', 5, 'view', 1.0,
          '{{"k": 24, "l": [{{"a": 1}}, {{"b": 2}}]}}'),
+        -- round-9 regex-dialect probe: a digit string ENDING IN A LINE
+        -- TERMINATOR. Java's $ matches before a final terminator while
+        -- RE2's $ is end-of-text only, and Spark's cast trims the
+        -- terminator — so with the old '^-?[0-9]+$' gate these rows were
+        -- k=123/-45 on Spark and NULL on the oracle. The \z anchor
+        -- (absolute end-of-text in BOTH dialects) nulls them identically.
+        (9325, TIMESTAMP '2024-01-04 00:00:24', 5, 'view', 1.0,
+         '{{"k": "123\\n"}}'),
+        (9326, TIMESTAMP '2024-01-04 00:00:25', 5, 'view', 1.0,
+         '{{"k": "-45\\r\\n"}}'),
         -- extreme 64-bit ids (round 6): ids are OPAQUE surrogate keys, so
         -- negative / near-INT64_MAX values are legitimate at scale, not
         -- corrupt — id arithmetic must be overflow-safe and sign-safe BY

@@ -129,6 +129,41 @@ def test_duplicate_keys_are_first_wins_on_both(spark):
     assert _duck_valid_and_k([DUP])[0][1] == "1"
 
 
+def test_dollar_anchor_dialect_split_and_the_z_fix(spark):
+    """Round-9 regex-dialect find: Java's $ matches BEFORE a final line
+    terminator (\\n, \\r, \\r\\n); RE2's $ is end-of-text only. Spark's
+    cast then trims the terminator, so the old '^-?[0-9]+$' integer gate
+    turned '123\\n' into 123 on Spark and NULL on DuckDB. \\z is the
+    absolute end-of-text anchor in BOTH dialects — pinned here; the \\s*$
+    shape gate in json_parseable is exempt because \\s* absorbs the
+    terminator before either dialect's $ evaluates."""
+    vals = ["123\n", "123\r", "123\r\n", "123"]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "i long, s string")
+    rows = df.select(
+        "i",
+        F.col("s").rlike("^-?[0-9]+$").alias("dollar"),
+        F.col("s").rlike("^-?[0-9]+\\z").alias("z"),
+        F.col("s").rlike("[}]?\\s*$").alias("ws_dollar"),
+    ).collect()
+    got = {r.i: r for r in rows}
+    con = duckdb.connect()
+    for i, v in enumerate(vals):
+        d, z, w = con.execute(
+            r"SELECT regexp_matches(?::VARCHAR, '^-?[0-9]+$'),"
+            r" regexp_matches(?::VARCHAR, '^-?[0-9]+\z'),"
+            r" regexp_matches(?::VARCHAR, '[}]?\s*$')",
+            [v, v, v],
+        ).fetchone()
+        terminated = v != "123"
+        # the raw split: $ diverges exactly on terminator-ended strings
+        assert got[i].dollar is True
+        assert d is (not terminated)
+        # the fix: \z agrees everywhere
+        assert got[i].z == z == (not terminated)
+        # the exemption: \s*$ agrees because \s* eats the terminator
+        assert got[i].ws_dollar is True and w is True
+
+
 # every divergent class plus the precision pins (legit payloads that
 # must SURVIVE the envelope with values intact)
 ENVELOPE_CASES = [
