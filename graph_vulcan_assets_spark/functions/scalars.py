@@ -29,7 +29,11 @@ from graph_vulcan_assets_spark.tables import load_table
            substr(c_name, 10, 5) AS sub,
            CAST(length(c_name) AS BIGINT) AS len,
            concat_ws('-', c_mktsegment, CAST(c_nationkey AS VARCHAR)) AS seg_nat,
-           regexp_extract(c_name, '([0-9]+)$', 1) AS numpart,
+           -- \\z, not $ (round-9 regex-dialect probe): Java's $ matches
+           -- before a final line terminator, RE2's is end-of-text only —
+           -- a name ending in a newline extracted its digits on Spark
+           -- and '' here; \\z agrees (hostile customer rows 9401-9403)
+           regexp_extract(c_name, '([0-9]+)\\z', 1) AS numpart,
            replace(c_name, 'Customer#', 'C') AS replaced,
            trim('  ' || c_mktsegment || ' ') AS trimmed
     FROM customer
@@ -49,7 +53,9 @@ def q_str_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring("c_name", 10, 5).alias("sub"),
         F.length("c_name").cast("long").alias("len"),
         F.concat_ws("-", F.col("c_mktsegment"), F.col("c_nationkey").cast("string")).alias("seg_nat"),
-        F.regexp_extract("c_name", "([0-9]+)$", 1).alias("numpart"),
+        # \z, not $ — Java/RE2 dialect split on terminator-ended names
+        # (round-9 probe; see the oracle comment)
+        F.regexp_extract("c_name", "([0-9]+)\\z", 1).alias("numpart"),
         F.expr("replace(c_name, 'Customer#', 'C')").alias("replaced"),
         F.trim(F.concat(F.lit("  "), F.col("c_mktsegment"), F.lit(" "))).alias("trimmed"),
     )

@@ -54,13 +54,15 @@ def load_all() -> None:
 # budget rotation, not code). Round-9 order (VERDICT r8 #1), standing rule
 # (module-changed-since-last-driver-row, evidence age):
 #
-#   positions 1-2   = the round-9 CHURN: the round-9 JSON probe found
-#                     four Jackson/yyjson-asymmetric payload classes and
-#                     q_json_extract + q_filter_notnull now read through
-#                     the shared parse envelope (json_parseable), query
-#                     AND oracle in lockstep; their green r8 rows predate
-#                     the change, so churn outranks evidence age.
-#   positions 3-26  = the full r4-era evidence block. Position 3 is
+#   positions 1-3   = the round-9 CHURN (probe finds, query AND oracle
+#                     in lockstep, latest driver rows predate the code):
+#                     q_json_extract + q_filter_notnull read through the
+#                     shared JSON parse envelope (four Jackson/yyjson-
+#                     asymmetric payload classes), and q_str_funcs'
+#                     numpart extraction is re-anchored \z (Java's $
+#                     matches before a final line terminator, RE2's is
+#                     end-of-text only). Churn outranks evidence age.
+#   positions 4-27  = the full r4-era evidence block. Position 4 is
 #                     q_dedup_span_clean, the round-8 RECORDED SPILL
 #                     (judge re-checked it OK via check_subset, but the
 #                     driver has not seen it since r4). The other 23 are
@@ -68,10 +70,9 @@ def load_all() -> None:
 #                     (text/lang/search family, q_entity_pairs,
 #                     q_keyset_page, q_join_salted, set-ops, window
 #                     distribution/ratio) — all code unchanged since.
-#   positions 27-50 = the head of the r5-era block (24 of its 31 keys,
-#                     existing relative order preserved: scalar-function
-#                     and classifier keys first, then the agg family,
-#                     then joins through q_join_asof).
+#   positions 28-50 = the head of the r5-era block (23 more of its 31
+#                     keys, existing relative order preserved, through
+#                     q_join_asof).
 #   positions 51-57 = the r5-era remainder (q_join_broadcast,
 #                     q_join_inner, q_join_left, q_join_multiway,
 #                     q_join_range, q_join_semi, q_cascade_expire) — the
@@ -97,6 +98,11 @@ PRIORITY: tuple[str, ...] = (
     # driver rows predate the change, so churn outranks evidence age
     "q_json_extract",
     "q_filter_notnull",
+    # position 3: the SECOND round-9 probe find — Java's $ matches before
+    # a final line terminator while RE2's is end-of-text only, so
+    # q_str_funcs' numpart extraction diverged on terminator-ended names;
+    # now anchored \z on both sides (its r5 row predates the change)
+    "q_str_funcs",
     # -- r4-era evidence block
     "q_dedup_span_clean",
     "q_dedup_spans",
@@ -134,7 +140,6 @@ PRIORITY: tuple[str, ...] = (
     "q_date_funcs",
     "q_map_funcs",
     "q_math_funcs",
-    "q_str_funcs",
     "q_text_search",
     "q_text_stats",
     "q_agg_any_active",

@@ -67,12 +67,32 @@ def _build_hostile_dir(out: str, src: str) -> None:
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
     for t in TABLES:
-        if t in ("documents", "embeddings", "events"):
+        if t in ("documents", "embeddings", "events", "customer"):
             continue
         con.sql(
             f"COPY (SELECT * FROM '{src}/{t}.parquet' LIMIT 20) "
             f"TO '{out}/{t}.parquet' (FORMAT parquet)"
         )
+    # customer: 20 clean rows + names ENDING IN A LINE TERMINATOR
+    # (round-9 regex-dialect probe): Java's $ matches before a final
+    # \n/\r/\r\n while RE2's $ is end-of-text only, so the old
+    # '([0-9]+)$' numpart extraction answered '000099' on Spark and ''
+    # on the oracle for 9401/9402; the \z anchor nulls both to '' —
+    # and 9403 (no digits at all) pins the shared no-match '' form.
+    # Other columns stay in-domain so every customer-joining query
+    # treats these as ordinary unmatched customers on both engines.
+    con.sql(f"""
+    COPY (
+      SELECT * FROM (SELECT * FROM '{src}/customer.parquet' LIMIT 20)
+      UNION ALL BY NAME
+      SELECT * FROM (VALUES
+        (9401, 'Customer#000099' || chr(10), 1::INTEGER, 100.0, 'BUILDING'),
+        (9402, 'Customer#000042' || chr(13) || chr(10), 2::INTEGER, 200.0,
+         'MACHINERY'),
+        (9403, 'NoTrailingDigitsAtAll', 3::INTEGER, 300.0, 'AUTOMOBILE')
+      ) AS v(c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment)
+    ) TO '{out}/customer.parquet' (FORMAT parquet)
+    """)
     zero = "[" + ",".join(["0.0"] * 64) + "]::FLOAT[]"
     nan = "[" + ",".join(["'nan'::FLOAT" if i == 5 else "1.0" for i in range(64)]) + "]"
     inf = "[" + ",".join(

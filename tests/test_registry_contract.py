@@ -64,13 +64,17 @@ def _last_green_round() -> dict[str, int]:
 
 
 # Keys whose implementing modules changed AFTER their latest driver row.
-# Round-9 churn: the round-9 JSON probe found four Jackson/yyjson-
-# ASYMMETRIC payload classes (trailing garbage, >=1000 nesting depth,
-# >=1001-digit numbers / >50k key names, bare NaN/Infinity — value
-# divergences, not errors) and both JSON-consuming keys now read through
-# the shared parse envelope (functions/scalars.py json_parseable), query
-# AND oracle in lockstep; their green r8 driver rows predate the change.
-_CHURN: set[str] = {"q_json_extract", "q_filter_notnull"}
+# Round-9 churn, both probe finds fixed query AND oracle in lockstep:
+# (a) the JSON probe found four Jackson/yyjson-ASYMMETRIC payload
+# classes (trailing garbage, >=1000 nesting depth, >=1001-digit numbers
+# / >50k key names, bare NaN/Infinity — value divergences, not errors)
+# and both JSON-consuming keys now read through the shared parse
+# envelope (functions/scalars.py json_parseable); (b) the regex-dialect
+# probe found Java's $ matches before a final line terminator while
+# RE2's is end-of-text only, so q_str_funcs' numpart extraction (and
+# the JSON integer gate) are re-anchored \z. Latest driver rows (r8,
+# r8, r5) predate the changes.
+_CHURN: set[str] = {"q_json_extract", "q_filter_notnull", "q_str_funcs"}
 
 
 
