@@ -232,26 +232,63 @@ def json_sanitize_sql(expr: str) -> str:
 # lockstep fix is a shared string-level PARSE ENVELOPE evaluated
 # identically on both engines before parsing: a payload is treated as
 # unparseable (NULL) unless it is <= 16384 chars, object-rooted with
-# balanced braces/brackets, free of whitespace-adjacent '}' '{' root
-# seams, has <= 256 opening braces+brackets (depth can never exceed
-# opener count), no 1001+ digit run, and no bare NaN/Infinity token.
+# balanced braces/brackets, free of closer-joins (a '}' or ']' followed
+# — after JSON whitespace — by anything other than ',', '}', ']' or
+# end-of-text), has <= 256 opening braces+brackets (depth can never
+# exceed opener count), no 1001+ run of number-token chars starting
+# with a digit, and no bare NaN/Infinity token.
 # Inside the envelope both parsers agree; outside it both sides NULL
 # the row — one weird payload costs one NULL, never a divergence or
 # the job. String values can false-positive the token regexes (a text
-# field containing ': NaN', a quote-free 1001-digit string) — that
-# gates a legit row SYMMETRICALLY, which parity tolerates by design.
+# field containing ': NaN', 'stuff] here', a quote-free 1001-digit
+# string) — that gates a legit row SYMMETRICALLY, which parity
+# tolerates by design.
 # KNOWN RESIDUAL (documented, not representable at string level):
 # comma-joined multi-roots ('{"a":1},{"b":2}') are indistinguishable
 # from an array-of-objects INTERIOR ('[{"a":1},{"b":2}]'), so they
-# stay Jackson-lenient/yyjson-strict; kept out of fixtures.
+# stay Jackson-lenient/yyjson-strict; kept out of fixtures. (Non-comma
+# joins — '{"k":1}x{"b":2}', '{"k":1}"x"' — ARE caught, by the
+# closer-join guard; r10 ADVICE closed that gap.)
 # Patterns use [{] / [}] character classes so the same text is valid
 # in Java regex and RE2 without dialect-specific brace escaping.
+#
+# Round-10 ADVICE hardening (each confirmed-divergent before the fix):
+#   a. JSON whitespace is the explicit class [ \t\r\n], never \s: the
+#      dialects disagree on \s (Java includes \x0B, RE2 doesn't) and
+#      BOTH include \f, which NEITHER parser accepts as JSON
+#      whitespace — '{"k":1}'+VT/FF slid through the old \s end-guard
+#      on Spark only (Jackson ignores trailing garbage) → '1' vs NULL.
+#   b. End anchor is \z, not $: Java's $ matches BEFORE a final line
+#      terminator (\n \r U+2028 U+2029 \x85), so '{"k":1}'+U+2028
+#      passed the old end-guard on Spark only — measured '1' vs NULL.
+#      (\z is absolute end-of-text in BOTH dialects — same fix as the
+#      round-9 q_str_funcs anchor.)
+#   c. The closer-join guard generalizes the old '}\s*{' seam guard:
+#      '{"k":1}x{"b":2}' is balanced, object-rooted, ends '}' and has
+#      no ws-adjacent '}{' seam, yet Jackson parses the first root
+#      ('1') while yyjson rejects (NULL). After a '}' or ']' closer,
+#      valid JSON allows only ',', '}', ']', whitespace or the end.
+#   d. The number gate counts the whole TOKEN, not just a digit run:
+#      Jackson's StreamReadConstraints reject integer tokens >= 1001
+#      digits AND any FP/exp token >= 1002 total chars (all measured;
+#      '<600 digits>.<600 digits>' = NULL on Spark, parsed by DuckDB).
+#      A 1001+ run of [0-9.eE+-] starting with a digit covers both
+#      classes; the cost is a symmetric NULL on legit 1001-char FP
+#      tokens (both engines would parse those) — envelope-by-design.
 _JSON_MAX_LEN = 16384
 _JSON_MAX_OPENERS = 256
-# a 1001+ digit run, written as {1000}+1 because RE2 rejects repetition
-# counts above 1000 ("invalid repetition size: {1001}")
-_JSON_DIGIT_RUN_RE = "[0-9]{1000}[0-9]"
-_JSON_NONSTD_RE = r"[:,\[]\s*[+-]?(NaN|Infinity)"
+# JSON's whitespace exactly, identical in Java regex and RE2 (see a.)
+_JSON_WS = r"[ \t\r\n]"
+_JSON_START_RE = "^" + _JSON_WS + "*[{]"
+_JSON_END_RE = "[}]" + _JSON_WS + "*" + r"\z"
+# a closer followed (after JSON whitespace) by anything but , } ] or
+# end-of-text — catches non-comma multi-root joins AND trailing
+# non-JSON whitespace/terminators in one pass (see c.)
+_JSON_CLOSER_JOIN_RE = r"[}\]]" + _JSON_WS + "*" + r"[^ \t\r\n,}\]]"
+# a 1001+ run of number-token chars starting with a digit, written as
+# digit+{1000} because RE2 rejects repetition counts above 1000 (see d.)
+_JSON_NUMTOKEN_RE = "[0-9][0-9.eE+-]{1000}"
+_JSON_NONSTD_RE = r"[:,\[]" + _JSON_WS + "*" + "[+-]?(NaN|Infinity)"
 
 
 def _char_count(col, ch: str):
@@ -264,13 +301,13 @@ def json_parseable(col):
     s = json_sanitize(col)
     guard = (
         (F.length(s) <= _JSON_MAX_LEN)
-        & s.rlike(r"^\s*[{]")
-        & s.rlike(r"[}]\s*$")
+        & s.rlike(_JSON_START_RE)
+        & s.rlike(_JSON_END_RE)
         & (_char_count(s, "{") == _char_count(s, "}"))
         & (_char_count(s, "[") == _char_count(s, "]"))
-        & ~s.rlike(r"[}]\s*[{]")
+        & ~s.rlike(_JSON_CLOSER_JOIN_RE)
         & ((_char_count(s, "{") + _char_count(s, "[")) <= _JSON_MAX_OPENERS)
-        & ~s.rlike(_JSON_DIGIT_RUN_RE)
+        & ~s.rlike(_JSON_NUMTOKEN_RE)
         & ~s.rlike(_JSON_NONSTD_RE)
     )
     return F.when(guard, s)
@@ -287,13 +324,13 @@ def json_parseable_sql(expr: str) -> str:
     guard = " AND ".join(
         [
             f"length({s}) <= {_JSON_MAX_LEN}",
-            f"regexp_matches({s}, '^\\s*[{{]')",
-            f"regexp_matches({s}, '[}}]\\s*$')",
+            f"regexp_matches({s}, '{_JSON_START_RE}')",
+            f"regexp_matches({s}, '{_JSON_END_RE}')",
             f"{cnt('{')} = {cnt('}')}",
             f"{cnt('[')} = {cnt(']')}",
-            f"NOT regexp_matches({s}, '[}}]\\s*[{{]')",
+            f"NOT regexp_matches({s}, '{_JSON_CLOSER_JOIN_RE}')",
             f"{cnt('{')} + {cnt('[')} <= {_JSON_MAX_OPENERS}",
-            f"NOT regexp_matches({s}, '{_JSON_DIGIT_RUN_RE}')",
+            f"NOT regexp_matches({s}, '{_JSON_NUMTOKEN_RE}')",
             f"NOT regexp_matches({s}, '{_JSON_NONSTD_RE}')",
         ]
     )

@@ -51,107 +51,45 @@ def load_all() -> None:
 # Exposure order for ``queries()`` / ``oracle_sql()``. The driver runs its
 # 50-entry correctness budget over queries in iteration order, so each round
 # rotates the highest-value checks to the front (round-2 verdict item #1:
-# budget rotation, not code). Round-9 order (VERDICT r8 #1), standing rule
+# budget rotation, not code). Round-10 order (VERDICT r9 #1), standing rule
 # (module-changed-since-last-driver-row, evidence age):
 #
-#   positions 1-3   = the round-9 CHURN (probe finds, query AND oracle
-#                     in lockstep, latest driver rows predate the code):
-#                     q_json_extract + q_filter_notnull read through the
-#                     shared JSON parse envelope (four Jackson/yyjson-
-#                     asymmetric payload classes), and q_str_funcs'
-#                     numpart extraction is re-anchored \z (Java's $
-#                     matches before a final line terminator, RE2's is
-#                     end-of-text only). Churn outranks evidence age.
-#   positions 4-27  = the full r4-era evidence block. Position 4 is
-#                     q_dedup_span_clean, the round-8 RECORDED SPILL
-#                     (judge re-checked it OK via check_subset, but the
-#                     driver has not seen it since r4). The other 23 are
-#                     every remaining key whose latest driver row is r4
-#                     (text/lang/search family, q_entity_pairs,
-#                     q_keyset_page, q_join_salted, set-ops, window
-#                     distribution/ratio) — all code unchanged since.
-#   positions 28-50 = the head of the r5-era block (23 more of its 31
-#                     keys, existing relative order preserved, through
-#                     q_join_asof).
-#   positions 51-57 = the r5-era remainder (q_join_broadcast,
-#                     q_join_inner, q_join_left, q_join_multiway,
-#                     q_join_range, q_join_semi, q_cascade_expire) — the
-#                     round-9 RECORDED SPILL if the budget stays at 50;
-#                     they head the round-10 rotation.
-#   positions 58+   = r6 / r7 / r8 driver-green inventory, oldest
-#                     evidence first, freshest last — loses nothing if
-#                     the fixed-size budget cuts off.
+#   positions 1-2   = the round-10 CHURN: the ADVICE r9 envelope probe
+#                     confirmed three residual Jackson/yyjson divergence
+#                     classes through the r9 parse envelope (trailing
+#                     VT/FF via the dialect-split \s, non-whitespace
+#                     multi-root joins past the closer seam guard,
+#                     FP/exp tokens >= 1002 chars past the digit-run
+#                     gate) plus a fourth found while fixing (trailing
+#                     U+2028/U+2029/NEL via Java's $) — the envelope is
+#                     rebuilt ([ \t\r\n] class, \z anchor, closer-join
+#                     guard, number-token-run gate) in query AND oracle
+#                     lockstep, so both envelope-reading keys' r9 driver
+#                     rows predate the code. Churn outranks evidence age.
+#   positions 3-9   = the full r5-era remainder — the round-9 RECORDED
+#                     SPILL (q_join_broadcast/inner/left/multiway/range/
+#                     semi, q_cascade_expire; judge re-checked all 7 OK
+#                     via check_subset in r9, but the driver has not seen
+#                     them since r5). No r5-era rows remain after this.
+#   positions 10-32 = the entire r6-era evidence block (23 keys, existing
+#                     relative order preserved).
+#   positions 33-50 = the head of the r7-era block (18 of its 46 keys).
+#   positions 51+   = r7 remainder, then r8 / r9 driver-green inventory,
+#                     oldest evidence first, freshest last — loses
+#                     nothing if the fixed-size budget cuts off.
 # The driver-evidence horizon this PRIORITY was computed from: the
 # rotation above ranks keys by their latest green row in
 # CORRECTNESS_r01..r{this}. Bump it together with every rotation — the
 # contract test judges the order against exactly this evidence set, so
 # a CORRECTNESS file the rotation could not have seen (written by the
 # driver after the rotation) does not red the staleness invariants.
-ROTATION_EVIDENCE_THROUGH: int = 8
+ROTATION_EVIDENCE_THROUGH: int = 9
 
 PRIORITY: tuple[str, ...] = (
-    # -- round-9 churn (positions 1-2): the round-9 JSON probe found four
-    # Jackson/yyjson-asymmetric payload classes (trailing garbage, deep
-    # nesting, huge numbers/names, bare NaN/Infinity — VALUE divergences,
-    # not errors) and both keys now read through the shared parse
-    # envelope (json_parseable), query AND oracle in lockstep; their r8
-    # driver rows predate the change, so churn outranks evidence age
+    # -- churn block (position 1+)
     "q_json_extract",
     "q_filter_notnull",
-    # position 3: the SECOND round-9 probe find — Java's $ matches before
-    # a final line terminator while RE2's is end-of-text only, so
-    # q_str_funcs' numpart extraction diverged on terminator-ended names;
-    # now anchored \z on both sides (its r5 row predates the change)
-    "q_str_funcs",
-    # -- r4-era evidence block
-    "q_dedup_span_clean",
-    "q_dedup_spans",
-    "q_dq_checks",
-    "q_entity_pairs",
-    "q_except_all",
-    "q_intersect_all",
-    "q_join_part_supplier",
-    "q_join_salted",
-    "q_keyset_page",
-    "q_lang_confusion",
-    "q_lang_id",
-    "q_text_bm25",
-    "q_text_fingerprint",
-    "q_text_lang_dist",
-    "q_text_lm_score",
-    "q_text_quality",
-    "q_text_repetition",
-    "q_text_search_indexed",
-    "q_text_search_phrase",
-    "q_text_tfidf",
-    "q_token_count",
-    "q_vocab_topn",
-    "q_win_distribution",
-    "q_win_ratio_to_report",
-    # -- r5-era evidence block (positions 25+)
-    "q_length_buckets",
-    "q_quantile_filter",
-    "q_cap_per_source",
-    "q_quality_classifier",
-    "q_classifier_route",
-    "q_feature_hashing",
-    "q_topic_assign",
-    "q_case_when",
-    "q_date_funcs",
-    "q_map_funcs",
-    "q_math_funcs",
-    "q_text_search",
-    "q_text_stats",
-    "q_agg_any_active",
-    "q_agg_cube",
-    "q_agg_distinct",
-    "q_agg_groupby",
-    "q_agg_having",
-    "q_agg_rollup",
-    "q_agg_stats",
-    "q_dup_detect",
-    "q_join_anti",
-    "q_join_asof",
+    # -- r5 block (position 3+)
     "q_join_broadcast",
     "q_join_inner",
     "q_join_left",
@@ -159,7 +97,7 @@ PRIORITY: tuple[str, ...] = (
     "q_join_range",
     "q_join_semi",
     "q_cascade_expire",
-    # -- r6-era evidence block (positions 56+)
+    # -- r6 block (position 10+)
     "q_agg_listagg",
     "q_agg_mode",
     "q_agg_percentile",
@@ -183,7 +121,7 @@ PRIORITY: tuple[str, ...] = (
     "q_corpus_shuffle",
     "q_mix_temperature",
     "q_multimodal_framesample",
-    # -- r7-era evidence block (positions 79+)
+    # -- r7 block (position 33+)
     "q_embed_matryoshka",
     "q_pq_adc_topk",
     "q_sim_mrl_rerank",
@@ -230,7 +168,7 @@ PRIORITY: tuple[str, ...] = (
     "q_recursive_cte",
     "q_dedup_exact",
     "q_dedup_incremental",
-    # -- r8-era evidence block (positions 125+)
+    # -- r8 block (position 79+)
     "q_win_lag_lead",
     "q_win_running_sum",
     "q_source_csv",
@@ -279,6 +217,55 @@ PRIORITY: tuple[str, ...] = (
     "q_dedup_clusters",
     "q_dedup_containment",
     "q_dedup_ngram",
+    # -- r9 block (position 127+)
+    "q_str_funcs",
+    "q_dedup_span_clean",
+    "q_dedup_spans",
+    "q_dq_checks",
+    "q_entity_pairs",
+    "q_except_all",
+    "q_intersect_all",
+    "q_join_part_supplier",
+    "q_join_salted",
+    "q_keyset_page",
+    "q_lang_confusion",
+    "q_lang_id",
+    "q_text_bm25",
+    "q_text_fingerprint",
+    "q_text_lang_dist",
+    "q_text_lm_score",
+    "q_text_quality",
+    "q_text_repetition",
+    "q_text_search_indexed",
+    "q_text_search_phrase",
+    "q_text_tfidf",
+    "q_token_count",
+    "q_vocab_topn",
+    "q_win_distribution",
+    "q_win_ratio_to_report",
+    "q_length_buckets",
+    "q_quantile_filter",
+    "q_cap_per_source",
+    "q_quality_classifier",
+    "q_classifier_route",
+    "q_feature_hashing",
+    "q_topic_assign",
+    "q_case_when",
+    "q_date_funcs",
+    "q_map_funcs",
+    "q_math_funcs",
+    "q_text_search",
+    "q_text_stats",
+    "q_agg_any_active",
+    "q_agg_cube",
+    "q_agg_distinct",
+    "q_agg_groupby",
+    "q_agg_having",
+    "q_agg_rollup",
+    "q_agg_stats",
+    "q_dup_detect",
+    "q_join_anti",
+    "q_join_asof",
 )
 
 

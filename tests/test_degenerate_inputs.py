@@ -335,12 +335,44 @@ def _build_hostile_dir(out: str, src: str) -> None:
         -- TERMINATOR. Java's $ matches before a final terminator while
         -- RE2's $ is end-of-text only, and Spark's cast trims the
         -- terminator — so with the old '^-?[0-9]+$' gate these rows were
-        -- k=123/-45 on Spark and NULL on the oracle. The \z anchor
+        -- k=123/-45 on Spark and NULL on the oracle. The \\z anchor
         -- (absolute end-of-text in BOTH dialects) nulls them identically.
         (9325, TIMESTAMP '2024-01-04 00:00:24', 5, 'view', 1.0,
          '{{"k": "123\\n"}}'),
         (9326, TIMESTAMP '2024-01-04 00:00:25', 5, 'view', 1.0,
          '{{"k": "-45\\r\\n"}}'),
+        -- round-10 ADVICE classes (confirmed-divergent through the OLD
+        -- envelope): 9327/9328 trailing VT/FF — Java \\s includes \\x0B
+        -- (RE2 doesn't) and both dialects include \\f, which NEITHER
+        -- parser accepts as JSON whitespace, so the old \\s end-guard
+        -- passed them on Spark only (Jackson ignores trailing garbage).
+        -- 9329/9330 trailing U+2028/NEL — Java $ matches before a final
+        -- line terminator (the r9 q_str_funcs class, resurfacing inside
+        -- the envelope's own end-guard); now [ \\t\\r\\n]*\\z. 9331 a
+        -- NON-whitespace multi-root join the old '}}\\s*{{' seam guard
+        -- missed; now the closer-join guard. 9332 an FP token >= 1002
+        -- total chars — Jackson rejects (StreamReadConstraints), yyjson
+        -- parses; the number gate now counts token chars, not digits.
+        -- 9333/9334 pin the envelope's PRECISION: a 1001-char signed
+        -- integer token and a closer-whitespace-comma sequence must
+        -- SURVIVE with k intact on both engines.
+        (9327, TIMESTAMP '2024-01-04 00:00:26', 5, 'view', 1.0,
+         '{{"k": 27}}' || chr(11)),
+        (9328, TIMESTAMP '2024-01-04 00:00:27', 5, 'view', 1.0,
+         '{{"k": 28}}' || chr(12)),
+        (9329, TIMESTAMP '2024-01-04 00:00:28', 5, 'view', 1.0,
+         '{{"k": 29}}' || chr(8232)),
+        (9330, TIMESTAMP '2024-01-04 00:00:29', 5, 'view', 1.0,
+         '{{"k": 30}}' || chr(133)),
+        (9331, TIMESTAMP '2024-01-04 00:00:30', 5, 'view', 1.0,
+         '{{"k": 31}}x{{"b": 1}}'),
+        (9332, TIMESTAMP '2024-01-04 00:00:31', 5, 'view', 1.0,
+         '{{"k": 32, "v": ' || repeat('9', 600) || '.' || repeat('9', 600)
+         || '}}'),
+        (9333, TIMESTAMP '2024-01-04 00:00:32', 5, 'view', 1.0,
+         '{{"k": 33, "v": -' || repeat('9', 1000) || '}}'),
+        (9334, TIMESTAMP '2024-01-04 00:00:33', 5, 'view', 1.0,
+         '{{"k": 34, "a": [1] , "b": {{"c": 2}} , "d": 3}}'),
         -- extreme 64-bit ids (round 6): ids are OPAQUE surrogate keys, so
         -- negative / near-INT64_MAX values are legitimate at scale, not
         -- corrupt — id arithmetic must be overflow-safe and sign-safe BY

@@ -36,6 +36,23 @@ Known residual (documented in the scalars.py module comment):
 comma-joined multi-roots (``{"a":1},{"b":2}``) are indistinguishable
 at string level from an array-of-objects interior, so they remain
 Jackson-lenient/yyjson-strict and are kept out of fixtures.
+
+Round-10 ADVICE hardening, each confirmed-divergent through the OLD
+envelope before the fix (pinned in ENVELOPE_CASES below):
+- ``\\s`` in the envelope was dialect-split (Java includes \\x0B, RE2
+  doesn't) and broader than JSON whitespace (both include \\f, which
+  neither parser accepts) — ``{"k":1}`` + VT/FF diverged. The envelope
+  now uses the explicit class ``[ \\t\\r\\n]``.
+- The end anchor was ``$``: Java's matches before a final line
+  terminator (U+2028/U+2029/\\x85 included), so ``{"k":1}`` + U+2028
+  diverged. Now ``\\z`` on both sides.
+- The seam guard only caught whitespace-adjacent ``}{`` joins:
+  ``{"k":1}x{"b":2}`` diverged. Now a closer-join guard: after ``}``
+  or ``]``, only ``,`` ``}`` ``]``, JSON whitespace or end-of-text.
+- The number gate only caught 1001+ DIGIT runs; Jackson also rejects
+  FP/exp tokens >= 1002 total chars (``<600 digits>.<600 digits>``
+  diverged). Now a 1001+ run of ``[0-9.eE+-]`` starting with a digit;
+  legit 1001-char FP tokens are symmetric envelope false-positives.
 """
 
 from __future__ import annotations
@@ -134,9 +151,12 @@ def test_dollar_anchor_dialect_split_and_the_z_fix(spark):
     terminator (\\n, \\r, \\r\\n); RE2's $ is end-of-text only. Spark's
     cast then trims the terminator, so the old '^-?[0-9]+$' integer gate
     turned '123\\n' into 123 on Spark and NULL on DuckDB. \\z is the
-    absolute end-of-text anchor in BOTH dialects — pinned here; the \\s*$
-    shape gate in json_parseable is exempt because \\s* absorbs the
-    terminator before either dialect's $ evaluates."""
+    absolute end-of-text anchor in BOTH dialects — pinned here. The
+    ws_dollar probe records why the OLD \\s*$ envelope end-guard looked
+    exempt: \\s* absorbs \\n/\\r before either dialect's $ evaluates —
+    but Java's \\s misses U+2028/U+2029/\\x85 and its $ still matches
+    before them, which is the r10 divergence class that moved the
+    envelope to [ \\t\\r\\n]*\\z (see ENVELOPE_CASES)."""
     vals = ["123\n", "123\r", "123\r\n", "123"]
     df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "i long, s string")
     rows = df.select(
@@ -175,9 +195,28 @@ ENVELOPE_CASES = [
     ("deep_1200", DEEP(1200), None),
     ("num_1001", NUM(1001), None),
     ("long_name_60k", '{"' + "a" * 60000 + '":1,"k":5}', None),
+    # -- round-10 ADVICE classes (divergent through the OLD envelope) --
+    ("vt_trailing", '{"k":1}\x0b', None),
+    ("ff_trailing", '{"k":1}\x0c', None),
+    ("ls_trailing", '{"k":1}\u2028', None),
+    ("ps_trailing", '{"k":1}\u2029', None),
+    ("nel_trailing", '{"k":1}\x85', None),
+    ("x_join", '{"k":1}x{"b":2}', None),
+    ("quote_join", '{"k":1}"x"', None),
+    ("fp_1201", '{"k":1,"v":' + "9" * 600 + "." + "9" * 600 + "}", None),
+    ("exp_1002", '{"k":1,"v":' + "9" * 600 + "e" + "9" * 401 + "}", None),
+    # both parsers ACCEPT a 1001-char FP token; the envelope nulls it
+    # symmetrically by design (the gate is run-length, not token-parse)
+    ("fp_1001_sym", '{"k":1,"v":' + "9" * 500 + "." + "9" * 500 + "}", None),
+    # -- precision pins: must SURVIVE with k intact on both engines --
     ("legit_nested", '{"k":23,"d":{"a":[1,{"b":2}]}}', "23"),
     ("arr_of_objs", '{"k":24,"l":[{"a":1},{"b":2}]}', "24"),
     ("num_1000", NUM(1000), "7"),
+    ("fp_1000_ok", '{"k":1,"v":' + "9" * 499 + "." + "9" * 500 + "}", "1"),
+    ("exp_1000_ok", '{"k":1,"v":' + "9" * 600 + "e" + "9" * 399 + "}", "1"),
+    ("neg_1000_ok", '{"k":1,"v":-' + "9" * 1000 + "}", "1"),
+    ("legit_ws", '\t{"k":3}\r\n', "3"),
+    ("closers_then_commas", '{"k":6,"a":[1] ,"b":{"c":2} ,"d":3}', "6"),
     ("dup_first_wins", DUP, "1"),
     ("clean", '{"k":9}', "9"),
 ]

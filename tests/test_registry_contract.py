@@ -3,10 +3,9 @@
 The driver checks the FIRST 50 queries in iteration order against their
 oracles — these tests pin the properties that make that budget count:
 every exposed query is callable, every first-50 entry carries an oracle,
-and the round-9 rotation (the two JSON-probe churn keys first, then the
-full r4-era block led by the q_dedup_span_clean recorded spill, then
-the head of the r5-era block) stays at the front until the next
-deliberate rotation.
+and the round-10 rotation (the two envelope churn keys first, then the
+r5-era recorded spill, the full r6-era block, and the head of the
+r7-era block) stays at the front until the next deliberate rotation.
 """
 
 from __future__ import annotations
@@ -63,18 +62,18 @@ def _last_green_round() -> dict[str, int]:
     return last
 
 
-# Keys whose implementing modules changed AFTER their latest driver row.
-# Round-9 churn, both probe finds fixed query AND oracle in lockstep:
-# (a) the JSON probe found four Jackson/yyjson-ASYMMETRIC payload
-# classes (trailing garbage, >=1000 nesting depth, >=1001-digit numbers
-# / >50k key names, bare NaN/Infinity — value divergences, not errors)
-# and both JSON-consuming keys now read through the shared parse
-# envelope (functions/scalars.py json_parseable); (b) the regex-dialect
-# probe found Java's $ matches before a final line terminator while
-# RE2's is end-of-text only, so q_str_funcs' numpart extraction (and
-# the JSON integer gate) are re-anchored \z. Latest driver rows (r8,
-# r8, r5) predate the changes.
-_CHURN: set[str] = {"q_json_extract", "q_filter_notnull", "q_str_funcs"}
+# Keys whose implementing code changed AFTER their latest driver row.
+# Round-10 churn: ADVICE r9 confirmed three residual divergence classes
+# through the round-9 parse envelope (trailing VT/FF via the
+# dialect-split \s, non-whitespace multi-root joins past the '}'-'{'
+# seam guard, FP/exp number tokens >= 1002 chars past the digit-run
+# gate), and fixing them surfaced a fourth (trailing U+2028/U+2029/NEL
+# via Java's $ inside the envelope's own end-guard). The envelope is
+# rebuilt in query AND oracle lockstep (functions/scalars.py
+# json_parseable/json_parseable_sql), so both envelope-reading keys'
+# r9 driver rows predate the code. q_str_funcs shares the module but
+# not the envelope — its behavior is unchanged since its r9 row.
+_CHURN: set[str] = {"q_json_extract", "q_filter_notnull"}
 
 
 
