@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from graph_vulcan_assets_spark.functions.scalars import ascii_fold_lower
 from graph_vulcan_assets_spark.registry import query
 from graph_vulcan_assets_spark.tables import load_table
 
@@ -285,8 +286,16 @@ _LONGNUM_RE = r"[0-9]{13,19}"
     "q_pii_redact",
     oracle=f"""
     WITH raw AS (
+      -- translate fold, not lower() (round-10 case-mapping probe): the
+      -- synthesized email local-part feeds an md5, and Java-vs-utf8proc
+      -- case mapping diverges on ß/ligatures/İ/final-sigma names; the
+      -- ASCII fold is identical on both engines for every input
+      -- (functions/scalars.py ascii_fold_lower)
       SELECT c_custkey,
-             'contact ' || c_name || ' <' || lower(replace(c_name, '#', '.')) ||
+             'contact ' || c_name || ' <' ||
+             translate(replace(c_name, '#', '.'),
+                       'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                       'abcdefghijklmnopqrstuvwxyz') ||
              '@example.com> ip 10.' || CAST(c_custkey % 240 AS VARCHAR) || '.' ||
              CAST(c_custkey % 250 AS VARCHAR) || '.' ||
              CAST(c_custkey % 100 AS VARCHAR) || ' card ' ||
@@ -320,7 +329,8 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("contact "),
         F.col("c_name"),
         F.lit(" <"),
-        F.lower(F.replace(F.col("c_name"), F.lit("#"), F.lit("."))),
+        # translate fold, not lower() — see the oracle comment
+        ascii_fold_lower(F.replace(F.col("c_name"), F.lit("#"), F.lit("."))),
         F.lit("@example.com> ip 10."),
         (F.col("c_custkey") % 240).cast("string"),
         F.lit("."),

@@ -217,7 +217,17 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_text_fingerprint",
     oracle="""
     SELECT doc_id,
-           md5(lower(trim(text))) AS fingerprint,
+           -- ASCII fold, not lower() (round-10 case-mapping probe):
+           -- Java's full Unicode case mapping and utf8proc's simple
+           -- mapping diverge on ß/ligatures/İ/final-sigma, which would
+           -- silently split this md5 one multilingual document at a
+           -- time. translate('A-Z'->'a-z') is identical on both engines
+           -- for EVERY input; non-ASCII chars hash verbatim — the
+           -- fingerprint stays DEFINED on multilingual corpora instead
+           -- of NULLing them (functions/scalars.py ascii_fold_lower).
+           md5(translate(trim(text),
+               'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+               'abcdefghijklmnopqrstuvwxyz')) AS fingerprint,
            CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
     FROM documents
     """,
@@ -226,13 +236,19 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting (X4): canonicalize + hash.
 
     MD5 of the canonicalized text — both engines implement RFC-1321 MD5 so
-    the digests match exactly; the canonical form (lower+trim) is where
-    dedup pipelines normalize whitespace/case.
+    the digests match exactly; the canonical form (ASCII-fold + trim) is
+    where dedup pipelines normalize whitespace/case. Round 10: the fold
+    is translate-based, not lower() — full-vs-simple Unicode case
+    mapping diverges between the engines (ß/ligatures/İ/final-sigma),
+    and a fingerprint must stay defined AND cross-engine deterministic
+    on multilingual text; non-ASCII chars hash verbatim.
     """
+    from graph_vulcan_assets_spark.functions.scalars import ascii_fold_lower
+
     d = load_table(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
-        F.md5(F.lower(F.trim(F.col("text")))).alias("fingerprint"),
+        F.md5(ascii_fold_lower(F.trim(F.col("text")))).alias("fingerprint"),
         F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
     )
 

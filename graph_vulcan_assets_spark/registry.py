@@ -54,26 +54,31 @@ def load_all() -> None:
 # budget rotation, not code). Round-10 order (VERDICT r9 #1), standing rule
 # (module-changed-since-last-driver-row, evidence age):
 #
-#   positions 1-2   = the round-10 CHURN: the ADVICE r9 envelope probe
-#                     confirmed three residual Jackson/yyjson divergence
-#                     classes through the r9 parse envelope (trailing
-#                     VT/FF via the dialect-split \s, non-whitespace
-#                     multi-root joins past the closer seam guard,
-#                     FP/exp tokens >= 1002 chars past the digit-run
-#                     gate) plus a fourth found while fixing (trailing
-#                     U+2028/U+2029/NEL via Java's $) — the envelope is
+#   positions 1-5   = the round-10 CHURN (query AND oracle lockstep,
+#                     latest driver rows predate the code):
+#                     (a) q_json_extract + q_filter_notnull — the ADVICE
+#                     r9 envelope probe confirmed three residual
+#                     Jackson/yyjson divergence classes (trailing VT/FF
+#                     via the dialect-split \s, non-whitespace
+#                     multi-root joins, FP/exp tokens >= 1002 chars)
+#                     plus a fourth found while fixing (trailing
+#                     U+2028/U+2029/NEL via Java's $); the envelope is
 #                     rebuilt ([ \t\r\n] class, \z anchor, closer-join
-#                     guard, number-token-run gate) in query AND oracle
-#                     lockstep, so both envelope-reading keys' r9 driver
-#                     rows predate the code. Churn outranks evidence age.
-#   positions 3-9   = the full r5-era remainder — the round-9 RECORDED
+#                     guard, number-token-run gate).
+#                     (b) q_str_funcs + q_text_fingerprint + q_pii_redact
+#                     — the round-10 case-mapping probe: Java's FULL
+#                     Unicode case mapping vs utf8proc's SIMPLE mapping
+#                     diverge on ß/ligatures/İ/final-sigma; up/lo now
+#                     ASCII-gated and the md5-feeding folds are
+#                     translate-based. Churn outranks evidence age.
+#   positions 6-12  = the full r5-era remainder — the round-9 RECORDED
 #                     SPILL (q_join_broadcast/inner/left/multiway/range/
 #                     semi, q_cascade_expire; judge re-checked all 7 OK
 #                     via check_subset in r9, but the driver has not seen
 #                     them since r5). No r5-era rows remain after this.
-#   positions 10-32 = the entire r6-era evidence block (23 keys, existing
+#   positions 13-35 = the entire r6-era evidence block (23 keys, existing
 #                     relative order preserved).
-#   positions 33-50 = the head of the r7-era block (18 of its 46 keys).
+#   positions 36-50 = the head of the r7-era block (15 of its 46 keys).
 #   positions 51+   = r7 remainder, then r8 / r9 driver-green inventory,
 #                     oldest evidence first, freshest last — loses
 #                     nothing if the fixed-size budget cuts off.
@@ -89,7 +94,10 @@ PRIORITY: tuple[str, ...] = (
     # -- churn block (position 1+)
     "q_json_extract",
     "q_filter_notnull",
-    # -- r5 block (position 3+)
+    "q_str_funcs",
+    "q_text_fingerprint",
+    "q_pii_redact",
+    # -- r5 block (position 6+)
     "q_join_broadcast",
     "q_join_inner",
     "q_join_left",
@@ -97,7 +105,7 @@ PRIORITY: tuple[str, ...] = (
     "q_join_range",
     "q_join_semi",
     "q_cascade_expire",
-    # -- r6 block (position 10+)
+    # -- r6 block (position 13+)
     "q_agg_listagg",
     "q_agg_mode",
     "q_agg_percentile",
@@ -121,7 +129,7 @@ PRIORITY: tuple[str, ...] = (
     "q_corpus_shuffle",
     "q_mix_temperature",
     "q_multimodal_framesample",
-    # -- r7 block (position 33+)
+    # -- r7 block (position 36+)
     "q_embed_matryoshka",
     "q_pq_adc_topk",
     "q_sim_mrl_rerank",
@@ -168,7 +176,7 @@ PRIORITY: tuple[str, ...] = (
     "q_recursive_cte",
     "q_dedup_exact",
     "q_dedup_incremental",
-    # -- r8 block (position 79+)
+    # -- r8 block (position 82+)
     "q_win_lag_lead",
     "q_win_running_sum",
     "q_source_csv",
@@ -182,7 +190,6 @@ PRIORITY: tuple[str, ...] = (
     "q_hist_equiwidth",
     "q_join_lateral",
     "q_pack_sequences",
-    "q_pii_redact",
     "q_profile_columns",
     "q_sample_stratified",
     "q_shape_q10",
@@ -217,8 +224,7 @@ PRIORITY: tuple[str, ...] = (
     "q_dedup_clusters",
     "q_dedup_containment",
     "q_dedup_ngram",
-    # -- r9 block (position 127+)
-    "q_str_funcs",
+    # -- r9 block (position 129+)
     "q_dedup_span_clean",
     "q_dedup_spans",
     "q_dq_checks",
@@ -231,7 +237,6 @@ PRIORITY: tuple[str, ...] = (
     "q_lang_confusion",
     "q_lang_id",
     "q_text_bm25",
-    "q_text_fingerprint",
     "q_text_lang_dist",
     "q_text_lm_score",
     "q_text_quality",

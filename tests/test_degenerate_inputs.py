@@ -89,7 +89,21 @@ def _build_hostile_dir(out: str, src: str) -> None:
         (9401, 'Customer#000099' || chr(10), 1::INTEGER, 100.0, 'BUILDING'),
         (9402, 'Customer#000042' || chr(13) || chr(10), 2::INTEGER, 200.0,
          'MACHINERY'),
-        (9403, 'NoTrailingDigitsAtAll', 3::INTEGER, 300.0, 'AUTOMOBILE')
+        (9403, 'NoTrailingDigitsAtAll', 3::INTEGER, 300.0, 'AUTOMOBILE'),
+        -- round-10 case-mapping probe: names hitting the four
+        -- full-vs-simple Unicode case-mapping divergence classes
+        -- (Java 'ß'->'SS' vs utf8proc 'ß'->U+1E9E; ligature expansion;
+        -- dotted-I combining mark; context-sensitive final sigma).
+        -- q_str_funcs must NULL up for all four SYMMETRICALLY (the
+        -- ascii_only gate) and q_pii_redact's md5 must still match
+        -- (translate-based ASCII fold, not lower()). Other columns
+        -- stay in-domain so joins/groupings treat these as ordinary
+        -- customers on both engines; string min/max over c_name stays
+        -- aligned because both engines compare UTF-8 bytes.
+        (9404, 'Straße#000017', 1::INTEGER, 150.0, 'BUILDING'),
+        (9405, 'ﬁle#000023', 2::INTEGER, 250.0, 'MACHINERY'),
+        (9406, 'İstanbul#000031', 3::INTEGER, 350.0, 'AUTOMOBILE'),
+        (9407, 'ΟΔΟΣ#000047', 4::INTEGER, 450.0, 'FURNITURE')
       ) AS v(c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment)
     ) TO '{out}/customer.parquet' (FORMAT parquet)
     """)
@@ -117,6 +131,14 @@ def _build_hostile_dir(out: str, src: str) -> None:
         (9004, repeat('x', 100000), 'en', 'web', 100000),
         (9005, chr(9) || chr(10) || chr(13) || 'tab	newline', 'en', 'web', 20),
         (9006, 'quote '' backslash \\ percent % brackets [a-z] regex .* $1', 'en', 'web', 60),
+        -- round-10 case-mapping probe: text hitting all four
+        -- full-vs-simple Unicode case-mapping divergence classes
+        -- (ß / ﬁ-ligature / İ / final sigma). The fingerprint path must
+        -- hash it IDENTICALLY on both engines (translate-based ASCII
+        -- fold — lower() was measured-divergent here), and every
+        -- token-keyed shuffle (tfidf/bm25/vocab) must agree because
+        -- both engines compare tokens as UTF-8 bytes
+        (9007, 'İstanbul ΟΔΟΣ Straße ﬁle BEﬆ Mixed ASCII Tokens', 'mul', 'web', 47),
         -- poison INSIDE the id-bounded subsets (the exact pairwise
         -- n-gram/jaccard ground truths filter doc_id < 200): an id bound
         -- is not a gate — see the vec 150/151 rows below for the

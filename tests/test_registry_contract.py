@@ -71,9 +71,20 @@ def _last_green_round() -> dict[str, int]:
 # via Java's $ inside the envelope's own end-guard). The envelope is
 # rebuilt in query AND oracle lockstep (functions/scalars.py
 # json_parseable/json_parseable_sql), so both envelope-reading keys'
-# r9 driver rows predate the code. q_str_funcs shares the module but
-# not the envelope — its behavior is unchanged since its r9 row.
-_CHURN: set[str] = {"q_json_extract", "q_filter_notnull"}
+# r9 driver rows predate the code. The round-10 case-mapping probe
+# then found Java's FULL Unicode case mapping vs utf8proc's SIMPLE
+# mapping diverge on ß/ligatures/İ/final-sigma
+# (tests/test_case_edges.py): q_str_funcs' up/lo are now ASCII-gated
+# and the md5-feeding folds in q_text_fingerprint / q_pii_redact are
+# translate-based — all three changed in lockstep after their latest
+# driver rows (r9, r9, r8).
+_CHURN: set[str] = {
+    "q_json_extract",
+    "q_filter_notnull",
+    "q_str_funcs",
+    "q_text_fingerprint",
+    "q_pii_redact",
+}
 
 
 
