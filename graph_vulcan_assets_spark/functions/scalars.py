@@ -44,7 +44,10 @@ from graph_vulcan_assets_spark.tables import load_table
            -- and '' here; \\z agrees (hostile customer rows 9401-9403)
            regexp_extract(c_name, '([0-9]+)\\z', 1) AS numpart,
            replace(c_name, 'Customer#', 'C') AS replaced,
-           trim('  ' || c_mktsegment || ' ') AS trimmed
+           -- trim(x, ' '), not trim(x) (round-10 probe): DuckDB's 1-arg
+           -- trim strips Unicode Zs spaces (NBSP etc.), Spark's strips
+           -- ASCII 0x20 only; the explicit char set matches Spark
+           trim('  ' || c_mktsegment || ' ', ' ') AS trimmed
     FROM customer
     """,
 )

@@ -225,7 +225,12 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
            -- for EVERY input; non-ASCII chars hash verbatim — the
            -- fingerprint stays DEFINED on multilingual corpora instead
            -- of NULLing them (functions/scalars.py ascii_fold_lower).
-           md5(translate(trim(text),
+           -- trim(text, ' '), not trim(text) (round-10 probe): DuckDB's
+           -- 1-arg trim strips Unicode Zs spaces (NBSP, thin/figure
+           -- space, U+3000) while Spark's strips ASCII 0x20 only — an
+           -- NBSP-edged document would silently split this md5. The
+           -- explicit-char form matches Spark exactly on every input.
+           md5(translate(trim(text, ' '),
                'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
                'abcdefghijklmnopqrstuvwxyz')) AS fingerprint,
            CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens

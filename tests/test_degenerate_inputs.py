@@ -139,6 +139,12 @@ def _build_hostile_dir(out: str, src: str) -> None:
         -- token-keyed shuffle (tfidf/bm25/vocab) must agree because
         -- both engines compare tokens as UTF-8 bytes
         (9007, 'İstanbul ΟΔΟΣ Straße ﬁle BEﬆ Mixed ASCII Tokens', 'mul', 'web', 47),
+        -- round-10 trim probe: NBSP/ideographic-space EDGES. DuckDB's
+        -- 1-arg trim strips Unicode Zs spaces while Spark's strips
+        -- ASCII 0x20 only, so this row split the fingerprint md5 until
+        -- the oracle moved to the explicit trim(text, ' ') form
+        (9008, chr(160) || ' nbsp edged text ' || chr(160) || chr(12288),
+         'en', 'web', 20),
         -- poison INSIDE the id-bounded subsets (the exact pairwise
         -- n-gram/jaccard ground truths filter doc_id < 200): an id bound
         -- is not a gate — see the vec 150/151 rows below for the
