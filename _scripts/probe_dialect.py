@@ -75,6 +75,11 @@ JSONS = [
     "not json",
 ]
 DOUBLES = [0.0, -0.0, 1.005, 2.675, 0.5, -1.5, 1e308, 1e-308, 123.456]
+# math-domain battery: negatives/zero are QUERY-KILLERS on the DuckDB
+# side (sqrt/ln raise Out of Range) while Spark yields NaN/NULL — the
+# class behind the repo convention of guarding every data-derived
+# sqrt/ln argument (variance > 0, counts + 1, self-dot-products)
+MATHS = [4.0, 0.0, -1.0, -1e-18, float("nan"), 1e308]
 
 # ------------------------------------------------------- expression pairs
 # (name, spark_fn(col)->Column, duck_sql(param_expr)->str, input battery)
@@ -160,6 +165,23 @@ PAIRS = [
         STRINGS,
     ),
     ("md5", lambda c: F.md5(c), lambda e: f"md5({e})", STRINGS),
+    # math domain edges — raw forms are REQUIRED to split NaN/NULL-vs-
+    # error on non-positive input; the guarded forms (the convention
+    # every oracle uses) must agree everywhere
+    ("raw_sqrt", lambda c: F.sqrt(c), lambda e: f"sqrt({e})", MATHS),
+    ("raw_ln", lambda c: F.log(c), lambda e: f"ln({e})", MATHS),
+    (
+        "guarded_sqrt",
+        lambda c: F.when(c >= 0, F.sqrt(c)),
+        lambda e: f"CASE WHEN {e} >= 0 THEN sqrt({e}) END",
+        MATHS,
+    ),
+    (
+        "guarded_ln",
+        lambda c: F.when(c > 0, F.log(c)),
+        lambda e: f"CASE WHEN {e} > 0 THEN ln({e}) END",
+        MATHS,
+    ),
 ]
 
 
@@ -191,6 +213,11 @@ _RAW_KNOWN = {
     ("raw_get_json_k", '{"k":1}x{"b":2}'): "Jackson lenient multi-root",
     ("raw_get_json_k", "huge-fp"): "StreamReadConstraints number length",
     ("raw_get_json_k", '{"missing":NaN,"k":7}'): "yyjson NaN acceptance",
+    ("raw_sqrt", -1.0): "NaN vs Out-of-Range error (query-killer)",
+    ("raw_sqrt", -1e-18): "NaN vs Out-of-Range error (query-killer)",
+    ("raw_ln", 0.0): "NULL vs Out-of-Range error (query-killer)",
+    ("raw_ln", -1.0): "NULL vs Out-of-Range error (query-killer)",
+    ("raw_ln", -1e-18): "NULL vs Out-of-Range error (query-killer)",
 }
 KNOWN_DIVERGENT = {
     ((n, s) if s == "huge-fp" else _key(n, s)): why
@@ -213,8 +240,15 @@ def main() -> int:
     healed: list[str] = []
     seen_known: set[tuple[str, str]] = set()
 
+    def eq(a, b) -> bool:
+        if a is None or b is None:
+            return a is b
+        if isinstance(a, float) and isinstance(b, float):
+            return a == b or (a != a and b != b)  # NaN == NaN here
+        return a == b
+
     for name, sfn, dfn, battery in PAIRS:
-        typ = "double" if battery is DOUBLES else "string"
+        typ = "double" if battery in (DOUBLES, MATHS) else "string"
         df = spark.createDataFrame(
             [(i, v) for i, v in enumerate(battery)], f"i long, v {typ}"
         )
@@ -226,9 +260,12 @@ def main() -> int:
         # legitimately contain '?' quantifiers
         n = sql.count(param)
         for i, v in enumerate(battery):
-            (dv,) = con.execute(f"SELECT {sql}", [v] * n).fetchone()
+            try:
+                (dv,) = con.execute(f"SELECT {sql}", [v] * n).fetchone()
+            except Exception as exc:  # the DuckDB query-killer class
+                dv = f"<ERROR: {type(exc).__name__}>"
             sv = got[i]
-            agree = sv == dv or (sv is None and dv is None)
+            agree = eq(sv, dv)
             key = _key(name, v)
             known = key in KNOWN_DIVERGENT
             if known:
