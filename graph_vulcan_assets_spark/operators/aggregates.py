@@ -21,6 +21,7 @@ from graph_vulcan_assets_spark.tables import (
     FINITE_VALUE_SQL,
     finite_values,
     load_table,
+    micros128,
     plausible_times,
     plausible_ts_sql,
 )
@@ -252,7 +253,10 @@ def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = finite_values(load_table(spark, sf_dir, "events")).withColumn(
         "user_bucket", F.col("user_id") % 3
     )
-    micros = F.round(F.col("value") * 1000000, 0).cast("long")
+    # 128-bit accumulator (tables.micros128): the cube's GLOBAL cell sums
+    # the whole table, so it overflows sum(BIGINT) first — two near-bound
+    # corrupt readings anywhere kill the grand total under ANSI
+    micros = micros128("value")
     return e.cube("event_type", "user_bucket").agg(
         F.round(F.sum(micros) / 1000000.0, 2).alias("sum_value"),
         F.count("*").alias("n"),
@@ -420,18 +424,43 @@ def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag,
            round(stddev_samp(l_quantity), 4) AS sd_qty,
            round(var_samp(l_quantity), 4) AS var_qty,
-           round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           round(CASE WHEN var_pop(l_quantity) > 0
+                       AND var_pop(l_extendedprice) > 0
+                      THEN covar_pop(l_quantity, l_extendedprice)
+                           / (stddev_pop(l_quantity)
+                              * stddev_pop(l_extendedprice)) END,
+                 6) AS corr_qty_price,
            round(avg(l_extendedprice), 4) AS avg_price
     FROM lineitem GROUP BY l_returnflag
     """,
 )
 def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Statistical aggregates (A9): stddev / variance / correlation."""
+    """Statistical aggregates (A9): stddev / variance / correlation.
+
+    Correlation uses the guarded moment form, NOT corr() — the round-11
+    aggregate-dialect probe measured that Spark's corr under default ANSI
+    mode raises DIVIDE_BY_ZERO on a zero-variance group (all quantities
+    equal — perfectly clean data) while DuckDB's corr returns NULL, and a
+    CASE guard around corr() cannot help because aggregates evaluate over
+    the whole group before the projection applies the CASE. The moment
+    form covar_pop/(stddev_pop·stddev_pop) equals corr() where defined
+    (identical definition), every component is division-free over the
+    group, and the var_pop>0 guards make the degenerate group NULL on
+    BOTH engines. Hostile lineitem rows 9501-9503 (a constant-quantity
+    returnflag group) pin the class end-to-end. Every other stats
+    aggregate (stddev/var/covar/skewness/kurtosis/regr_*) was probed
+    zero-variance- and single-row-clean — corr is the only killer.
+    """
     li = load_table(spark, sf_dir, "lineitem")
+    corr_guarded = F.when(
+        (F.var_pop("l_quantity") > 0) & (F.var_pop("l_extendedprice") > 0),
+        F.covar_pop("l_quantity", "l_extendedprice")
+        / (F.stddev_pop("l_quantity") * F.stddev_pop("l_extendedprice")),
+    )
     return li.groupBy("l_returnflag").agg(
         F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
         F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
-        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(corr_guarded, 6).alias("corr_qty_price"),
         F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
     )
 

@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from graph_vulcan_assets_spark.registry import query
-from graph_vulcan_assets_spark.tables import FINITE_VALUE_SQL, finite_values, load_table
+from graph_vulcan_assets_spark.tables import FINITE_VALUE_SQL, finite_values, load_table, micros128
 
 
 def salted_count_sum(
@@ -69,7 +69,9 @@ def q_agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     mirrored in the oracle) before the micros cast.
     """
     e = finite_values(load_table(spark, sf_dir, "events")).withColumn(
-        "value_micros", F.round(F.col("value") * 1000000, 0).cast("long")
+        # 128-bit accumulator (tables.micros128): the hot-key group sums
+        # most of the table, the first place a BIGINT micros sum overflows
+        "value_micros", micros128("value")
     )
     agg = salted_count_sum(e, "event_type", "value_micros", salt_col="event_id")
     return agg.select(

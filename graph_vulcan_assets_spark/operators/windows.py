@@ -21,6 +21,7 @@ from graph_vulcan_assets_spark.tables import (
     FINITE_VALUE_SQL,
     finite_values,
     load_table,
+    micros128,
     plausible_times,
     plausible_ts_sql,
 )
@@ -198,7 +199,9 @@ def q_win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         # total depends on accumulation order, so the 4-decimal round can
         # flip between engines on long partitions
         F.round(
-            F.sum(F.round(F.col("value") * 1000000, 0).cast("long")).over(w)
+            # 128-bit accumulator (tables.micros128): a cumulative frame is
+            # the WORST overflow shape — it sums the whole partition prefix
+            F.sum(micros128("value")).over(w)
             / 1000000.0,
             4,
         ).alias("running_sum"),
@@ -244,7 +247,7 @@ def q_win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "ts",
         F.round(
-            F.sum(F.round(F.col("value") * 1000000, 0).cast("long")).over(w)
+            F.sum(micros128("value")).over(w)
             / 1000000.0,
             4,
         ).alias("hour_sum"),
@@ -299,7 +302,7 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     sessioned = e.withColumn("new_session", new_session).withColumn(
         "session_no", F.sum("new_session").over(cum)
     )
-    micros = F.round(F.col("value") * 1000000, 0).cast("long")
+    micros = micros128("value")
     return sessioned.groupBy("user_id", "session_no").agg(
         F.count("*").alias("n_events"),
         F.min("ts").alias("session_start"),

@@ -19,6 +19,7 @@ from graph_vulcan_assets_spark.tables import (
     bounded_ts_sql,
     finite_values,
     load_table,
+    micros128,
     plausible_times,
     plausible_ts_sql,
 )
@@ -133,7 +134,10 @@ def q_time_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     # boundary between engines/partition counts — a nondeterministic
     # oracle mismatch waiting for the right row count; finite_values
     # gates NaN/Inf samples out before the cast (mirrored in the oracle)
-    micros = F.round(F.col("value") * 1000000, 0).cast("long")
+    # 128-bit accumulator (tables.micros128): two near-bound corrupt
+    # readings in one window would overflow sum(BIGINT) and ANSI-kill
+    # the query while the oracle's HUGEINT sails on
+    micros = micros128("value")
     return (
         e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
@@ -189,9 +193,7 @@ def q_time_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy(F.window("ts", "2 hours", "30 minutes").alias("w"), "event_type")
         .agg(
             F.count("*").cast("long").alias("n"),
-            (F.sum(F.round(F.col("value") * 1000000, 0).cast("long")) / 1000000.0).alias(
-                "sum_value"
-            ),
+            (F.sum(micros128("value")) / 1000000.0).alias("sum_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -220,7 +222,13 @@ def q_time_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
              sum(n) AS n, sum(v_micros) AS v_micros
       FROM hour GROUP BY 1, 2)
     SELECT d, event_type, CAST(n AS BIGINT) AS n,
-           CAST(v_micros AS BIGINT) AS v_micros
+           -- 128-bit output contract (round 11): the day total of exact
+           -- micros is DECIMAL(38,0) on BOTH sides (HUGEINT here would
+           -- surface as a plain Python int and type-split from Spark's
+           -- Decimal) — a BIGINT cast would make BOTH engines error on a
+           -- day whose exact total exceeds int64 (reachable with two
+           -- near-bound corrupt readings, hostile events rows 9501/9502)
+           CAST(v_micros AS DECIMAL(38,0)) AS v_micros
     FROM day
     """,
 )
@@ -243,16 +251,20 @@ def q_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("minute", "ts").alias("m"), "event_type"
     ).agg(
         F.count("*").alias("n"),
-        F.sum(F.round(F.col("value") * 1000000, 0).cast("long")).alias("v_micros"),
+        # 128-bit cascade (tables.micros128): each level re-aggregates the
+        # previous level's EXACT integer totals; DECIMAL(38,0) mirrors the
+        # oracle's HUGEINT so a day whose total exceeds int64 still rolls
+        # up instead of ANSI-killing the pyramid
+        F.sum(micros128("value")).alias("v_micros"),
     )
     hour = minute.groupBy(
         F.date_trunc("hour", "m").alias("h"), "event_type"
-    ).agg(F.sum("n").alias("n"), F.sum("v_micros").alias("v_micros"))
+    ).agg(F.sum("n").alias("n"), F.sum("v_micros").cast("decimal(38,0)").alias("v_micros"))
     day = hour.groupBy(
         F.date_trunc("day", "h").alias("d"), "event_type"
     ).agg(
         F.sum("n").cast("long").alias("n"),
-        F.sum("v_micros").cast("long").alias("v_micros"),
+        F.sum("v_micros").cast("decimal(38,0)").alias("v_micros"),
     )
     return day
 
@@ -309,7 +321,7 @@ def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = bounded_times(finite_values(load_table(spark, sf_dir, "events"))).where(
         F.col("ts").isNotNull()
     )
-    micros = F.round(F.col("value") * 1_000_000, 0).cast("long")
+    micros = micros128("value")
     return (
         e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
         .agg(

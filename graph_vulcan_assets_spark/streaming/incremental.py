@@ -32,7 +32,10 @@ from graph_vulcan_assets_spark.tables import finite_values
 # Maintained aggregate: per event_type row counts and exact micro-unit
 # value sums. Micro-units make the merge associative over integers, so
 # batch boundaries can never change the result.
-_AGG_SCHEMA = "event_type string, n bigint, sum_micros bigint"
+# sum_micros is the 128-bit lifetime total (tables.micros128): the state
+# parquet stores DECIMAL(38,0) so the maintained sum never hits the
+# int64 edge that a bigint state column would re-introduce at merge
+_AGG_SCHEMA = "event_type string, n bigint, sum_micros decimal(38,0)"
 
 
 def batch_aggregate(events: DataFrame) -> DataFrame:
@@ -49,7 +52,9 @@ def batch_aggregate(events: DataFrame) -> DataFrame:
     counts in n)."""
     return finite_values(events).groupBy("event_type").agg(
         F.count("*").alias("n"),
-        F.sum(F.round(F.col("value") * 1000000, 0).cast("long")).alias("sum_micros"),
+        # 128-bit accumulator (tables.micros128): the maintained state is a
+        # LIFETIME total — it outgrows int64 even when every batch fits
+        F.sum(micros128("value")).alias("sum_micros"),
     )
 
 
@@ -113,9 +118,9 @@ def merge_aggregate_state(
         .select(
             F.coalesce(cur.event_type, p.p_event_type).alias("event_type"),
             (F.coalesce(cur.n, F.lit(0)) + F.coalesce(p.p_n, F.lit(0))).alias("n"),
-            (F.coalesce(cur.sum_micros, F.lit(0)) + F.coalesce(p.p_sum, F.lit(0))).alias(
-                "sum_micros"
-            ),
+            (F.coalesce(cur.sum_micros, F.lit(0)) + F.coalesce(p.p_sum, F.lit(0)))
+            .cast("decimal(38,0)")
+            .alias("sum_micros"),
         )
     )
     _commit_state(merged, state_dir, batch_id)

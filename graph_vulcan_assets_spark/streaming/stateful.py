@@ -15,11 +15,15 @@ session is EMITTED when
 - the event-time watermark passes session_end + gap (closed by timeout) —
   so quiet users flush without waiting for their next event.
 
-Scale shape: state is one fixed-width tuple per active user (4 longs), the
-stream shuffles once on user_id, and each micro-batch moves only that
-batch's keys through Python via Arrow. Values are pre-quantized to integer
-micros JVM-side so the Python stage does integer sums only — no float
-summation-order drift between engines.
+Scale shape: state is one fixed-width tuple per active user (3 longs + a
+128-bit decimal), the stream shuffles once on user_id, and each micro-batch
+moves only that batch's keys through Python via Arrow. Values are
+pre-quantized to integer micros JVM-side so the Python stage does integer
+sums only — no float summation-order drift between engines. The session
+total is held as DECIMAL(38,0) (tables.micros128 convention, round 11): a
+long state field would overflow — and ANSI-kill the stream permanently on
+every checkpoint replay — at two near-VALUE_BOUND readings in one session,
+while the batch twin's 128-bit accumulator sails on.
 """
 
 from __future__ import annotations
@@ -33,17 +37,22 @@ from graph_vulcan_assets_spark.tables import (
     bounded_times,
     bounded_ts,
     bounded_ts_sql,
+    micros128,
     quantizable,
 )
 
 GAP_SECONDS = 1800
 
-# state: one fixed-width row per open session
-_STATE_SCHEMA = "session_start_us long, last_ts_us long, n_events long, value_micros long"
+# state: one fixed-width row per open session; value_micros is the 128-bit
+# session total (tables.micros128 convention — see module docstring)
+_STATE_SCHEMA = (
+    "session_start_us long, last_ts_us long, n_events long, "
+    "value_micros decimal(38,0)"
+)
 # raw emitted rows (timestamps re-hydrated JVM-side by sessionize_stateful)
 _RAW_OUT_SCHEMA = (
     "user_id long, session_start_us long, session_end_us long, "
-    "n_events long, value_micros long"
+    "n_events long, value_micros decimal(38,0)"
 )
 
 
@@ -59,6 +68,8 @@ def _make_sessionize_group(gap_seconds: int):
     cols = ["user_id", "session_start_us", "session_end_us", "n_events", "value_micros"]
 
     def sessionize_group(key, pdfs, state):
+        import decimal
+
         import pandas as pd
 
         (user_id,) = key
@@ -71,6 +82,9 @@ def _make_sessionize_group(gap_seconds: int):
         pdf = pd.concat(list(pdfs)).sort_values(["ts_us", "event_id"])
         if state.exists:
             start, last, n, micros = state.get
+            # the 128-bit state field arrives as decimal.Decimal; Python
+            # ints are unbounded, so the in-loop accumulator stays int
+            micros = int(micros)
         else:
             start = last = None
             n = micros = 0
@@ -81,7 +95,7 @@ def _make_sessionize_group(gap_seconds: int):
             # gap on floor-seconds: identical to the batch/oracle formula
             # epoch(ts2) - epoch(ts1) > gap (each timestamp truncated)
             if last is not None and t // 1_000_000 - last // 1_000_000 > gap_seconds:
-                closed.append([user_id, start, last, n, micros])
+                closed.append([user_id, start, last, n, decimal.Decimal(micros)])
                 start, n, micros = None, 0, 0
             if start is None:
                 start = t
@@ -89,7 +103,7 @@ def _make_sessionize_group(gap_seconds: int):
             n += 1
             micros += v
 
-        state.update((start, last, n, micros))
+        state.update((start, last, n, decimal.Decimal(micros)))
         # event-time timeout: flush when the watermark passes last_ts + gap
         state.setTimeoutTimestamp(last // 1000 + gap_seconds * 1000)
         yield pd.DataFrame(closed, columns=cols)
@@ -163,7 +177,7 @@ def batch_sessions(events: DataFrame) -> DataFrame:
     sessioned = events.withColumn("new_session", new_session).withColumn(
         "session_no", F.sum("new_session").over(cum)
     )
-    micros = F.round(F.col("value") * 1_000_000, 0).cast("long")
+    micros = micros128("value")
     return sessioned.groupBy("user_id", "session_no").agg(
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),

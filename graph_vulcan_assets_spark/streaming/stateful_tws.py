@@ -41,7 +41,12 @@ def _make_session_processor(gap_seconds: int):
     from pyspark.sql.streaming.stateful_processor import StatefulProcessor
 
     cols = ["user_id", "session_start_us", "session_end_us", "n_events", "value_micros"]
-    state_schema = "session_start_us long, last_ts_us long, n_events long, value_micros long"
+    # value_micros is the 128-bit session total (tables.micros128
+    # convention, round 11 — mirrors the applyInPandasWithState twin)
+    state_schema = (
+        "session_start_us long, last_ts_us long, n_events long, "
+        "value_micros decimal(38,0)"
+    )
 
     class SessionProcessor(StatefulProcessor):
         def init(self, handle):
@@ -49,12 +54,17 @@ def _make_session_processor(gap_seconds: int):
             self.session = handle.getValueState("session", state_schema)
 
         def handleInputRows(self, key, rows, timerValues):
+            import decimal
+
             import pandas as pd
 
             (user_id,) = key
             pdf = pd.concat(list(rows)).sort_values(["ts_us", "event_id"])
             if self.session.exists():
                 start, last, n, micros = self.session.get()
+                # the 128-bit state field arrives as decimal.Decimal;
+                # Python ints are unbounded, so the accumulator stays int
+                micros = int(micros)
                 # drop the stale timer; a fresh one is registered below
                 for t in self.handle.listTimers():
                     self.handle.deleteTimer(t)
@@ -67,7 +77,7 @@ def _make_session_processor(gap_seconds: int):
                 t, v = int(t), int(v)
                 # gap on floor-seconds: identical to the batch/oracle formula
                 if last is not None and t // 1_000_000 - last // 1_000_000 > gap_seconds:
-                    closed.append([user_id, start, last, n, micros])
+                    closed.append([user_id, start, last, n, decimal.Decimal(micros)])
                     start, n, micros = None, 0, 0
                 if start is None:
                     start = t
@@ -75,7 +85,7 @@ def _make_session_processor(gap_seconds: int):
                 n += 1
                 micros += v
 
-            self.session.update((start, last, n, micros))
+            self.session.update((start, last, n, decimal.Decimal(micros)))
             # event-time timer: fire when the watermark passes last + gap
             self.handle.registerTimer(last // 1000 + gap_seconds * 1000)
             if closed:

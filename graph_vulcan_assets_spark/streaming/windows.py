@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from graph_vulcan_assets_spark.tables import bounded_times, finite_values
+from graph_vulcan_assets_spark.tables import bounded_times, finite_values, micros128
 
 
 def _sum_value_micros():
@@ -27,7 +27,10 @@ def _sum_value_micros():
     # round differently between the two — which would make the
     # streaming≡batch equivalence tests (and q_time_tumbling's oracle)
     # flaky near .005 boundaries
-    micros = F.round(F.col("value") * 1000000, 0).cast("long")
+    # 128-bit accumulator (tables.micros128): streaming state merges
+    # partial sums across micro-batches, so the accumulated total hits
+    # the int64 edge long before any single batch does
+    micros = micros128("value")
     return F.round(F.sum(micros) / 1000000.0, 2).alias("sum_value")
 
 

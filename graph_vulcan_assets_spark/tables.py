@@ -102,6 +102,33 @@ def finite_values(df: DataFrame, col: str = "value") -> DataFrame:
     return df.where(c.isNull() | quantizable(c))
 
 
+def micros128(col, scale: int = 1_000_000) -> "F.Column":
+    """Integer-unit quantization with a 128-bit SUM accumulator.
+
+    The per-row gate (:func:`quantizable`) keeps ONE row's micros inside
+    int64, but a SUM of gated rows does not stay there: two readings near
+    VALUE_BOUND (9.2e18 micros each) overflow ``sum(BIGINT)``, which under
+    Spark's default ANSI mode kills the whole query (ARITHMETIC_OVERFLOW)
+    while DuckDB silently widens the same sum to HUGEINT — measured in the
+    round-11 aggregate-dialect probe (tests/test_agg_edges.py). That
+    violates the gate's own mission statement above: corrupt readings must
+    not kill the rollup. DECIMAL(38,0) is Spark's 128-bit accumulator —
+    it matches DuckDB's HUGEINT promotion exactly (both engines sum the
+    identical integers exactly, then one conversion to double at the
+    division), and it is cost-neutral here because every micros sum sits
+    behind a shuffle/sort that dominates it (measured at sf0.1: window
+    sum 0.38s decimal vs 0.43s long; grouped sum within noise). At 100 TB
+    this is not a corrupt-data nicety: a trillion-row group of ordinary
+    1e6-micro measures sums to 1e18 — one order from the int64 edge — so
+    the 128-bit accumulator is the only shape that survives scale-up.
+    Same convention q_time_weighted_avg already used for its weighted sum.
+    DuckDB oracle mirror: ``sum(CAST(round(value * 1e6, 0) AS BIGINT))``
+    UNCHANGED — DuckDB's own HUGEINT promotion is the mirror.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c * scale, 0).cast("decimal(38,0)")
+
+
 # ---------------------------------------------------------------------------
 # Event-time domains (round 6 gate, re-scoped in round 7 per ADVICE r6
 # high: a blanket [1900, 2200) gate silently dropped VALID far-future

@@ -67,12 +67,41 @@ def _build_hostile_dir(out: str, src: str) -> None:
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
     for t in TABLES:
-        if t in ("documents", "embeddings", "events", "customer"):
+        if t in ("documents", "embeddings", "events", "customer", "lineitem"):
             continue
         con.sql(
             f"COPY (SELECT * FROM '{src}/{t}.parquet' LIMIT 20) "
             f"TO '{out}/{t}.parquet' (FORMAT parquet)"
         )
+    # lineitem: 20 clean rows + a ZERO-VARIANCE group (round-11 aggregate-
+    # dialect probe): a brand-new returnflag 'Z' whose quantities are all
+    # equal — perfectly clean data, no gate excludes it — made Spark's
+    # corr() raise DIVIDE_BY_ZERO under default ANSI mode while DuckDB's
+    # corr returned NULL; q_agg_stats now uses the guarded moment form.
+    con.sql(f"""
+    COPY (
+      SELECT * FROM (SELECT * FROM '{src}/lineitem.parquet' LIMIT 20)
+      UNION ALL BY NAME
+      -- zero-variance returnflag group (corr query-killer class): all
+      -- three rows share l_quantity 7.0 with varying prices, so
+      -- var_pop(l_quantity) = 0 exactly on both engines and the guarded
+      -- moment form in q_agg_stats yields NULL on both — the bare corr()
+      -- it replaced ANSI-errored on Spark and NULLed on DuckDB. Order/
+      -- part/supplier keys are nonexistent, so every join drops these
+      -- rows identically; flags 'Z'/'F' are outside the TPC-H shape
+      -- filters' constants.
+      SELECT * FROM (VALUES
+        (95001, 999901, 999901, 1, 7.0, 1000.50, 0.05, 0.02, 'Z', 'F',
+         TIMESTAMP '1996-03-15 00:00:00'),
+        (95002, 999902, 999902, 1, 7.0, 2000.25, 0.04, 0.03, 'Z', 'F',
+         TIMESTAMP '1996-04-20 00:00:00'),
+        (95003, 999903, 999903, 2, 7.0, 3000.75, 0.06, 0.01, 'Z', 'F',
+         TIMESTAMP '1996-05-25 00:00:00')
+      ) AS v(l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+             l_extendedprice, l_discount, l_tax, l_returnflag,
+             l_linestatus, l_shipdate)
+    ) TO '{out}/lineitem.parquet' (FORMAT parquet)
+    """)
     # customer: 20 clean rows + names ENDING IN A LINE TERMINATOR
     # (round-9 regex-dialect probe): Java's $ matches before a final
     # \n/\r/\r\n while RE2's $ is end-of-text only, so the old
@@ -401,6 +430,23 @@ def _build_hostile_dir(out: str, src: str) -> None:
          '{{"k": 33, "v": -' || repeat('9', 1000) || '}}'),
         (9334, TIMESTAMP '2024-01-04 00:00:33', 5, 'view', 1.0,
          '{{"k": 34, "a": [1] , "b": {{"c": 2}} , "d": 3}}'),
+        -- round-11 aggregate-dialect probe: SUM overflow. Two readings
+        -- just inside the quantizable gate (8e12 < VALUE_BOUND) whose
+        -- micros sum 1.6e19 exceeds int64 — sum(BIGINT) would
+        -- ANSI-kill every micros rollup on Spark while DuckDB silently
+        -- widens to HUGEINT; the DECIMAL(38,0) accumulators
+        -- (tables.micros128) make both engines sum exactly. One fresh
+        -- user (31337) AND one fresh event_type ('ovfl') so the
+        -- overflow hits user-keyed (running sum, sessionize batch +
+        -- STREAMING state), event_type-keyed (range frame, tumbling/
+        -- sliding, salted) AND global (cube grand total) sums; 10 s
+        -- apart = same minute/window/session on both engines. The
+        -- values are chosen double-exact (8e18 and 1.6e19 are exact
+        -- binaries), so every divide-then-round lands identically.
+        (9501, TIMESTAMP '2024-01-05 00:00:05', 31337, 'ovfl', 8e12,
+         '{{}}'),
+        (9502, TIMESTAMP '2024-01-05 00:00:15', 31337, 'ovfl', 8e12,
+         '{{}}'),
         -- extreme 64-bit ids (round 6): ids are OPAQUE surrogate keys, so
         -- negative / near-INT64_MAX values are legitimate at scale, not
         -- corrupt — id arithmetic must be overflow-safe and sign-safe BY
