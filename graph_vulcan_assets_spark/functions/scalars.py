@@ -19,10 +19,58 @@ from pyspark.sql import functions as F
 from graph_vulcan_assets_spark.registry import query
 from graph_vulcan_assets_spark.tables import load_table
 
+# Round-10 probe find: Unicode case mapping is a DIALECT SPLIT between
+# the engines. Java's String case conversion (Spark upper/lower) applies
+# the FULL Unicode mapping — 'ß'→'SS', 'ﬁ'→'FI', 'İ'→'i'+COMBINING DOT,
+# context-sensitive final sigma ('ΟΔΟΣ'→'οδος') — while DuckDB's
+# utf8proc applies the SIMPLE one-to-one mapping ('ß'→'ẞ', 'ﬁ'→'ﬁ',
+# 'İ'→'i', 'ΟΔΟΣ'→'οδοσ'). All four classes measured divergent
+# (tests/test_case_edges.py pins them); plain accents, Greek, Cyrillic
+# and astral case pairs agree. Two lockstep escapes, chosen per site:
+#   - ascii_case_only: a gate (octet_length = char length ⇔ pure ASCII,
+#     where the dialects agree exactly) for sites whose POINT is real
+#     upper/lower semantics — non-ASCII input costs one symmetric NULL,
+#     envelope-style.
+#   - ascii_fold_lower: translate('A-Z' → 'a-z'), identical on both
+#     engines for EVERY input — for canonicalization sites (fingerprints,
+#     synthesized keys) that must stay DEFINED on multilingual text;
+#     non-ASCII chars pass through verbatim instead of case-folding.
+_ASCII_UC = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_ASCII_LC = "abcdefghijklmnopqrstuvwxyz"
+
+
+def ascii_only(col):
+    """True iff the (non-NULL) string is pure ASCII — the domain where
+    Java and utf8proc case mappings are identical byte-for-byte."""
+    col = F.col(col) if isinstance(col, str) else col
+    return F.octet_length(col) == F.length(col)
+
+
+def ascii_only_sql(expr: str) -> str:
+    # strlen, not octet_length: DuckDB's octet_length binds BLOB/BIT
+    # only; strlen is its VARCHAR byte counter (Spark side uses
+    # F.octet_length, which does take strings)
+    return f"strlen({expr}) = length({expr})"
+
+
+def ascii_fold_lower(col):
+    """Case-fold ASCII letters only; every other char passes verbatim.
+    Cross-engine deterministic for ALL inputs (unlike lower())."""
+    col = F.col(col) if isinstance(col, str) else col
+    return F.translate(col, _ASCII_UC, _ASCII_LC)
+
+
+def ascii_fold_lower_sql(expr: str) -> str:
+    return f"translate({expr}, '{_ASCII_UC}', '{_ASCII_LC}')"
+
+
 
 @query(
     "q_str_funcs",
-    oracle="""
+    # f-string oracle (ADVICE r10): the gate interpolates ascii_only_sql
+    # so query and oracle derive from ONE definition — an edit to the
+    # shared helper cannot desync this pair
+    oracle=f"""
     SELECT c_custkey,
            -- ASCII gate (round-10 case-mapping probe): Java applies the
            -- FULL Unicode case mapping ('ß'->'SS', 'fi'-ligature->'FI',
@@ -31,9 +79,9 @@ from graph_vulcan_assets_spark.tables import load_table
            -- the mappings are identical; outside it both engines emit
            -- one symmetric NULL, envelope-style. Hostile customer rows
            -- 9404-9407 pin every class end-to-end.
-           CASE WHEN strlen(c_name) = length(c_name)
+           CASE WHEN {ascii_only_sql('c_name')}
                 THEN upper(c_name) END AS up,
-           CASE WHEN strlen(c_mktsegment) = length(c_mktsegment)
+           CASE WHEN {ascii_only_sql('c_mktsegment')}
                 THEN lower(c_mktsegment) END AS lo,
            substr(c_name, 10, 5) AS sub,
            CAST(length(c_name) AS BIGINT) AS len,
@@ -217,50 +265,6 @@ _SURR_HI = r"\\u[dD][89abAB][0-9a-fA-F]{2}"
 _SURR_LO = r"\\u[dD][c-fC-F][0-9a-fA-F]{2}"
 _LONE_SURROGATE_RE = f"({_SURR_HI}{_SURR_LO})|{_SURR_HI}|{_SURR_LO}"
 
-
-# Round-10 probe find: Unicode case mapping is a DIALECT SPLIT between
-# the engines. Java's String case conversion (Spark upper/lower) applies
-# the FULL Unicode mapping — 'ß'→'SS', 'ﬁ'→'FI', 'İ'→'i'+COMBINING DOT,
-# context-sensitive final sigma ('ΟΔΟΣ'→'οδος') — while DuckDB's
-# utf8proc applies the SIMPLE one-to-one mapping ('ß'→'ẞ', 'ﬁ'→'ﬁ',
-# 'İ'→'i', 'ΟΔΟΣ'→'οδοσ'). All four classes measured divergent
-# (tests/test_case_edges.py pins them); plain accents, Greek, Cyrillic
-# and astral case pairs agree. Two lockstep escapes, chosen per site:
-#   - ascii_case_only: a gate (octet_length = char length ⇔ pure ASCII,
-#     where the dialects agree exactly) for sites whose POINT is real
-#     upper/lower semantics — non-ASCII input costs one symmetric NULL,
-#     envelope-style.
-#   - ascii_fold_lower: translate('A-Z' → 'a-z'), identical on both
-#     engines for EVERY input — for canonicalization sites (fingerprints,
-#     synthesized keys) that must stay DEFINED on multilingual text;
-#     non-ASCII chars pass through verbatim instead of case-folding.
-_ASCII_UC = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
-_ASCII_LC = "abcdefghijklmnopqrstuvwxyz"
-
-
-def ascii_only(col):
-    """True iff the (non-NULL) string is pure ASCII — the domain where
-    Java and utf8proc case mappings are identical byte-for-byte."""
-    col = F.col(col) if isinstance(col, str) else col
-    return F.octet_length(col) == F.length(col)
-
-
-def ascii_only_sql(expr: str) -> str:
-    # strlen, not octet_length: DuckDB's octet_length binds BLOB/BIT
-    # only; strlen is its VARCHAR byte counter (Spark side uses
-    # F.octet_length, which does take strings)
-    return f"strlen({expr}) = length({expr})"
-
-
-def ascii_fold_lower(col):
-    """Case-fold ASCII letters only; every other char passes verbatim.
-    Cross-engine deterministic for ALL inputs (unlike lower())."""
-    col = F.col(col) if isinstance(col, str) else col
-    return F.translate(col, _ASCII_UC, _ASCII_LC)
-
-
-def ascii_fold_lower_sql(expr: str) -> str:
-    return f"translate({expr}, '{_ASCII_UC}', '{_ASCII_LC}')"
 
 
 def json_sanitize(col):

@@ -19,7 +19,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from graph_vulcan_assets_spark.functions.scalars import ascii_fold_lower
+from graph_vulcan_assets_spark.functions.scalars import (
+    ascii_fold_lower,
+    ascii_fold_lower_sql,
+)
 from graph_vulcan_assets_spark.registry import query
 from graph_vulcan_assets_spark.tables import load_table
 
@@ -293,9 +296,7 @@ _LONGNUM_RE = r"[0-9]{13,19}"
       -- (functions/scalars.py ascii_fold_lower)
       SELECT c_custkey,
              'contact ' || c_name || ' <' ||
-             translate(replace(c_name, '#', '.'),
-                       'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
-                       'abcdefghijklmnopqrstuvwxyz') ||
+             {ascii_fold_lower_sql("replace(c_name, '#', '.')")} ||
              '@example.com> ip 10.' || CAST(c_custkey % 240 AS VARCHAR) || '.' ||
              CAST(c_custkey % 250 AS VARCHAR) || '.' ||
              CAST(c_custkey % 100 AS VARCHAR) || ' card ' ||

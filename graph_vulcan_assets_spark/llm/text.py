@@ -9,6 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from graph_vulcan_assets_spark.functions.scalars import ascii_fold_lower_sql
 from graph_vulcan_assets_spark.registry import query
 from graph_vulcan_assets_spark.tables import load_table
 
@@ -215,7 +216,9 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_text_fingerprint",
-    oracle="""
+    # f-string oracle (ADVICE r10): the fold interpolates
+    # ascii_fold_lower_sql so query and oracle derive from one definition
+    oracle=f"""
     SELECT doc_id,
            -- ASCII fold, not lower() (round-10 case-mapping probe):
            -- Java's full Unicode case mapping and utf8proc's simple
@@ -230,9 +233,7 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
            -- space, U+3000) while Spark's strips ASCII 0x20 only — an
            -- NBSP-edged document would silently split this md5. The
            -- explicit-char form matches Spark exactly on every input.
-           md5(translate(trim(text, ' '),
-               'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
-               'abcdefghijklmnopqrstuvwxyz')) AS fingerprint,
+           md5({ascii_fold_lower_sql("trim(text, ' ')")}) AS fingerprint,
            CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
     FROM documents
     """,

