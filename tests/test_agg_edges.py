@@ -50,9 +50,11 @@ semantics agree); the percentile interpolation grid on NaN-free data;
 count(DISTINCT) NaN/-0.0 normalization; and UTF-8-byte string ordering
 (min/max and ordered string_agg over astral/BMP edges).
 
-Machine sweep twin: ``_scripts/probe_agg_window.py`` (same protocol as
-probe_dialect.py — raw forms REQUIRED to diverge, lockstep forms
-REQUIRED to agree).
+This catalog IS the machine sweep for the axis (probe_dialect.py's
+protocol, expressed as pytest because aggregates need table-shaped
+inputs): raw forms are REQUIRED to diverge — a library upgrade that
+silently heals one fails the test — and lockstep forms are REQUIRED to
+agree on every battery.
 """
 
 from __future__ import annotations
@@ -456,3 +458,64 @@ def test_string_ordering_utf8_bytes_agree(spark):
         "g INTEGER, v VARCHAR",
     )[0]
     assert tuple(s) == d
+
+
+def test_trailing_sum_difference_of_growing_frames(spark):
+    """q_win_range_frame's plan-shape rewrite (round 11): Spark has no
+    retractable aggregates, so a bounded sliding frame re-accumulates
+    the whole frame per row — O(rows x frame-depth), a quadratic cliff
+    on dense streams. The trailing sum is therefore computed as the
+    difference of two GROWING frames (accumulate-only, O(rows)), with a
+    count gate reproducing the sliding form's NULL semantics. This test
+    pins (a) exact equality of the two forms on a battery that includes
+    an ALL-NULL trailing frame preceded by non-NULL history — the case
+    where a bare difference yields 0 but the sliding frame yields NULL —
+    and (b) the relative cost on a dense battery: the growing-frame
+    form must not be slower (back-to-back A/B, load-immune; no absolute
+    wall-time bound per the load-aware test convention)."""
+    import time
+
+    rows = [
+        # (g, epoch, value): non-NULL history, then an all-NULL hour
+        (1, 0, 5.0), (1, 10, 7.0), (1, 5000, None), (1, 5100, None),
+        (1, 9000, 2.0), (1, 9000, None), (1, 12599, 1.0), (1, 12601, 4.0),
+    ]
+    df = spark.createDataFrame(rows, "g int, epoch long, value double")
+    df.createOrReplaceTempView("tf")
+    sliding = (
+        "SELECT epoch, sum(CAST(round(value * 1000000, 0) AS DECIMAL(38,0)))"
+        " OVER (PARTITION BY g ORDER BY epoch RANGE BETWEEN 3600 PRECEDING"
+        " AND CURRENT ROW) AS s FROM tf ORDER BY epoch, s"
+    )
+    diffform = (
+        "SELECT epoch, CASE WHEN"
+        " count(value) OVER hi - coalesce(count(value) OVER lo, 0) > 0 THEN"
+        " sum(CAST(round(value * 1000000, 0) AS DECIMAL(38,0))) OVER hi"
+        " - coalesce(sum(CAST(round(value * 1000000, 0) AS DECIMAL(38,0)))"
+        "            OVER lo, CAST(0 AS DECIMAL(38,0))) END AS s FROM tf"
+        " WINDOW hi AS (PARTITION BY g ORDER BY epoch RANGE BETWEEN"
+        " UNBOUNDED PRECEDING AND CURRENT ROW),"
+        " lo AS (PARTITION BY g ORDER BY epoch RANGE BETWEEN UNBOUNDED"
+        " PRECEDING AND 3601 PRECEDING) ORDER BY epoch, s"
+    )
+    a = [tuple(r) for r in spark.sql(sliding).collect()]
+    b = [tuple(r) for r in spark.sql(diffform).collect()]
+    assert a == b, f"forms differ: {a} vs {b}"
+    # the 5000/5100 rows sit in an all-NULL trailing hour with non-NULL
+    # history: both forms must say NULL there (the class the gate exists for)
+    null_epochs = [e for e, s in a if s is None]
+    assert 5000 in null_epochs and 5100 in null_epochs
+
+    # dense-battery relative cost (12k rows, every trailing window holds
+    # ~3000 rows): growing-frame form must beat the sliding frame
+    dense = spark.range(12_000).selectExpr(
+        "1 AS g", "id AS epoch", "CAST(id % 97 AS DOUBLE) + 0.5 AS value"
+    )
+    dense.localCheckpoint().createOrReplaceTempView("tf")
+    spark.sql(diffform).collect()  # warm codegen
+    t0 = time.time(); spark.sql(sliding).collect(); t_slide = time.time() - t0
+    t0 = time.time(); spark.sql(diffform).collect(); t_diff = time.time() - t0
+    assert t_diff < t_slide, (
+        f"growing-frame form ({t_diff:.2f}s) not faster than sliding "
+        f"({t_slide:.2f}s) — retraction may have landed; re-audit the rewrite"
+    )
