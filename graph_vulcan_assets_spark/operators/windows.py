@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from graph_vulcan_assets_spark.registry import query
 from graph_vulcan_assets_spark.tables import (
     FINITE_VALUE_SQL,
+    epoch_sec_sql,
     finite_values,
     load_table,
     micros128,
@@ -218,7 +219,10 @@ def q_win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
                          RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
                  / 1000000.0, 4) AS hour_sum
     FROM (SELECT event_id, event_type, ts, value,
-                 CAST(floor(epoch(ts)) AS BIGINT) AS epoch_sec
+                 -- exact floor-epoch-seconds (round-11 time-edge probe):
+                 -- floor(epoch(ts)) loses one second to double rounding
+                 -- at year-1583/9999 magnitudes (tables.epoch_sec_sql)
+                 {epoch_sec_sql('ts')} AS epoch_sec
           FROM events WHERE ts IS NOT NULL AND {FINITE_VALUE_SQL}
             AND {plausible_ts_sql()})
     """,
@@ -289,7 +293,15 @@ def q_win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH marked AS (
       SELECT user_id, event_id, ts, value,
              CASE WHEN lag(ts) OVER w IS NULL
-                       OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                       -- floor-SECOND gap, matching Spark's cast(ts as
+                       -- long) difference EXACTLY (round-11 time-edge
+                       -- probe): the old raw epoch() difference was
+                       -- fractional, so a gap whose floor is exactly
+                       -- 1800 s with increasing sub-second fraction
+                       -- split the session here but not on Spark —
+                       -- hostile events rows 9504/9505 pin it
+                       OR {epoch_sec_sql('ts')}
+                          - {epoch_sec_sql('lag(ts) OVER w')} > 1800
                   THEN 1 ELSE 0 END AS new_session
       FROM events WHERE ts IS NOT NULL AND {FINITE_VALUE_SQL}
             AND {plausible_ts_sql()}

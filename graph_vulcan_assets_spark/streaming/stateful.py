@@ -35,6 +35,7 @@ from pyspark.sql.streaming.state import GroupStateTimeout
 from graph_vulcan_assets_spark.tables import (
     VALUE_BOUND,
     bounded_times,
+    epoch_sec_sql,
     bounded_ts,
     bounded_ts_sql,
     micros128,
@@ -249,7 +250,12 @@ from graph_vulcan_assets_spark.registry import query  # noqa: E402
     WITH marked AS (
       SELECT user_id, event_id, ts, value,
              CASE WHEN lag(ts) OVER w IS NULL
-                       OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                       -- floor-SECOND gap (round-11 time-edge probe —
+                       -- same class as q_sessionize; the Python path's
+                       -- t // 1_000_000 is floor division, so all
+                       -- three forms agree exactly)
+                       OR {epoch_sec_sql('ts')}
+                          - {epoch_sec_sql('lag(ts) OVER w')} > 1800
                   THEN 1 ELSE 0 END AS new_session
       FROM events WHERE ts IS NOT NULL AND {bounded_ts_sql()}
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),

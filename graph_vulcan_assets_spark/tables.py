@@ -177,6 +177,27 @@ BOUNDED_TS_LO = os.environ.get("GVAS_BOUNDED_TS_LO", "1900-01-01")
 BOUNDED_TS_HI = os.environ.get("GVAS_BOUNDED_TS_HI", "2200-01-01")
 
 
+def epoch_sec_sql(col: str = "ts") -> str:
+    """DuckDB mirror of Spark's ``CAST(ts AS LONG)``: EXACT floor
+    epoch-seconds (round-11 time-edge probe).
+
+    Spark's timestamp→long cast floors the microsecond epoch (measured:
+    1969-12-31 23:59:59.5 → -1, not 0). DuckDB's ``floor(epoch(ts))``
+    looks equivalent but ``epoch()`` returns a DOUBLE, whose ulp at
+    year-1583/year-9999 magnitudes (~1.2e10/2.5e11 s) exceeds one
+    microsecond — measured off-by-one-second: 1583-01-01 00:00:00.999999
+    → -12212553599 (true floor -12212553600) and 9999-12-31
+    23:59:59.999999 → 253402300800 (true floor 253402300799), both
+    inside the representable event-time domain. And ``epoch_us(ts) //
+    1000000`` is NOT the fix: DuckDB's ``//`` truncates toward zero on
+    negatives (pre-1970 off-by-one). This form does exact BIGINT
+    floor-division — subtract the sign-safe positive remainder, then
+    divide exactly — and agrees with Spark's cast on the full domain
+    battery (tests/test_time_edges.py pins it)."""
+    us = f"epoch_us({col})"
+    return f"(({us} - (({us} % 1000000) + 1000000) % 1000000) // 1000000)"
+
+
 def plausible_ts_sql(col: str = "ts") -> str:
     """DuckDB mirror of :func:`plausible_ts` (interpolate, never copy)."""
     return (

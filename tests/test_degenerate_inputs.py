@@ -447,6 +447,23 @@ def _build_hostile_dir(out: str, src: str) -> None:
          '{{}}'),
         (9502, TIMESTAMP '2024-01-05 00:00:15', 31337, 'ovfl', 8e12,
          '{{}}'),
+        -- round-11 time-edge probe: (a) 9503 a FRACTIONAL far-future
+        -- timestamp — DuckDB's floor(epoch(ts)) loses the fraction to
+        -- double rounding at 2.5e11 s magnitude (off-by-one second,
+        -- 253402300800 vs the true floor ...799) while Spark's
+        -- cast(ts AS LONG) is exact; epoch-second oracles now use the
+        -- exact BIGINT form (tables.epoch_sec_sql). (b) 9504/9505 a
+        -- session gap whose FLOOR is exactly 1800 s with increasing
+        -- sub-second fraction (raw gap 1800.5): the old raw-epoch()
+        -- oracle gap split the session that Spark's floor-second gap
+        -- keeps; both sessionizer oracles now use the floor-second
+        -- form, matching Spark and the Python t // 1_000_000 path.
+        (9503, TIMESTAMP '9999-12-31 23:59:59.999999', 7, 'view', 1.5,
+         '{{}}'),
+        (9504, TIMESTAMP '2024-02-01 00:00:00.25', 5, 'view', 2.0,
+         '{{}}'),
+        (9505, TIMESTAMP '2024-02-01 00:30:00.75', 5, 'view', 3.0,
+         '{{}}'),
         -- extreme 64-bit ids (round 6): ids are OPAQUE surrogate keys, so
         -- negative / near-INT64_MAX values are legitimate at scale, not
         -- corrupt — id arithmetic must be overflow-safe and sign-safe BY
