@@ -69,6 +69,16 @@ def load_all() -> None:
 #                     q_sessionize, q_session_window, q_time_tumbling,
 #                     q_time_sliding, q_agg_cube, q_agg_salted,
 #                     q_stream_sessionize (128-bit streaming state).
+#                     (a') the time-edge probe's epoch fixes on three of
+#                     the same keys — q_win_range_frame's epoch_sec and
+#                     both lag-sessionizer gaps moved to the exact
+#                     BIGINT floor form (tables.epoch_sec_sql; DuckDB's
+#                     double epoch() floors one second wrong at extreme
+#                     dates, and the raw-fractional gap split sessions
+#                     on the 1800-floor boundary) — and q_win_range_frame
+#                     additionally moved to the difference-of-growing-
+#                     frames plan (Spark has no retractable aggregates;
+#                     the bounded sliding frame was O(rows × depth)).
 #                     (b) the three ADVICE-r10 f-string oracles
 #                     (q_str_funcs, q_text_fingerprint, q_pii_redact) —
 #                     generated SQL semantically identical, but the

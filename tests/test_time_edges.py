@@ -137,3 +137,29 @@ def test_gap_forms_on_the_session_boundary(spark):
         f"SELECT max({epoch_sec_sql('ts')}) - min({epoch_sec_sql('ts')}) FROM t"
     ).fetchone()
     assert exact_gap == 1800  # lockstep with Spark
+
+
+def test_epoch_sec_sql_property_random_domain():
+    """Property (hypothesis): on ARBITRARY microsecond instants across
+    the full representable domain, the DuckDB form equals Python's exact
+    integer floor — pure-engine check, no Spark needed (Spark's cast is
+    pinned against the same floor in the battery tests above)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    lo = int(datetime.datetime(1583, 1, 1).timestamp()) * 1_000_000
+    hi = int(datetime.datetime(9999, 12, 31, 23, 59, 59).timestamp()) * 1_000_000
+
+    con = duckdb.connect()
+    expr = epoch_sec_sql("make_timestamp(?)")
+    # one placeholder per interpolation site of the helper
+    n_params = expr.count("?")
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.integers(min_value=lo, max_value=hi))
+    def check(us: int) -> None:
+        (got,) = con.execute(f"SELECT {expr}", [us] * n_params).fetchone()
+        assert got == us // 1_000_000, (us, got)
+
+    check()
+    con.close()
