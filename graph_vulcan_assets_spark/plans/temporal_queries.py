@@ -18,6 +18,7 @@ from graph_vulcan_assets_spark.tables import (
     bounded_times,
     bounded_ts_sql,
     finite_values,
+    floor_div_sql,
     load_table,
     micros128,
     plausible_times,
@@ -159,7 +160,15 @@ def q_time_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH ex AS (
       SELECT event_type,
              CAST(round(value * 1000000, 0) AS BIGINT) AS v_micros,
-             (epoch_us(ts) // 1000 // 1800000 - i) * 1800000 AS start_ms
+             -- FLOOR bucket index (round-11 time-edge probe): DuckDB's
+             -- // truncates toward zero, so pre-1970 non-slide-aligned
+             -- timestamps landed in the NEXT window here while Spark's
+             -- window() floor-aligns (4 measured-divergent cases;
+             -- hostile events row 9506 pins it). floor_div_sql is the
+             -- exact BIGINT floor over the slide in MICROSECONDS —
+             -- one division, no compounding truncation.
+             ({floor_div_sql('epoch_us(ts)', 1_800_000_000)} - i) * 1800000
+               AS start_ms
       FROM events, unnest(range(4)) AS t(i)
       WHERE ts IS NOT NULL AND {FINITE_VALUE_SQL} AND {plausible_ts_sql()})
     SELECT make_timestamp(start_ms * 1000) AS window_start, event_type,

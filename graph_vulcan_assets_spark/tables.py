@@ -177,6 +177,17 @@ BOUNDED_TS_LO = os.environ.get("GVAS_BOUNDED_TS_LO", "1900-01-01")
 BOUNDED_TS_HI = os.environ.get("GVAS_BOUNDED_TS_HI", "2200-01-01")
 
 
+def floor_div_sql(expr: str, d: int) -> str:
+    """Exact BIGINT FLOOR division for DuckDB oracles (round-11
+    time-edge probe): DuckDB's ``//`` truncates toward zero, so it is
+    one off for every negative non-multiple — while Spark's epoch
+    bucketing (``CAST(ts AS LONG)``, ``window()`` start alignment)
+    floors. Subtract the sign-safe positive remainder, then divide
+    exactly. Used by :func:`epoch_sec_sql` and the sliding-window
+    bucket index."""
+    return f"(({expr} - (({expr} % {d}) + {d}) % {d}) // {d})"
+
+
 def epoch_sec_sql(col: str = "ts") -> str:
     """DuckDB mirror of Spark's ``CAST(ts AS LONG)``: EXACT floor
     epoch-seconds (round-11 time-edge probe).
@@ -190,12 +201,11 @@ def epoch_sec_sql(col: str = "ts") -> str:
     23:59:59.999999 → 253402300800 (true floor 253402300799), both
     inside the representable event-time domain. And ``epoch_us(ts) //
     1000000`` is NOT the fix: DuckDB's ``//`` truncates toward zero on
-    negatives (pre-1970 off-by-one). This form does exact BIGINT
-    floor-division — subtract the sign-safe positive remainder, then
-    divide exactly — and agrees with Spark's cast on the full domain
-    battery (tests/test_time_edges.py pins it)."""
-    us = f"epoch_us({col})"
-    return f"(({us} - (({us} % 1000000) + 1000000) % 1000000) // 1000000)"
+    negatives (pre-1970 off-by-one). :func:`floor_div_sql` does exact
+    BIGINT floor-division; agreement with Spark's cast is pinned on the
+    full domain battery plus a hypothesis sweep
+    (tests/test_time_edges.py)."""
+    return floor_div_sql(f"epoch_us({col})", 1_000_000)
 
 
 def plausible_ts_sql(col: str = "ts") -> str:

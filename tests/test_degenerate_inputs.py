@@ -464,6 +464,14 @@ def _build_hostile_dir(out: str, src: str) -> None:
          '{{}}'),
         (9505, TIMESTAMP '2024-02-01 00:30:00.75', 5, 'view', 3.0,
          '{{}}'),
+        -- (c) 9506 a PRE-1970 NON-slide-aligned timestamp: DuckDB's //
+        -- truncates toward zero, so the old sliding-window bucket index
+        -- put this row one window LATE while Spark's window()
+        -- floor-aligns; the oracle now floor-divides exactly
+        -- (tables.floor_div_sql). Same busy user as the existing
+        -- integral 1700 row so the sessionizers see it too.
+        (9506, TIMESTAMP '1700-01-01 06:00:00.5', 1, 'click', 0.75,
+         '{{}}'),
         -- extreme 64-bit ids (round 6): ids are OPAQUE surrogate keys, so
         -- negative / near-INT64_MAX values are legitimate at scale, not
         -- corrupt — id arithmetic must be overflow-safe and sign-safe BY

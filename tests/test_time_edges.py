@@ -163,3 +163,40 @@ def test_epoch_sec_sql_property_random_domain():
 
     check()
     con.close()
+
+
+def test_sliding_window_alignment_pre1970(spark):
+    """The sliding-bucket class: DuckDB's // truncates toward zero, so a
+    pre-1970 non-slide-aligned timestamp lands one window LATE in the
+    old oracle index while Spark's window() floor-aligns. Pins the raw
+    divergence and the floor_div_sql lockstep (hostile row 9506)."""
+    from graph_vulcan_assets_spark.tables import floor_div_sql
+
+    t = datetime.datetime.fromisoformat("1700-01-01 06:00:00.5")
+    df = spark.createDataFrame([(t,)], "ts timestamp")
+    spark_starts = sorted(
+        r[0]
+        for r in df.select(
+            F.window("ts", "2 hours", "30 minutes").alias("w")
+        ).select(F.col("w.start")).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(ts TIMESTAMP)")
+    con.execute("INSERT INTO t VALUES (?)", [t])
+    raw = sorted(
+        r[0]
+        for r in con.execute(
+            "SELECT make_timestamp(((epoch_us(ts) // 1000 // 1800000 - i)"
+            " * 1800000) * 1000) FROM t, unnest(range(4)) AS u(i)"
+        ).fetchall()
+    )
+    fixed = sorted(
+        r[0]
+        for r in con.execute(
+            f"SELECT make_timestamp((({floor_div_sql('epoch_us(ts)', 1_800_000_000)}"
+            " - i) * 1800000) * 1000) FROM t, unnest(range(4)) AS u(i)"
+        ).fetchall()
+    )
+    con.close()
+    assert raw != spark_starts, "truncation class healed — re-audit the ledger"
+    assert fixed == spark_starts, f"floor_div lockstep split: {fixed} vs {spark_starts}"
