@@ -1,0 +1,40 @@
+"""Dump .explain('formatted') for named queries to plans/r12/<name>_<tag>.txt.
+
+    python _scripts/dump_plans.py before q_kmeans_assign q_pq_codes ...
+
+Tag is the first arg (before/after); queries build at sf0.1 (plan shape is
+SF-independent; sf0.1 matches the bench).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from graph_vulcan_assets_spark.registry import all_queries  # noqa: E402
+from graph_vulcan_assets_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    tag = sys.argv[1]
+    names = sys.argv[2:]
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r12")
+    os.makedirs(out_dir, exist_ok=True)
+    spark = get_spark(app_name="gvas-dump-plans")
+    qs = all_queries()
+    for name in names:
+        df = qs[name](spark, sf_dir)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        path = os.path.join(out_dir, f"{name}_{tag}.txt")
+        with open(path, "w") as f:
+            f.write(plan)
+        print("wrote", path, f"({plan.count('Exchange')} Exchange nodes)")
+
+
+if __name__ == "__main__":
+    main()

@@ -13,10 +13,13 @@ shards naturally:
   is vocabulary-sized; only the initial word count ever scans the corpus.
 - Each training iteration is one partial-aggregated shuffle on the pair
   (map-side combine does the heavy lifting); the winning pair attaches to
-  every vocab row via a BROADCAST crossJoin of the 1-row argmax — no per-
-  iteration driver round-trip, same discipline as kmeans' broadcast
-  centroids (llm/kmeans.py). Merging is a pure fold expression over each
-  word's symbol array; no Python touches a row.
+  every vocab row as a SCALAR SUBQUERY over the 1-row argmax
+  (tables.attach_scalar — round 12; previously a broadcast crossJoin,
+  which planned a BroadcastNestedLoopJoin per iteration) — no explicit
+  driver round-trip, same discipline as kmeans' centroid pack
+  (llm/kmeans.py). Merging is a pure fold expression over each word's
+  symbol array, guarded by an O(len) adjacency scan so only words that
+  contain the winning pair pay the fold; no Python touches a row.
 - Encoding joins documents' words against the trained distinct-word
   tokenization — an equi-join on the word, never re-running merges per
   occurrence. The learned merge list itself is a model artifact
@@ -33,7 +36,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from graph_vulcan_assets_spark.registry import query
-from graph_vulcan_assets_spark.tables import load_table
+from graph_vulcan_assets_spark.tables import attach_scalar, load_table
 
 # Lineage truncation cadence for the iterative merge loop (kmeans idiom).
 _CHECKPOINT_EVERY = 4
@@ -87,8 +90,25 @@ def _merge_expr(syms: Column, a: Column, b: Column) -> Column:
     The fold appends each symbol unless the accumulator currently ends
     with ``a`` and the incoming symbol is ``b`` — then the tail is
     replaced by the merged symbol. A just-merged tail CAN serve as the
-    left side of the next match (correct: "abab" -> [ab, ab])."""
-    return F.aggregate(
+    left side of the next match (correct: "abab" -> [ab, ab]).
+
+    Guarded (round 12): the fold's repeated array concat is O(len²) in
+    copies, but on any given iteration the vast majority of vocab words
+    do not contain the winning pair at all — an O(len) adjacency scan
+    (zip_with each symbol with its successor, exists) skips the fold for
+    them. Words that do contain the pair fold exactly as before, so the
+    result is identical; zip_with pads the successor array's tail with
+    NULL, whose (x==a)&(NULL==b) term is NULL — ignored by the
+    any-true exists semantics."""
+    has_pair = F.exists(
+        F.zip_with(
+            syms,
+            F.slice(syms, 2, F.greatest(F.size(syms) - 1, F.lit(0))),
+            lambda x, y: (x == a) & (y == b),
+        ),
+        lambda t: t,
+    )
+    folded = F.aggregate(
         syms,
         F.array().cast("array<string>"),
         lambda acc, x: F.when(
@@ -96,6 +116,7 @@ def _merge_expr(syms: Column, a: Column, b: Column) -> Column:
             F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(F.concat(a, b))),
         ).otherwise(F.concat(acc, F.array(x))),
     )
+    return F.when(has_pair, folded).otherwise(syms)
 
 
 def bpe_train(docs: DataFrame, n_merges: int) -> tuple[DataFrame, DataFrame]:
@@ -136,9 +157,15 @@ def bpe_train(docs: DataFrame, n_merges: int) -> tuple[DataFrame, DataFrame]:
             )
         )
         vocab = (
-            vocab.crossJoin(F.broadcast(best))
-            .withColumn("syms", _merge_expr(F.col("syms"), F.col("ma"), F.col("mb")))
-            .drop("ma", "mb", "mcnt")
+            attach_scalar(
+                vocab,
+                best.select(F.struct("ma", "mb").alias("m")),
+                "__m",
+            )
+            .withColumn(
+                "syms", _merge_expr(F.col("syms"), F.col("__m.ma"), F.col("__m.mb"))
+            )
+            .drop("__m")
         )
         if (it + 1) % _CHECKPOINT_EVERY == 0 or it == n_merges - 1:
             vocab = vocab.localCheckpoint(eager=True)

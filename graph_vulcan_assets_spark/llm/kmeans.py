@@ -20,23 +20,34 @@ and match the DuckDB oracle bit-for-bit —
 * argmin ties break on the lowest centroid id via ``row_number`` ordered
   by (distance, cid).
 
-Scale shape: the embedding array is exploded ONCE into (vec_id, pos, q)
-and materialized; each Lloyd iteration is then two shuffle-partitionable
-relational ops — a (vecs ⋈ centroids ON pos) + per-(vec, cid) aggregate
-for assignment (centroids are k·d rows, broadcast), and a per-(cid, pos)
-aggregate for the update. No driver-side state, no UDFs; per-iteration
-lineage is truncated with ``localCheckpoint`` exactly like
-:func:`operators.graph.q_graph_pagerank`.
+Scale shape (round 12, the packed plan): vectors stay PACKED as one
+(vec_id, qarr) row each — the finite gate guarantees every post-gate
+vector is exactly EMBED_DIM long with no NULL/NaN components, so array
+arithmetic is defined everywhere. Assignment is MAP-ONLY: the k·d
+centroid table collapses to a single array-of-structs row, broadcast to
+every task via a constant-key hash join, and each vector computes its
+argmin centroid inside one projection (``array_min`` over per-centroid
+``zip_with``/``aggregate`` squared distances, ties on the lowest cid by
+struct ordering) — no n·d·k join intermediate, no per-vector shuffle, no
+window sort. Only the centroid UPDATE shuffles: posexplode of the
+assigned vectors partially aggregates map-side to ≤ k·d rows per task.
+No driver-side state, no UDFs; per-iteration lineage is truncated with
+``localCheckpoint`` exactly like :func:`operators.graph.q_graph_pagerank`.
+(The previous exploded plan — (vec_id, pos, q) joined with broadcast
+centroids ON pos — materialized n·d·k rows per iteration and sorted n·k
+rows per argmin window; measured 2.04 s → this plan at sf0.1, identical
+hashes. The DuckDB oracle keeps the exploded CTE form; integer
+arithmetic makes the two groupings bit-identical.)
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from graph_vulcan_assets_spark.llm.embeddings import finite_sql
 from graph_vulcan_assets_spark.registry import query
-from graph_vulcan_assets_spark.tables import load_table
+from graph_vulcan_assets_spark.tables import attach_scalar, load_table
 
 K = 8
 ITERS = 3
@@ -89,61 +100,109 @@ def _kmeans_oracle(k: int = K, iters: int = ITERS) -> str:
 
 
 def quantize_vectors(emb: DataFrame) -> DataFrame:
-    """embeddings → exploded integer-micro (vec_id, pos, q), checkpointed
+    """embeddings → PACKED integer-micro (vec_id, qarr) rows, checkpointed
     once so every Lloyd iteration (and any reuser, e.g. llm/semdedup.py)
-    reads the materialized quantization instead of re-exploding."""
+    reads the materialized quantization. Map-only: no explode — the packed
+    checkpoint is d× smaller than the old exploded one, and the finite
+    gate (len = EMBED_DIM, all components finite) makes packed array
+    arithmetic exactly equivalent to the exploded join form."""
     from graph_vulcan_assets_spark.llm.embeddings import finite_embeddings
 
     return (
         finite_embeddings(emb)
-        .select("vec_id", F.posexplode("embedding").alias("pos", "e"))
         .select(
             "vec_id",
-            F.col("pos").cast("long").alias("pos"),
-            F.round(F.col("e").cast("double") * _SCALE, 0).cast("long").alias("q"),
+            F.transform(
+                "embedding",
+                lambda e: F.round(e.cast("double") * _SCALE, 0).cast("long"),
+            ).alias("qarr"),
         )
         .localCheckpoint(eager=True)
     )
 
 
-def lloyd_assign(vecs: DataFrame, k: int = K, iters: int = ITERS) -> DataFrame:
-    """Fixed-point Lloyd over quantized (vec_id, pos, q) — the Spark twin
-    of :func:`lloyd_ctes`; returns (vec_id, cid, d). See module docstring
-    for the exactness contract."""
-    cent = vecs.where(F.col("vec_id") < k).select(
-        F.col("vec_id").alias("cid"), "pos", F.col("q").alias("c")
+def centroid_pack(cent: DataFrame) -> DataFrame:
+    """(cid, carr) k rows → ONE row holding the cid-sorted array of
+    centroid structs — the broadcastable form the map-only assignment
+    consumes. collect_list order is nondeterministic; array_sort restores
+    the total (cid) order, so the pack is deterministic."""
+    return cent.agg(
+        F.array_sort(F.collect_list(F.struct("cid", "carr"))).alias("cents")
     )
-    assign = None
+
+
+def packed_sq_dist(qarr, carr):
+    """Exact BIGINT squared L2 between two packed micro-arrays — the same
+    sum the exploded join computed, regrouped (integer, order-free)."""
+    return F.aggregate(
+        F.zip_with(qarr, carr, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+
+
+def lloyd_assign(vecs: DataFrame, k: int = K, iters: int = ITERS) -> DataFrame:
+    """Fixed-point Lloyd over packed (vec_id, qarr) — the Spark twin of
+    :func:`lloyd_ctes`; returns (vec_id, cid, d, qarr). See module
+    docstring for the exactness contract and the packed plan shape.
+
+    The argmin is ``array_min`` over (d, cid) structs — lexicographic
+    struct ordering reproduces the oracle's ``row_number() ORDER BY d,
+    cid`` tie-break exactly.
+    """
+    cent = vecs.where(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cid"), F.col("qarr").alias("carr")
+    )
+    assigned = None
     for i in range(iters):
-        d = (
-            vecs.join(F.broadcast(cent), "pos")
-            .groupBy("vec_id", "cid")
-            .agg(F.sum((F.col("q") - F.col("c")) * (F.col("q") - F.col("c"))).alias("d"))
+        best = F.array_min(
+            F.transform(
+                F.col("cents"),
+                lambda c: F.struct(
+                    packed_sq_dist(F.col("qarr"), c["carr"]).alias("d"),
+                    c["cid"].alias("cid"),
+                ),
+            )
         )
-        w = Window.partitionBy("vec_id").orderBy("d", "cid")
-        assign = (
-            d.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .select("vec_id", "cid", "d")
+        assigned = (
+            attach_scalar(vecs, centroid_pack(cent), "cents")
+            .select("vec_id", best.alias("__best"), "qarr")
+            .select(
+                "vec_id",
+                F.col("__best.cid").alias("cid"),
+                F.col("__best.d").alias("d"),
+                "qarr",
+            )
         )
         if i < iters - 1:
             # truncate lineage at the CENTROID table (k·d rows — the tiny
             # relation each next iteration broadcasts), not the full
             # assignment: one small materialization per iteration and the
             # final assignment executes as a single job from the last
-            # checkpointed centroids
+            # checkpointed centroids. The update is the only shuffle per
+            # iteration; partial aggregation collapses it to ≤ k·d rows
+            # per map task before the exchange.
             cent = (
-                assign.join(vecs, "vec_id")
+                assigned.select("cid", F.posexplode("qarr").alias("pos", "q"))
                 .groupBy("cid", "pos")
                 .agg(
                     ((F.sum("q") - F.sum("q") % F.count("*")) / F.count("*"))
                     .cast("long")
                     .alias("c")
                 )
+                .groupBy("cid")
+                .agg(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                        lambda s: s["c"],
+                    ).alias("carr")
+                )
                 .localCheckpoint(eager=True)
             )
-    assert assign is not None
-    return assign
+    assert assigned is not None
+    return assigned
 
 
 @query("q_kmeans_assign", oracle=_kmeans_oracle())

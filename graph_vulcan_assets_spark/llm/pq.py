@@ -11,12 +11,16 @@ distances are BIGINT sums, centroid updates are truncated integer means,
 argmin ties break on the lowest code) — so Spark and DuckDB agree
 bit-for-bit despite 4 independent codebook trainings.
 
-Scale shape: subvectors come from ONE posexplode of the embedding
-(materialized once, reused by all 4 subspaces × iterations); each Lloyd
-step is a broadcast join against a 16·16-row codebook + a partial
-aggregate; code assignment pivots 4 subspace argmins back to one row per
-vector with a single groupBy(vec_id). Training normally runs on a small
-SAMPLE at 100 TB — the full-corpus pass here doubles as the assignment.
+Scale shape (round 12, the packed plan — see llm/kmeans.py): vectors
+stay packed as one (vec_id, qarr) row, materialized once and reused by
+all 4 subspaces × iterations; the M·K-row codebook collapses to a single
+broadcast array row and every vector computes all 4 subspace argmins
+inside ONE projection (slice + zip_with/aggregate squared distances,
+array_min tie-break on the lowest code) — no n·d·K join intermediate, no
+per-vector argmin shuffle. Only the codebook UPDATE shuffles (posexplode
++ partial aggregation to ≤ M·K·SUB_DIM rows per task). Training normally
+runs on a small SAMPLE at 100 TB — the full-corpus pass here doubles as
+the assignment.
 """
 
 from __future__ import annotations
@@ -76,53 +80,142 @@ def _pq_oracle() -> str:
     return sql
 
 
+def _quantized_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packed (vec_id, qarr) integer-micro vectors, checkpointed once —
+    the single materialization every PQ stage derives from."""
+    from graph_vulcan_assets_spark.llm.kmeans import quantize_vectors
+
+    return quantize_vectors(load_table(spark, sf_dir, "embeddings"))
+
+
 def _quantized_vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = finite_embeddings(load_table(spark, sf_dir, "embeddings"))
-    return (
-        emb.select("vec_id", F.posexplode("embedding").alias("pos", "e"))
-        .select(
-            "vec_id",
-            F.col("pos").cast("long").alias("pos"),
-            F.round(F.col("e").cast("double") * _SCALE, 0).cast("long").alias("q"),
-        )
-        .localCheckpoint(eager=True)
+    """Exploded (vec_id, pos, q) VIEW over :func:`_quantized_packed` —
+    a map-only posexplode of the packed checkpoint (no second
+    materialization); kept for the stages that genuinely want the melted
+    form (IVF coarse scoring, per-pos LUT joins)."""
+    return _exploded(_quantized_packed(spark, sf_dir))
+
+
+def _exploded(packed: DataFrame) -> DataFrame:
+    return packed.select("vec_id", F.posexplode("qarr").alias("pos", "q")).select(
+        "vec_id", F.col("pos").cast("long").alias("pos"), "q"
     )
 
 
-def _train_all(vecs):
-    """(melted assignment, melted codebooks) for ALL subspaces in ONE
-    fused dataflow: subspace id is a key column (sub = pos div SUB_DIM),
-    so each Lloyd iteration is a single broadcast join + window + update
-    covering every subspace — 4x fewer jobs than looping subspaces, same
-    per-subspace independence (sub participates in every key)."""
-    v = vecs.withColumn("sub", F.floor(F.col("pos") / SUB_DIM).cast("int"))
-    cent = v.where(F.col("vec_id") < K).select(
-        "sub", F.col("vec_id").alias("cid"), "pos", F.col("q").alias("c")
-    )
-    assign = None
+def _train_all_packed(packed):
+    """(packed assignment, melted codebooks) for ALL subspaces in ONE
+    fused dataflow over PACKED vectors: every iteration's assignment is a
+    single map-only projection (the M·K codebook broadcast as one array
+    row; per-sub argmin via slice + zip_with/aggregate + array_min with
+    the (d, cid) struct tie-break), and the update posexplodes the
+    assigned rows once — no assignment join, no argmin window. The
+    assignment comes back as (vec_id, qarr, best: array<struct<d, cid,
+    sub>> indexed by sub); :func:`_train_all` melts it for callers that
+    join per-(sub, cid). Bit-identical to the previous exploded plan
+    (integer arithmetic, identical tie-breaks)."""
+    from graph_vulcan_assets_spark.llm.kmeans import packed_sq_dist
+    from graph_vulcan_assets_spark.tables import attach_scalar
+
+    cent = packed.where(F.col("vec_id") < K).select(
+        F.col("vec_id").alias("cid"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).cast("int").alias("sub"),
+                        F.slice("qarr", s * SUB_DIM + 1, SUB_DIM).alias("carr"),
+                    )
+                    for s in range(M)
+                ]
+            )
+        ).alias("sc"),
+    ).select(F.col("sc.sub").alias("sub"), "cid", F.col("sc.carr").alias("carr"))
+
+    assigned = None
     for i in range(ITERS):
-        d = (
-            v.join(F.broadcast(cent), ["sub", "pos"])
-            .groupBy("vec_id", "sub", "cid")
-            .agg(F.sum((F.col("q") - F.col("c")) * (F.col("q") - F.col("c"))).alias("d"))
+        pack = cent.agg(
+            F.array_sort(F.collect_list(F.struct("sub", "cid", "carr"))).alias("cents")
         )
-        w = Window.partitionBy("vec_id", "sub").orderBy("d", "cid")
-        assign = (
-            d.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .select("vec_id", "sub", "cid", "d")
+        # per row, per subspace s: argmin over that sub's K codebook rows;
+        # the (d, cid) struct-ordering min reproduces the oracle's
+        # row_number ORDER BY d, cid tie-break
+        best_all = F.transform(
+            F.sequence(F.lit(0), F.lit(M - 1)),
+            lambda s: F.array_min(
+                F.transform(
+                    F.filter(F.col("cents"), lambda c: c["sub"] == s),
+                    lambda c: F.struct(
+                        packed_sq_dist(
+                            F.slice(F.col("qarr"), s * SUB_DIM + 1, SUB_DIM),
+                            c["carr"],
+                        ).alias("d"),
+                        c["cid"].alias("cid"),
+                        c["sub"].alias("sub"),
+                    ),
+                )
+            ),
+        )
+        assigned = attach_scalar(packed, pack, "cents").select(
+            "vec_id", "qarr", best_all.alias("best")
         )
         if i < ITERS - 1:
             cent = (
-                assign.join(v, ["vec_id", "sub"])
+                assigned.select(
+                    "vec_id",
+                    F.posexplode("qarr").alias("pos", "q"),
+                    F.col("best"),
+                )
+                .select(
+                    F.floor(F.col("pos") / SUB_DIM).cast("int").alias("sub"),
+                    F.col("pos").cast("long").alias("pos"),
+                    "q",
+                    "best",
+                )
+                .select(
+                    "sub",
+                    F.get("best", F.col("sub"))["cid"].alias("cid"),
+                    "pos",
+                    "q",
+                )
                 .groupBy("sub", "cid", "pos")
                 .agg(
                     ((F.sum("q") - F.sum("q") % F.count("*")) / F.count("*"))
                     .cast("long")
                     .alias("c")
                 )
+                .groupBy("sub", "cid")
+                .agg(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                        lambda t: t["c"],
+                    ).alias("carr")
+                )
                 .localCheckpoint(eager=True)
             )
+        else:
+            # the melted (sub, cid, pos, c) codebook callers join LUTs
+            # against — rebuilt from the final packed cent (tiny: M·K rows)
+            cent = cent.select(
+                "sub", "cid", F.posexplode("carr").alias("rel", "c")
+            ).select(
+                "sub",
+                "cid",
+                (F.col("sub").cast("long") * SUB_DIM + F.col("rel")).alias("pos"),
+                "c",
+            )
+    return assigned, cent
+
+
+def _train_all(packed):
+    """Melted view of :func:`_train_all_packed`: (vec_id, sub, cid, d)
+    assignment rows + the melted (sub, cid, pos, c) codebooks."""
+    assigned, cent = _train_all_packed(packed)
+    assign = assigned.select("vec_id", F.explode("best").alias("b")).select(
+        "vec_id",
+        F.col("b.sub").alias("sub"),
+        F.col("b.cid").alias("cid"),
+        F.col("b.d").alias("d"),
+    )
     return assign, cent
 
 
@@ -130,14 +223,20 @@ def _train_all(vecs):
 def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ encode the embeddings table: 4 subspace codebooks (k=16, 2 Lloyd
     iterations, seeded from the first k vectors' subvectors), emitting
-    each vector's 4 codes and exact total squared quantization error."""
-    assign, _cent = _train_all(_quantized_vecs(spark, sf_dir))
-    codes = [
-        F.max(F.when(F.col("sub") == s, F.col("cid"))).alias(f"code{s}")
-        for s in range(M)
-    ]
-    return assign.groupBy("vec_id").agg(
-        *codes, F.sum("d").cast("long").alias("dist_sq")
+    each vector's 4 codes and exact total squared quantization error.
+
+    The packed plan makes this MAP-ONLY after training: each row already
+    carries its per-sub argmin array, so codes and dist_sq project out
+    without the old melted groupBy(vec_id) pivot shuffle."""
+    assigned, _cent = _train_all_packed(_quantized_packed(spark, sf_dir))
+    return assigned.select(
+        "vec_id",
+        *[F.get("best", s)["cid"].alias(f"code{s}") for s in range(M)],
+        F.aggregate(
+            F.transform("best", lambda b: b["d"]),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).alias("dist_sq"),
     )
 
 
@@ -177,9 +276,9 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum; the top-10 compiles to TakeOrderedAndProject. Integer-exact end
     to end, so the ranking (with vec_id tie-break) is engine-identical.
     """
-    vecs = _quantized_vecs(spark, sf_dir)
-    assign, cent = _train_all(vecs)
-    qv = vecs.where(F.col("vec_id") == 0).select(
+    packed = _quantized_packed(spark, sf_dir)
+    assign, cent = _train_all(packed)
+    qv = _exploded(packed).where(F.col("vec_id") == 0).select(
         F.floor(F.col("pos") / SUB_DIM).cast("int").alias("sub"), "pos", "q"
     )
     lut = (
@@ -219,8 +318,9 @@ def q_sim_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     so results are deterministic across runs and engines.
     """
     nprobe, shortlist, topk = 3, 20, 5
-    vecs = _quantized_vecs(spark, sf_dir)
-    assign_all, cent_all = _train_all(vecs)
+    packed = _quantized_packed(spark, sf_dir)
+    vecs = _exploded(packed)
+    assign_all, cent_all = _train_all(packed)
 
     # ---- stage 1: coarse cells (integer L2 against sampled centroids)
     cents = vecs.where(F.col("vec_id") % 25 == 0).select(

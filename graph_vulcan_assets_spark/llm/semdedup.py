@@ -55,11 +55,15 @@ _TWIN_EVERY = 50
 
 
 def _augmented(vecs: DataFrame) -> DataFrame:
-    """vecs ∪ near-copy twins of every 50th vector (the vacuity guard)."""
+    """vecs ∪ near-copy twins of every 50th vector (the vacuity guard).
+
+    Operates on PACKED (vec_id, qarr) vectors (llm/kmeans.py round-12
+    plan); the per-component perturbation uses transform's index lambda —
+    the same ``(pos % 3) - 1`` the oracle applies to its exploded form.
+    """
     twins = vecs.where(F.col("vec_id") % _TWIN_EVERY == 0).select(
         (F.col("vec_id") + _TWIN_OFFSET).alias("vec_id"),
-        "pos",
-        (F.col("q") + (F.col("pos") % 3 - 1)).alias("q"),
+        F.transform("qarr", lambda q, i: q + (i % 3 - 1)).alias("qarr"),
     )
     return vecs.unionAll(twins)
 
@@ -106,7 +110,7 @@ def _semdedup_oracle() -> str:
 def semantic_dedup(
     vecs: DataFrame, k: int, iters: int = ITERS, tau_sq: float = _TAU_SQ
 ) -> DataFrame:
-    """SemDeDup over quantized (vec_id, pos, q) vectors.
+    """SemDeDup over packed quantized (vec_id, qarr) vectors.
 
     ``k`` is the scale lever: the pair stage does O(d·Σ cluster_size²)
     work, so k MUST grow with the corpus to keep cluster sizes bounded
@@ -115,22 +119,22 @@ def semantic_dedup(
     because its DuckDB oracle unrolls that exact clustering; callers
     dedup-ing a real corpus pass k ∝ n.
     """
-    assign = lloyd_assign(vecs, k, iters).select("vec_id", "cid")
-    # re-pack each vector into ONE compact (vec_id, cid, qarr, nrm) row
-    # before pairing: the within-cluster self-join then produces |c|² pair
-    # rows instead of d·|c|² component rows (a d×=64× smaller pair stage),
-    # and the dot product runs inside whole-stage codegen via zip_with +
-    # aggregate on the two arrays
-    packed = (
-        vecs.groupBy("vec_id")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "q"))),
-                lambda s: s["q"],
-            ).alias("qarr"),
-            F.sum(F.col("q") * F.col("q")).cast("long").alias("nrm"),
-        )
-        .join(assign, "vec_id")
+    # lloyd_assign (packed plan, llm/kmeans.py round 12) already returns
+    # each vector as ONE compact (vec_id, cid, qarr) row — the pair stage
+    # consumes it directly: no re-pack groupBy, no assignment join. The
+    # within-cluster self-join produces |c|² pair rows (not d·|c|²
+    # component rows) and the dot product runs via zip_with + aggregate
+    # on the two arrays; nrm is the same exact BIGINT Σq² as the old
+    # exploded sum, computed map-side from the array.
+    packed = lloyd_assign(vecs, k, iters).select(
+        "vec_id",
+        "cid",
+        "qarr",
+        F.aggregate(
+            F.transform("qarr", lambda q: q * q),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).alias("nrm"),
     )
     a = packed.select(
         F.col("cid"),

@@ -62,23 +62,23 @@ def duplicated_gram_hits(docs: DataFrame, k: int = SPAN_K) -> DataFrame:
     """(doc_id, pos, g, owner): gram starts whose gram appears in >= 2
     distinct documents; owner = lowest doc_id containing the gram.
 
-    count(DISTINCT doc_id) is not available as a window function, so the
-    dup set is a groupBy on the gram hash joined back — two shuffles on an
-    8-byte key. min(doc_id) rides along for free and gives each gram a
-    canonical owner, which the excision transform uses to keep exactly one
-    copy of every shared passage corpus-wide.
+    Round 12: one window over the gram hash instead of groupBy + join
+    back. ``count(DISTINCT doc_id) >= 2`` is exactly ``min(doc_id) !=
+    max(doc_id)``, and min/max ARE available as (unordered-frame) window
+    functions — so the dup test and the canonical owner both come from a
+    SINGLE shuffle on the 8-byte gram hash, and the gram explode+hash
+    pass runs once (the old join re-generated the grams subtree as both
+    join inputs: two Generates, three Exchanges; this plan has one of
+    each).
     """
     grams = _gram_starts(docs, k)
-    dup = (
-        grams.groupBy("g")
-        .agg(
-            F.count_distinct("doc_id").alias("nd"),
-            F.min("doc_id").alias("owner"),
-        )
-        .where(F.col("nd") >= 2)
-        .select("g", "owner")
+    w = Window.partitionBy("g")
+    return (
+        grams.withColumn("owner", F.min("doc_id").over(w))
+        .withColumn("__mx", F.max("doc_id").over(w))
+        .where(F.col("owner") != F.col("__mx"))
+        .drop("__mx")
     )
-    return grams.join(dup, "g")
 
 
 def duplicated_spans(docs: DataFrame, k: int = SPAN_K) -> DataFrame:

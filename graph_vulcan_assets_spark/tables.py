@@ -84,6 +84,20 @@ FINITE_VALUE_SQL = (
 )
 
 
+def attach_scalar(df: DataFrame, one_cell: DataFrame, name: str) -> DataFrame:
+    """Attach the single value of a 1-row/1-column frame to every row of
+    ``df`` as a SCALAR SUBQUERY (Spark 4 ``DataFrame.scalar()``): the
+    subquery runs once and its result is inlined into the consuming
+    stage's projection — no join node of any kind (a crossJoin here would
+    plan a BroadcastNestedLoopJoin and trip the repo's no-NestedLoop plan
+    guards, and a constant-key equi-join gets constant-folded back to
+    one). The attached value must be bounded — a k·d centroid pack, an
+    M·K codebook, a 1-row argmax — the same boundedness discipline as the
+    BPE merge-list collect (it is held by the driver and inlined into the
+    physical plan)."""
+    return df.withColumn(name, one_cell.scalar())
+
+
 def quantizable(col) -> "F.Column":
     """The single source of truth for "this measure survives integer-micros
     quantization": not NaN and |x| < VALUE_BOUND (which excludes ±Inf for

@@ -82,7 +82,7 @@ def test_matryoshka_energy_bounds(spark, sf_dir):
 
 def test_pq_gate_evaluates_once_per_pipeline(spark, sf_dir):
     """The corrupt-vector gate (finite_embeddings + EMBED_BOUND) sits
-    BEFORE _quantized_vecs' eager localCheckpoint, so a multi-stage PQ
+    BEFORE _quantized_packed's eager localCheckpoint, so a multi-stage PQ
     pipeline pays it exactly once — downstream Lloyd/ADC stages read the
     checkpointed RDD, never the parquet source (VERDICT r5 #2: the gate
     must not re-evaluate per stage). Plan-level proof: every frame built
@@ -93,7 +93,7 @@ def test_pq_gate_evaluates_once_per_pipeline(spark, sf_dir):
 
     from graph_vulcan_assets_spark.llm import pq
 
-    vecs = pq._quantized_vecs(spark, sf_dir)
+    vecs = pq._quantized_packed(spark, sf_dir)
     try:
         assign, cent = pq._train_all(vecs)
         for frame in (assign, cent):
