@@ -13,13 +13,15 @@ shards naturally:
   is vocabulary-sized; only the initial word count ever scans the corpus.
 - Each training iteration is one partial-aggregated shuffle on the pair
   (map-side combine does the heavy lifting); the winning pair attaches to
-  every vocab row as a SCALAR SUBQUERY over the 1-row argmax
-  (tables.attach_scalar — round 12; previously a broadcast crossJoin,
-  which planned a BroadcastNestedLoopJoin per iteration) — no explicit
-  driver round-trip, same discipline as kmeans' centroid pack
-  (llm/kmeans.py). Merging is a pure fold expression over each word's
-  symbol array, guarded by an O(len) adjacency scan so only words that
-  contain the winning pair pay the fold; no Python touches a row.
+  every vocab row via a BROADCAST crossJoin of the 1-row argmax — no per-
+  iteration driver round-trip. (Round 12 measured the scalar-subquery
+  attach here and REJECTED it: between checkpoints the iterations nest,
+  and nested scalar subqueries re-evaluate per nesting level while
+  identical broadcast subtrees are deduped by exchange reuse within the
+  one plan — the subquery form was ~1.4x slower on the 12-merge train.)
+  Merging is a pure fold expression over each word's symbol array,
+  guarded by an O(len) adjacency scan so only words that contain the
+  winning pair pay the quadratic fold; no Python touches a row.
 - Encoding joins documents' words against the trained distinct-word
   tokenization — an equi-join on the word, never re-running merges per
   occurrence. The learned merge list itself is a model artifact
@@ -36,7 +38,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from graph_vulcan_assets_spark.registry import query
-from graph_vulcan_assets_spark.tables import attach_scalar, load_table
+from graph_vulcan_assets_spark.tables import load_table
 
 # Lineage truncation cadence for the iterative merge loop (kmeans idiom).
 _CHECKPOINT_EVERY = 4
@@ -157,15 +159,9 @@ def bpe_train(docs: DataFrame, n_merges: int) -> tuple[DataFrame, DataFrame]:
             )
         )
         vocab = (
-            attach_scalar(
-                vocab,
-                best.select(F.struct("ma", "mb").alias("m")),
-                "__m",
-            )
-            .withColumn(
-                "syms", _merge_expr(F.col("syms"), F.col("__m.ma"), F.col("__m.mb"))
-            )
-            .drop("__m")
+            vocab.crossJoin(F.broadcast(best))
+            .withColumn("syms", _merge_expr(F.col("syms"), F.col("ma"), F.col("mb")))
+            .drop("ma", "mb", "mcnt")
         )
         if (it + 1) % _CHECKPOINT_EVERY == 0 or it == n_merges - 1:
             vocab = vocab.localCheckpoint(eager=True)

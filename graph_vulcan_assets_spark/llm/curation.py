@@ -24,7 +24,7 @@ from graph_vulcan_assets_spark.functions.scalars import (
     ascii_fold_lower_sql,
 )
 from graph_vulcan_assets_spark.registry import query
-from graph_vulcan_assets_spark.tables import load_table
+from graph_vulcan_assets_spark.tables import attach_scalar, load_table
 
 # MD5 is the cross-engine deterministic hash (both Spark and DuckDB are
 # RFC-1321 compliant, so hex digests compare identically). The hex digest
@@ -714,7 +714,7 @@ def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     counts = d.groupBy("lang").agg(F.count("*").cast("long").alias("n_lang"))
     n_max = counts.agg(F.max("n_lang").alias("n_max"))
-    rates = counts.crossJoin(F.broadcast(n_max)).select(
+    rates = attach_scalar(counts, n_max, "n_max").select(
         "lang",
         F.sqrt(F.col("n_max").cast("double") / F.col("n_lang")).alias("rate"),
     )

@@ -23,21 +23,20 @@ and match the DuckDB oracle bit-for-bit —
 Scale shape (round 12, the packed plan): vectors stay PACKED as one
 (vec_id, qarr) row each — the finite gate guarantees every post-gate
 vector is exactly EMBED_DIM long with no NULL/NaN components, so array
-arithmetic is defined everywhere. Assignment is MAP-ONLY: the k·d
-centroid table collapses to a single array-of-structs row, broadcast to
-every task via a constant-key hash join, and each vector computes its
-argmin centroid inside one projection (``array_min`` over per-centroid
-``zip_with``/``aggregate`` squared distances, ties on the lowest cid by
-struct ordering) — no n·d·k join intermediate, no per-vector shuffle, no
-window sort. Only the centroid UPDATE shuffles: posexplode of the
-assigned vectors partially aggregates map-side to ≤ k·d rows per task.
-No driver-side state, no UDFs; per-iteration lineage is truncated with
-``localCheckpoint`` exactly like :func:`operators.graph.q_graph_pagerank`.
+arithmetic is defined everywhere. Assignment is MAP-ONLY and vectorized:
+one numpy matmul per Arrow batch (``mapInArrow``) against a driver-held
+k·d centroid matrix (:func:`np_assign`) — no n·d·k join intermediate, no
+per-vector shuffle, no window sort, and no interpreted per-element
+lambda (the zip_with/aggregate projection form was measured slower than
+the old exploded join; the batch matmul is the guide-§4.2 answer). Only
+the centroid UPDATE shuffles: posexplode of the assigned vectors
+partially aggregates map-side to ≤ k·d rows per task, and its k·d result
+returns to the driver as the next iteration's matrix — the same bounded
+per-iteration artifact MLlib's KMeans collects.
 (The previous exploded plan — (vec_id, pos, q) joined with broadcast
 centroids ON pos — materialized n·d·k rows per iteration and sorted n·k
-rows per argmin window; measured 2.04 s → this plan at sf0.1, identical
-hashes. The DuckDB oracle keeps the exploded CTE form; integer
-arithmetic makes the two groupings bit-identical.)
+rows per argmin window. The DuckDB oracle keeps the exploded CTE form;
+integer arithmetic makes all three groupings bit-identical.)
 """
 
 from __future__ import annotations
@@ -47,7 +46,7 @@ from pyspark.sql import functions as F
 
 from graph_vulcan_assets_spark.llm.embeddings import finite_sql
 from graph_vulcan_assets_spark.registry import query
-from graph_vulcan_assets_spark.tables import attach_scalar, load_table
+from graph_vulcan_assets_spark.tables import load_table
 
 K = 8
 ITERS = 3
@@ -121,26 +120,59 @@ def quantize_vectors(emb: DataFrame) -> DataFrame:
     )
 
 
-def centroid_pack(cent: DataFrame) -> DataFrame:
-    """(cid, carr) k rows → ONE row holding the cid-sorted array of
-    centroid structs — the broadcastable form the map-only assignment
-    consumes. collect_list order is nondeterministic; array_sort restores
-    the total (cid) order, so the pack is deterministic."""
-    return cent.agg(
-        F.array_sort(F.collect_list(F.struct("cid", "carr"))).alias("cents")
+def np_assign(vecs: DataFrame, cent: list[tuple[int, list[int]]]) -> DataFrame:
+    """Map-only nearest-centroid assignment: one vectorized numpy pass per
+    Arrow batch (``mapInArrow``) against a driver-held centroid matrix.
+
+    ``cent`` is [(cid, components)] SORTED by cid — numpy's first-minimum
+    ``argmin`` then reproduces the oracle's ``ORDER BY d, cid`` tie-break
+    exactly. Distances are exact int64 (|q|² + |c|² − 2q·c == Σ(q−c)² in
+    integer arithmetic; magnitudes bounded far under int64 by the
+    EMBED_BOUND gate). Returns (vec_id, cid, d, qarr) with the input
+    vector passed through untouched for downstream stages (the update
+    aggregate, SemDeDup's pair kernel).
+
+    Guide-§4.2 rationale, measured at sf0.1: the same math as a
+    zip_with/aggregate projection runs interpreted per array element in
+    the JVM; as a batch matmul it is one native pass. The centroid matrix
+    is k·d values — driver-bounded by the same discipline as the BPE
+    merge list (MLlib's KMeans collects exactly this per iteration).
+    """
+    import numpy as np
+
+    cids = np.array([c for c, _ in cent], dtype=np.int64)
+    cmat = np.array([arr for _, arr in cent], dtype=np.int64)
+    cnorm = (cmat * cmat).sum(axis=1)
+
+    def fn(batches):
+        import pyarrow as pa
+
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            qlist = b.column("qarr")
+            q = np.asarray(qlist.flatten(), dtype=np.int64).reshape(b.num_rows, -1)
+            dist = (q * q).sum(axis=1)[:, None] + cnorm[None, :] - 2 * (q @ cmat.T)
+            idx = dist.argmin(axis=1)  # first min = lowest cid (cent sorted)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column("vec_id"),
+                    pa.array(cids[idx], type=pa.int64()),
+                    pa.array(dist[np.arange(len(idx)), idx], type=pa.int64()),
+                    qlist,
+                ],
+                names=["vec_id", "cid", "d", "qarr"],
+            )
+
+    return vecs.select("vec_id", "qarr").mapInArrow(
+        fn, "vec_id long, cid long, d long, qarr array<bigint>"
     )
 
 
-def packed_sq_dist(qarr, carr):
-    """Exact BIGINT squared L2 between two packed micro-arrays — the same
-    sum the exploded join computed, regrouped (integer, order-free)."""
-    return F.aggregate(
-        F.zip_with(qarr, carr, lambda x, y: (x - y) * (x - y)),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
-
-
+def collect_centroids(df: DataFrame) -> list[tuple[int, list[int]]]:
+    """(cid, carr) rows → cid-sorted [(cid, components)] on the driver.
+    Bounded: k·d integers."""
+    return sorted((r["cid"], list(r["carr"])) for r in df.collect())
 
 
 def lloyd_assign(vecs: DataFrame, k: int = K, iters: int = ITERS) -> DataFrame:
@@ -148,43 +180,25 @@ def lloyd_assign(vecs: DataFrame, k: int = K, iters: int = ITERS) -> DataFrame:
     :func:`lloyd_ctes`; returns (vec_id, cid, d, qarr). See module
     docstring for the exactness contract and the packed plan shape.
 
-    The argmin is ``array_min`` over (d, cid) structs — lexicographic
-    struct ordering reproduces the oracle's ``row_number() ORDER BY d,
-    cid`` tie-break exactly.
+    Each iteration: map-only numpy assignment (:func:`np_assign`) + ONE
+    shuffled update aggregate whose k·d result is collected to seed the
+    next pass — the per-iteration driver artifact is centroid-sized, and
+    the final assignment job is a single exchange-free stage.
     """
-    cent = vecs.where(F.col("vec_id") < k).select(
-        F.col("vec_id").alias("cid"), F.col("qarr").alias("carr")
+    cent = collect_centroids(
+        vecs.where(F.col("vec_id") < k).select(
+            F.col("vec_id").alias("cid"), F.col("qarr").alias("carr")
+        )
     )
     assigned = None
     for i in range(iters):
-        best = F.array_min(
-            F.transform(
-                F.col("cents"),
-                lambda c: F.struct(
-                    packed_sq_dist(F.col("qarr"), c["carr"]).alias("d"),
-                    c["cid"].alias("cid"),
-                ),
-            )
-        )
-        assigned = (
-            attach_scalar(vecs, centroid_pack(cent), "cents")
-            .select("vec_id", best.alias("__best"), "qarr")
-            .select(
-                "vec_id",
-                F.col("__best.cid").alias("cid"),
-                F.col("__best.d").alias("d"),
-                "qarr",
-            )
-        )
+        assigned = np_assign(vecs, cent)
         if i < iters - 1:
-            # truncate lineage at the CENTROID table (k·d rows — the tiny
-            # relation each next iteration broadcasts), not the full
-            # assignment: one small materialization per iteration and the
-            # final assignment executes as a single job from the last
-            # checkpointed centroids. The update is the only shuffle per
+            # truncated integer mean per (cid, pos) — the only shuffle per
             # iteration; partial aggregation collapses it to ≤ k·d rows
-            # per map task before the exchange.
-            cent = (
+            # per map task before the exchange, and the k·d result comes
+            # back to the driver as the next iteration's centroid matrix
+            cent = collect_centroids(
                 assigned.select("cid", F.posexplode("qarr").alias("pos", "q"))
                 .groupBy("cid", "pos")
                 .agg(
@@ -199,7 +213,6 @@ def lloyd_assign(vecs: DataFrame, k: int = K, iters: int = ITERS) -> DataFrame:
                         lambda s: s["c"],
                     ).alias("carr")
                 )
-                .localCheckpoint(eager=True)
             )
     assert assigned is not None
     return assigned

@@ -102,80 +102,95 @@ def _exploded(packed: DataFrame) -> DataFrame:
     )
 
 
+def _np_pq_assign(packed: DataFrame, books: list[list[tuple[int, list[int]]]]):
+    """Map-only PQ assignment: per Arrow batch, one numpy pass computes
+    every subspace's argmin code (same mechanism and exactness contract
+    as kmeans.np_assign — exact int64 distances, first-min == lowest cid
+    because each sub's codebook is cid-sorted). ``books[s]`` is the
+    cid-sorted [(cid, 16 components)] codebook of subspace s; a cluster
+    that received no vectors on the previous update drops out of its
+    sub's candidate set, exactly as it dropped out of the old join.
+    Output: (vec_id, qarr, cids array, ds array) indexed by sub."""
+    import numpy as np
+
+    subs = []
+    for s in range(M):
+        cids = np.array([c for c, _ in books[s]], dtype=np.int64)
+        cmat = np.array([arr for _, arr in books[s]], dtype=np.int64)
+        subs.append((cids, cmat, (cmat * cmat).sum(axis=1)))
+
+    def fn(batches):
+        import pyarrow as pa
+
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            qlist = b.column("qarr")
+            q = np.asarray(qlist.flatten(), dtype=np.int64).reshape(b.num_rows, -1)
+            n = b.num_rows
+            cid_cols, d_cols = [], []
+            for s, (cids, cmat, cnorm) in enumerate(subs):
+                qs = q[:, s * SUB_DIM : (s + 1) * SUB_DIM]
+                dist = (
+                    (qs * qs).sum(axis=1)[:, None] + cnorm[None, :] - 2 * (qs @ cmat.T)
+                )
+                idx = dist.argmin(axis=1)
+                cid_cols.append(cids[idx])
+                d_cols.append(dist[np.arange(n), idx])
+            offsets = pa.array(np.arange(0, (n + 1) * M, M, dtype=np.int32))
+            cids_arr = pa.ListArray.from_arrays(
+                offsets, pa.array(np.stack(cid_cols, axis=1).ravel(), type=pa.int64())
+            )
+            ds_arr = pa.ListArray.from_arrays(
+                offsets, pa.array(np.stack(d_cols, axis=1).ravel(), type=pa.int64())
+            )
+            yield pa.RecordBatch.from_arrays(
+                [b.column("vec_id"), qlist, cids_arr, ds_arr],
+                names=["vec_id", "qarr", "cids", "ds"],
+            )
+
+    return packed.select("vec_id", "qarr").mapInArrow(
+        fn, "vec_id long, qarr array<bigint>, cids array<bigint>, ds array<bigint>"
+    )
+
+
 def _train_all_packed(packed):
     """(packed assignment, melted codebooks) for ALL subspaces in ONE
-    fused dataflow over PACKED vectors: every iteration's assignment is a
-    single map-only projection (the M·K codebook broadcast as one array
-    row; per-sub argmin via slice + zip_with/aggregate + array_min with
-    the (d, cid) struct tie-break), and the update posexplodes the
-    assigned rows once — no assignment join, no argmin window. The
-    assignment comes back as (vec_id, qarr, best: array<struct<d, cid,
-    sub>> indexed by sub); :func:`_train_all` melts it for callers that
-    join per-(sub, cid). Bit-identical to the previous exploded plan
-    (integer arithmetic, identical tie-breaks)."""
-    from graph_vulcan_assets_spark.llm.kmeans import packed_sq_dist
-    from graph_vulcan_assets_spark.tables import attach_scalar
-
-    cent = packed.where(F.col("vec_id") < K).select(
-        F.col("vec_id").alias("cid"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(s).cast("int").alias("sub"),
-                        F.slice("qarr", s * SUB_DIM + 1, SUB_DIM).alias("carr"),
-                    )
-                    for s in range(M)
-                ]
-            )
-        ).alias("sc"),
-    ).select(F.col("sc.sub").alias("sub"), "cid", F.col("sc.carr").alias("carr"))
+    fused dataflow over PACKED vectors: every iteration's assignment is
+    one vectorized numpy map (:func:`_np_pq_assign`) against driver-held
+    codebooks (M·K·SUB_DIM integers — bounded like kmeans' centroid
+    matrix), and the update posexplodes the assigned rows once — no
+    assignment join, no argmin window, no per-element interpreted lambda.
+    The assignment comes back as (vec_id, qarr, cids, ds) with the
+    per-sub argmin arrays indexed by sub; :func:`_train_all` melts it for
+    callers that join per-(sub, cid). Bit-identical to the original
+    exploded plan (integer arithmetic, identical tie-breaks)."""
+    spark = packed.sparkSession
+    seed = {
+        r["vec_id"]: list(r["qarr"])
+        for r in packed.where(F.col("vec_id") < K).collect()
+    }
+    books = [
+        [(cid, seed[cid][s * SUB_DIM : (s + 1) * SUB_DIM]) for cid in sorted(seed)]
+        for s in range(M)
+    ]
 
     assigned = None
     for i in range(ITERS):
-        pack = cent.agg(
-            F.array_sort(F.collect_list(F.struct("sub", "cid", "carr"))).alias("cents")
-        )
-        # per row, per subspace s: argmin over that sub's K codebook rows;
-        # the (d, cid) struct-ordering min reproduces the oracle's
-        # row_number ORDER BY d, cid tie-break
-        best_all = F.transform(
-            F.sequence(F.lit(0), F.lit(M - 1)),
-            lambda s: F.array_min(
-                F.transform(
-                    F.filter(F.col("cents"), lambda c: c["sub"] == s),
-                    lambda c: F.struct(
-                        packed_sq_dist(
-                            F.slice(F.col("qarr"), s * SUB_DIM + 1, SUB_DIM),
-                            c["carr"],
-                        ).alias("d"),
-                        c["cid"].alias("cid"),
-                        c["sub"].alias("sub"),
-                    ),
-                )
-            ),
-        )
-        assigned = attach_scalar(packed, pack, "cents").select(
-            "vec_id", "qarr", best_all.alias("best")
-        )
+        assigned = _np_pq_assign(packed, books)
         if i < ITERS - 1:
-            cent = (
+            rows = (
                 assigned.select(
-                    "vec_id",
-                    F.posexplode("qarr").alias("pos", "q"),
-                    F.col("best"),
+                    F.posexplode("qarr").alias("pos", "q"), F.col("cids")
                 )
                 .select(
                     F.floor(F.col("pos") / SUB_DIM).cast("int").alias("sub"),
                     F.col("pos").cast("long").alias("pos"),
                     "q",
-                    "best",
+                    "cids",
                 )
                 .select(
-                    "sub",
-                    F.get("best", F.col("sub"))["cid"].alias("cid"),
-                    "pos",
-                    "q",
+                    "sub", F.get("cids", F.col("sub")).alias("cid"), "pos", "q"
                 )
                 .groupBy("sub", "cid", "pos")
                 .agg(
@@ -183,26 +198,31 @@ def _train_all_packed(packed):
                     .cast("long")
                     .alias("c")
                 )
-                .groupBy("sub", "cid")
-                .agg(
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("pos", "c"))),
-                        lambda t: t["c"],
-                    ).alias("carr")
-                )
-                .localCheckpoint(eager=True)
+                .collect()
             )
-        else:
-            # the melted (sub, cid, pos, c) codebook callers join LUTs
-            # against — rebuilt from the final packed cent (tiny: M·K rows)
-            cent = cent.select(
-                "sub", "cid", F.posexplode("carr").alias("rel", "c")
-            ).select(
-                "sub",
-                "cid",
-                (F.col("sub").cast("long") * SUB_DIM + F.col("rel")).alias("pos"),
-                "c",
-            )
+            comp: dict[tuple[int, int], dict[int, int]] = {}
+            for r in rows:
+                comp.setdefault((r["sub"], r["cid"]), {})[r["pos"]] = r["c"]
+            books = [
+                [
+                    (cid, [d[p] for p in sorted(d)])
+                    for (s2, cid), d in sorted(comp.items())
+                    if s2 == s
+                ]
+                for s in range(M)
+            ]
+    # the melted (sub, cid, pos, c) codebook callers join LUTs against —
+    # rebuilt from the driver-held final books (tiny: M·K·SUB_DIM rows)
+    cent = spark.createDataFrame(
+        [
+            (s, cid, s * SUB_DIM + rel, c)
+            for s in range(M)
+            for cid, comps in books[s]
+            for rel, c in enumerate(comps)
+        ],
+        schema="sub int, cid long, pos long, c long",
+    )
+    assert assigned is not None
     return assigned, cent
 
 
@@ -210,7 +230,17 @@ def _train_all(packed):
     """Melted view of :func:`_train_all_packed`: (vec_id, sub, cid, d)
     assignment rows + the melted (sub, cid, pos, c) codebooks."""
     assigned, cent = _train_all_packed(packed)
-    assign = assigned.select("vec_id", F.explode("best").alias("b")).select(
+    melt = F.array(
+        *[
+            F.struct(
+                F.lit(s).cast("int").alias("sub"),
+                F.get("cids", s).alias("cid"),
+                F.get("ds", s).alias("d"),
+            )
+            for s in range(M)
+        ]
+    )
+    assign = assigned.select("vec_id", F.explode(melt).alias("b")).select(
         "vec_id",
         F.col("b.sub").alias("sub"),
         F.col("b.cid").alias("cid"),
@@ -226,17 +256,16 @@ def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     each vector's 4 codes and exact total squared quantization error.
 
     The packed plan makes this MAP-ONLY after training: each row already
-    carries its per-sub argmin array, so codes and dist_sq project out
+    carries its per-sub argmin arrays, so codes and dist_sq project out
     without the old melted groupBy(vec_id) pivot shuffle."""
     assigned, _cent = _train_all_packed(_quantized_packed(spark, sf_dir))
+    dist_sq = F.get("ds", 0)
+    for s in range(1, M):
+        dist_sq = dist_sq + F.get("ds", s)
     return assigned.select(
         "vec_id",
-        *[F.get("best", s)["cid"].alias(f"code{s}") for s in range(M)],
-        F.aggregate(
-            F.transform("best", lambda b: b["d"]),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
-        ).alias("dist_sq"),
+        *[F.get("cids", s).alias(f"code{s}") for s in range(M)],
+        dist_sq.cast("long").alias("dist_sq"),
     )
 
 

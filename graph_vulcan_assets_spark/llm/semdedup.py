@@ -13,11 +13,23 @@ stage 2 as a (cid, pos)-keyed self-join → BIGINT dot products → exact
 threshold test.
 
 Determinism contract: dot products and squared norms are BIGINT sums of
-integer-micro components (order-independent, exact). The cosine test
-``cos(a,b) >= τ`` is evaluated as ``dot > 0 AND dot² >= τ²·|a|²·|b|²``
-entirely in doubles built from those exact integers with an identical
-expression tree on both engines — same IEEE operands, same ops, same
-result — so the driver hash-compare is exact at any partition count.
+integer-micro components (order-independent, exact — int64 matmul in the
+kernel, BIGINT sum in the oracle). The cosine test ``cos(a,b) >= τ`` is
+evaluated as ``dot > 0 AND dot² >= τ²·|a|²·|b|²`` entirely in float64
+built from those exact integers with an identical operation sequence on
+both engines — same IEEE operands, same ops, same result — so the driver
+hash-compare is exact at any partition count.
+
+Round 12: the within-cluster pair stage moved from a (cid-keyed
+self-join → per-pair zip_with/aggregate dot) to ONE vectorized numpy
+kernel per cluster (``applyInPandas`` — the grouped-map Arrow quadrant):
+the m×d cluster block computes all m² exact int64 dots as a single
+matmul and emits only the (vec_id, cid, dup_of) rows that pass τ, so the
+|c|² pair rows are never materialized as a join output and the
+interpreted per-pair lambda cost (measured ~4.5 s of the 6.7 s entry at
+sf0.1) disappears. Work is O(d·Σ|c|²) exactly as before — the kernel
+changes the constant, not the asymptotics; cluster blocks are bounded by
+the k∝n contract below.
 
 Vacuity guard: the synthetic embeddings are pairwise-random (max organic
 cosine ≈ 0.51 at sf0.01), so a real near-dup threshold would output zero
@@ -121,56 +133,62 @@ def semantic_dedup(
     """
     # lloyd_assign (packed plan, llm/kmeans.py round 12) already returns
     # each vector as ONE compact (vec_id, cid, qarr) row — the pair stage
-    # consumes it directly: no re-pack groupBy, no assignment join. The
-    # within-cluster self-join produces |c|² pair rows (not d·|c|²
-    # component rows) and the dot product runs via zip_with + aggregate
-    # on the two arrays; nrm is the same exact BIGINT Σq² as the old
-    # exploded sum, computed map-side from the array.
-    packed = lloyd_assign(vecs, k, iters).select(
-        "vec_id",
-        "cid",
-        "qarr",
-        F.aggregate(
-            F.transform("qarr", lambda q: q * q),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
-        ).alias("nrm"),
+    # consumes it directly: no re-pack groupBy, no assignment join. One
+    # shuffle on cid, then each cluster block resolves all its pairs in
+    # one vectorized kernel (see module docstring).
+    assign = lloyd_assign(vecs, k, iters).select("vec_id", "cid", "qarr")
+    return assign.groupBy("cid").applyInPandas(
+        _cluster_dups_kernel(tau_sq), "vec_id long, cid long, dup_of long"
     )
-    a = packed.select(
-        F.col("cid"),
-        F.col("vec_id").alias("v1"),
-        F.col("qarr").alias("arr1"),
-        F.col("nrm").alias("n1"),
-    )
-    b = packed.select(
-        F.col("cid"),
-        F.col("vec_id").alias("v2"),
-        F.col("qarr").alias("arr2"),
-        F.col("nrm").alias("n2"),
-    )
-    dot = F.aggregate(
-        F.zip_with(F.col("arr1"), F.col("arr2"), lambda x, y: x * y),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
-    pairs = (
-        a.join(b, "cid")
-        .where(F.col("v2") > F.col("v1"))
-        .select("cid", "v1", "v2", "n1", "n2", dot.alias("dot"))
-    )
-    dotd = F.col("dot").cast("double")
-    dups = pairs.where(
-        (F.col("dot") > 0)
-        & (
-            dotd * dotd
-            >= F.lit(tau_sq)
-            * F.col("n1").cast("double")
-            * F.col("n2").cast("double")
+
+
+def _cluster_dups_kernel(tau_sq: float):
+    """Per-cluster pair resolution: exact int64 Gram matrix + the float64
+    threshold test, emitting (vec_id, cid, dup_of) for DROPPED vectors.
+
+    Exactness: ids sort ascending, so for each column j of the
+    strict-upper-triangle pass mask, the FIRST true row is min(v1) — the
+    lowest-id-wins keeper rule. Dots/norms are int64 (exact, ≤ d·(2·bound
+    ·1e6)² by the EMBED_BOUND gate); the comparison reproduces the
+    oracle's ``CAST(dot AS DOUBLE)² >= τ² * n1 * n2`` with the identical
+    IEEE operand values and multiplication order, so pass/fail decisions
+    are bit-identical to the previous expression form.
+    """
+
+    def kernel(pdf):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame(
+            {
+                "vec_id": pd.Series(dtype="int64"),
+                "cid": pd.Series(dtype="int64"),
+                "dup_of": pd.Series(dtype="int64"),
+            }
         )
-    )
-    return dups.groupBy(F.col("v2").alias("vec_id"), "cid").agg(
-        F.min("v1").cast("long").alias("dup_of")
-    )
+        if len(pdf) < 2:
+            return empty
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        q = np.array(list(pdf["qarr"]), dtype=np.int64)  # m×d, exact micros
+        gram = q @ q.T  # exact int64 dots (and norms on the diagonal)
+        nrm = np.diag(gram).astype(np.float64)
+        dot = gram.astype(np.float64)
+        passed = (gram > 0) & (dot * dot >= tau_sq * nrm[:, None] * nrm[None, :])
+        upper = np.triu(passed, k=1)  # row i = v1 < column j = v2
+        dropped = upper.any(axis=0)
+        if not dropped.any():
+            return empty
+        first_v1 = upper.argmax(axis=0)  # first true row = lowest v1
+        return pd.DataFrame(
+            {
+                "vec_id": ids[dropped],
+                "cid": np.int64(pdf["cid"].iloc[0]),
+                "dup_of": ids[first_v1[dropped]],
+            }
+        )
+
+    return kernel
 
 
 @query("q_dedup_semantic", oracle=_semdedup_oracle())

@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 
 from graph_vulcan_assets_spark.functions.scalars import ascii_fold_lower_sql
 from graph_vulcan_assets_spark.registry import query
-from graph_vulcan_assets_spark.tables import load_table
+from graph_vulcan_assets_spark.tables import attach_scalar, load_table
 
 
 @query(
@@ -298,8 +298,7 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
     n = d.agg(F.count("*").alias("n_docs"))
     scored = (
-        tf.join(df_, "term")
-        .crossJoin(F.broadcast(n))
+        attach_scalar(tf.join(df_, "term"), n, "n_docs")
         .withColumn(
             "tfidf",
             F.round(
@@ -626,9 +625,13 @@ def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         * 1000000.0
     )
     scored = (
-        tf.join(F.broadcast(df_), "token")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
+        attach_scalar(
+            tf.join(F.broadcast(df_), "token").join(dl, "doc_id"),
+            stats.select(F.struct("n_docs", "avgdl").alias("s")),
+            "__s",
+        )
+        .withColumn("n_docs", F.col("__s.n_docs"))
+        .withColumn("avgdl", F.col("__s.avgdl"))
         .select("doc_id", F.round(score, 0).cast("long").alias("s_micros"))
     )
     return scored.groupBy("doc_id").agg(

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from graph_vulcan_assets_spark.registry import query
 from graph_vulcan_assets_spark.tables import (
     FINITE_VALUE_SQL,
+    attach_scalar,
     bounded_times,
     bounded_ts_sql,
     finite_values,
@@ -247,15 +248,15 @@ def _hour_spine(hourly):
     policies agree about which hours are gaps (a spine-semantics change
     applied to one but not the other would make locf and linear fill
     disagree about gap positions). types x hours rows; bounds broadcast."""
-    bounds = hourly.agg(F.min("hour").alias("h0"), F.max("hour").alias("h1"))
+    bounds = hourly.agg(
+        F.struct(F.min("hour").alias("h0"), F.max("hour").alias("h1")).alias("b")
+    )
     return (
-        hourly.select("event_type")
-        .distinct()
-        .crossJoin(F.broadcast(bounds))
+        attach_scalar(hourly.select("event_type").distinct(), bounds, "__b")
         .select(
             "event_type",
             F.explode(
-                F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+                F.sequence(F.col("__b.h0"), F.col("__b.h1"), F.expr("INTERVAL 1 HOUR"))
             ).alias("hour"),
         )
     )

@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from graph_vulcan_assets_spark.registry import query
-from graph_vulcan_assets_spark.tables import load_table
+from graph_vulcan_assets_spark.tables import attach_scalar, load_table
 
 
 def default_max_iter() -> int:
@@ -235,7 +235,7 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges_deg = edges.join(deg, "src").localCheckpoint(eager=True)
     nn = docs.agg(F.count("*").alias("n"))
 
-    ranks = docs.crossJoin(F.broadcast(nn)).select(
+    ranks = attach_scalar(docs, nn, "n").select(
         "node", F.expr(f"CAST({_PR_SCALE} DIV n AS BIGINT)").alias("pr")
     )
     for _ in range(_PR_ITERS):
@@ -246,7 +246,7 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("contrib").alias("s"))
         )
         ranks = (
-            docs.crossJoin(F.broadcast(nn))
+            attach_scalar(docs, nn, "n")
             .join(inc, docs.node == inc.dst, "left")
             .select(
                 "node",

@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from graph_vulcan_assets_spark.registry import query
-from graph_vulcan_assets_spark.tables import load_table
+from graph_vulcan_assets_spark.tables import attach_scalar, load_table
 
 # Fixed a-priori bounds for the equi-width form (TPC-H extended price is
 # ~[900, 105000] at every SF — bounds are part of the histogram spec, not
@@ -169,7 +169,7 @@ def q_hist_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = parallel_prefix_sum(vc, "val", "cnt", num_ranges=16)
     n_total = vc.agg(F.sum("cnt").alias("n_total"))
     return (
-        c.crossJoin(F.broadcast(n_total))
+        attach_scalar(c, n_total, "n_total")
         .select(
             F.expr(f"CAST((cum_before * {_ED_BUCKETS}) DIV n_total AS INT)").alias(
                 "bucket"

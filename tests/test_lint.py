@@ -78,28 +78,27 @@ ALLOW = {
     "q_shape_q5": {"global-sort-no-limit"},
     "q_shape_q7": {"global-sort-no-limit"},
     "q_shape_q8": {"global-sort-no-limit"},
-    # 1-row grand-total / P-row per-range prefix attach via broadcast;
-    # its own plan test pins rangepartitioning + <=2 SinglePartition
-    "q_hist_equidepth": {"cartesian", "global-sort-no-limit", "global-window"},
-    # broadcast-bounded pair generation: 1-row scalar attach (tfidf, mix),
-    # <=200-doc exact-oracle pairsets (ngram/embed ground truths),
-    # 10-query-vector probe side (sim), deliberate tiny cross join op
-    "q_text_tfidf": {"cartesian"},
-    "q_text_bm25": {"cartesian"},
+    # P-row per-range prefix attach; its own plan test pins
+    # rangepartitioning + <=2 SinglePartition (the 1-row grand-total is a
+    # scalar subquery since round 12 — no cartesian)
+    "q_hist_equidepth": {"global-sort-no-limit", "global-window"},
+    # broadcast-bounded pair generation: <=200-doc exact-oracle pairsets
+    # (ngram/embed ground truths), 10-query-vector probe side (sim),
+    # deliberate tiny cross join op. (Round 12 removed the whole 1-row
+    # scalar-attach class — tfidf/bm25/mix/spine-bounds/BPE-argmax now
+    # attach via tables.attach_scalar, a scalar subquery with no join
+    # node, so those queries carry no exemption at all.)
     "q_dedup_ngram": {"cartesian"},
     "q_dedup_embed": {"cartesian"},
     "q_sim_topk": {"cartesian"},
     "q_sim_mrl_rerank": {"cartesian"},
     "q_join_cross": {"cartesian"},
     "q_sim_ivf": {"cartesian"},
-    "q_mix_temperature": {"cartesian"},
-    # 1-row (min,max) hour-bounds broadcast feeding the spine sequence
-    "q_timeseries_gapfill": {"cartesian"},
-    "q_timeseries_interpolate": {"cartesian"},
-    "q_mix_materialize": {"cartesian"},
-    # BPE training attaches the per-iteration 1-row argmax pair to the
-    # vocab via a broadcast crossJoin (kmeans-style model attach); the
-    # merges output's lineage crosses un-checkpointed iterations
+    # BPE training keeps the broadcast-crossJoin argmax attach: round 12
+    # measured the scalar-subquery alternative and rejected it — between
+    # checkpoints the iterations nest, and nested subqueries re-evaluate
+    # per nesting level while identical broadcast subtrees are deduped by
+    # exchange reuse within the one plan
     "q_bpe_merges": {"cartesian"},
     "q_bpe_encode": {"cartesian"},
     # the counting-rank's serial window runs over the LENGTH HISTOGRAM
