@@ -367,8 +367,6 @@ def replay_from_events(ev: dict[str, DataFrame]) -> dict[str, DataFrame]:
     edge_activate_raw = ev["edge_activate"]
 
     g = derive_guard_frames(ev)
-    asset_created = g["asset_created"]
-    pair_created = g["pair_created"]
     pair_timeline = g["pair_timeline"]
     guarded_expire = g["guarded_expire"]
 
@@ -392,15 +390,25 @@ def replay_from_events(ev: dict[str, DataFrame]) -> dict[str, DataFrame]:
             "seq", "ts", "asset_type", "identifier", F.lit("expire").alias("kind")
         )
     )
+    # Fused final-state reduction (round 12): ONE grouped aggregate per
+    # state table instead of _last_by_seq window + join back to the
+    # created-frame. min_by(ts, seq) over the full touch timeline IS the
+    # creation instant: every expire (real or seeded) carries a seq
+    # strictly above its key's first refresh/activate — real expires by
+    # the seq > created_seq guard, seeded ones by the seq −2 (create) /
+    # −1 (expiry) convention (streaming.ingest.seed_events) — so the
+    # group's minimum seq is always the creation event. Removes a shuffle
+    # + sort + join per table; min_by/max_by combine map-side.
+    last = F.max_by(F.struct("ts", "kind"), "seq").alias("last")
     assets = (
-        _last_by_seq(asset_touch, ["asset_type", "identifier"])
-        .join(asset_created.select("asset_type", "identifier", "first_seen"), ["asset_type", "identifier"])
+        asset_touch.groupBy("asset_type", "identifier")
+        .agg(F.min_by("ts", "seq").alias("first_seen"), last)
         .select(
             F.col("asset_type").alias("type"),
             "identifier",
             "first_seen",
-            F.col("ts").alias("last_seen"),
-            F.when(F.col("kind") == "expire", F.col("ts"))
+            F.col("last.ts").alias("last_seen"),
+            F.when(F.col("last.kind") == "expire", F.col("last.ts"))
             .otherwise(F.lit(UNEXPIRED).cast("timestamp"))
             .alias("expiration"),
         )
@@ -409,14 +417,14 @@ def replay_from_events(ev: dict[str, DataFrame]) -> dict[str, DataFrame]:
     # ---- owns final state: start_time = first activate ever (preserved
     # across ends, main.go:199-218); end_time = last event if expire
     owns = (
-        _last_by_seq(pair_timeline, ["asset_type", "identifier", "team_id"])
-        .join(pair_created, ["asset_type", "identifier", "team_id"])
+        pair_timeline.groupBy("asset_type", "identifier", "team_id")
+        .agg(F.min_by("ts", "seq").alias("start_time"), last)
         .select(
             F.col("team_id"),
             F.col("asset_type").alias("type"),
             F.col("identifier").alias("asset_identifier"),
             "start_time",
-            F.when(F.col("kind") == "expire", F.col("ts"))
+            F.when(F.col("last.kind") == "expire", F.col("last.ts"))
             .otherwise(F.lit(None).cast("timestamp"))
             .alias("end_time"),
         )
@@ -488,16 +496,16 @@ def replay_from_events(ev: dict[str, DataFrame]) -> dict[str, DataFrame]:
     )
     edge_timeline = edge_activate.unionByName(edge_expire.select(edge_activate.columns))
     parent_of = (
-        _last_by_seq(edge_timeline, edge_cols)
-        .join(edge_created, edge_cols)
+        edge_timeline.groupBy(*edge_cols)
+        .agg(F.min_by("ts", "seq").alias("first_seen"), last)
         .select(
             "child_type",
             "child_identifier",
             "parent_type",
             "parent_identifier",
             "first_seen",
-            F.col("ts").alias("last_seen"),
-            F.when(F.col("kind") == "expire", F.col("ts"))
+            F.col("last.ts").alias("last_seen"),
+            F.when(F.col("last.kind") == "expire", F.col("last.ts"))
             .otherwise(F.lit(UNEXPIRED).cast("timestamp"))
             .alias("expiration"),
         )

@@ -51,44 +51,27 @@ def load_all() -> None:
 # Exposure order for ``queries()`` / ``oracle_sql()``. The driver runs its
 # 50-entry correctness budget over queries in iteration order, so each round
 # rotates the highest-value checks to the front (round-2 verdict item #1:
-# budget rotation, not code). Round-11 order (VERDICT r10 #1), standing rule
+# budget rotation, not code). Round-12 order (VERDICT r11 #2), standing rule
 # (module-changed-since-last-driver-row, evidence age):
 #
-#   positions 1-14  = the round-11 CHURN (query and/or oracle changed in
-#                     lockstep after their latest driver rows):
-#                     (a) the aggregate-dialect probe's two query-killer
-#                     fixes — q_agg_stats' corr moved to the guarded
-#                     moment form (Spark ANSI corr DIVIDE_BY_ZEROs on a
-#                     zero-variance group; DuckDB NULLs), and every
-#                     events.value micros sum moved to the DECIMAL(38,0)
-#                     accumulator (tables.micros128 — sum(BIGINT)
-#                     overflows at two near-bound readings; DuckDB
-#                     HUGEINTs): q_rollup_cascade (also: exact 128-bit
-#                     internal carrier, emit renamed v_micros →
-#                     sum_value), q_win_running_sum, q_win_range_frame,
-#                     q_sessionize, q_session_window, q_time_tumbling,
-#                     q_time_sliding, q_agg_cube, q_agg_salted,
-#                     q_stream_sessionize (128-bit streaming state).
-#                     (a') the time-edge probe's epoch fixes on three of
-#                     the same keys — q_win_range_frame's epoch_sec and
-#                     both lag-sessionizer gaps moved to the exact
-#                     BIGINT floor form (tables.epoch_sec_sql; DuckDB's
-#                     double epoch() floors one second wrong at extreme
-#                     dates, and the raw-fractional gap split sessions
-#                     on the 1800-floor boundary) — and q_win_range_frame
-#                     additionally moved to the difference-of-growing-
-#                     frames plan (Spark has no retractable aggregates;
-#                     the bounded sliding frame was O(rows × depth)).
-#                     (b) the three ADVICE-r10 f-string oracles
-#                     (q_str_funcs, q_text_fingerprint, q_pii_redact) —
-#                     generated SQL semantically identical, but the
-#                     oracle text now derives from the shared helpers,
-#                     so conservative churn ranking applies.
-#   positions 15-38 = the ENTIRE r7-era evidence remainder (24 keys,
-#                     existing relative order preserved). After this
-#                     round's driver run, no r7-era latest rows remain.
-#   positions 39-50 = the 12 oldest r8-era keys (existing order).
-#   positions 51+   = r8 remainder, then r9 / r10 driver-green
+#   positions 1-14  = the round-12 CHURN: every oracle-bearing query whose
+#                     Spark side was restructured by this OPTIMIZATION
+#                     round (results proven identical via check_subset +
+#                     full driver_sim before commit; oracles unchanged):
+#                     the packed/numpy vector family (q_kmeans_assign,
+#                     q_pq_codes, q_pq_adc_topk, q_dedup_semantic), the
+#                     windowed span-dedup pair (q_dedup_spans,
+#                     q_dedup_span_clean), and the scalar-subquery
+#                     attach conversions (q_text_tfidf, q_text_bm25,
+#                     q_graph_pagerank, q_hist_equidepth,
+#                     q_timeseries_gapfill, q_timeseries_interpolate,
+#                     q_mix_temperature, q_mix_materialize).
+#   positions 15-48 = the ENTIRE r8-era evidence remainder (34 keys —
+#                     includes the dozen VERDICT r11 flagged as 3 rounds
+#                     stale). After this round's driver run, no r8-era
+#                     latest rows remain.
+#   positions 49-50 = the 2 oldest r9-era keys.
+#   positions 51+   = r9 remainder, then r10 / r11 driver-green
 #                     inventory, oldest evidence first, freshest last —
 #                     loses nothing if the fixed-size budget cuts off.
 # The driver-evidence horizon this PRIORITY was computed from: the
@@ -97,62 +80,23 @@ def load_all() -> None:
 # contract test judges the order against exactly this evidence set, so
 # a CORRECTNESS file the rotation could not have seen (written by the
 # driver after the rotation) does not red the staleness invariants.
-ROTATION_EVIDENCE_THROUGH: int = 10
+ROTATION_EVIDENCE_THROUGH: int = 11
 
 PRIORITY: tuple[str, ...] = (
-    # -- churn block (position 1+)
-    "q_agg_stats",
-    "q_rollup_cascade",
-    "q_win_running_sum",
-    "q_win_range_frame",
-    "q_sessionize",
-    "q_session_window",
-    "q_time_tumbling",
-    "q_time_sliding",
-    "q_agg_cube",
-    "q_agg_salted",
-    "q_stream_sessionize",
-    "q_str_funcs",
-    "q_text_fingerprint",
-    "q_pii_redact",
-    # -- r7 block (position 15+)
-    "q_split_key",
-    "q_union_all",
-    "q_union_distinct",
-    "q_scan_events",
-    "q_filter_eq",
-    "q_valid_at",
-    "q_agg_minmax",
-    "q_win_last_event",
-    "q_win_first_seen",
-    "q_tombstone_expire",
-    "q_upsert_merge",
-    "q_join_asof_tolerance",
-    "q_join_interval",
-    "q_funnel",
-    "q_retention_cohorts",
-    "q_time_weighted_avg",
-    "q_anomaly_zscore",
-    "q_scd2_build",
+    "q_kmeans_assign",
+    "q_pq_codes",
+    "q_pq_adc_topk",
+    "q_dedup_semantic",
+    "q_dedup_spans",
+    "q_dedup_span_clean",
+    "q_text_tfidf",
+    "q_text_bm25",
+    "q_graph_pagerank",
+    "q_hist_equidepth",
     "q_timeseries_gapfill",
     "q_timeseries_interpolate",
-    "q_text_normalize",
-    "q_recursive_cte",
-    "q_dedup_exact",
-    "q_dedup_incremental",
-    # -- r8 block (position 39+)
-    "q_win_lag_lead",
-    "q_source_csv",
-    "q_source_jsonl",
-    "q_source_orc",
-    "q_array_funcs",
-    "q_chunk_documents",
-    "q_corpus_mix",
-    "q_decontaminate",
-    "q_hist_equidepth",
-    "q_hist_equiwidth",
-    "q_join_lateral",
-    "q_pack_sequences",
+    "q_mix_temperature",
+    "q_mix_materialize",
     "q_profile_columns",
     "q_sample_stratified",
     "q_shape_q10",
@@ -187,9 +131,6 @@ PRIORITY: tuple[str, ...] = (
     "q_dedup_clusters",
     "q_dedup_containment",
     "q_dedup_ngram",
-    # -- r9 block (position 85+)
-    "q_dedup_span_clean",
-    "q_dedup_spans",
     "q_dq_checks",
     "q_entity_pairs",
     "q_except_all",
@@ -199,14 +140,12 @@ PRIORITY: tuple[str, ...] = (
     "q_keyset_page",
     "q_lang_confusion",
     "q_lang_id",
-    "q_text_bm25",
     "q_text_lang_dist",
     "q_text_lm_score",
     "q_text_quality",
     "q_text_repetition",
     "q_text_search_indexed",
     "q_text_search_phrase",
-    "q_text_tfidf",
     "q_token_count",
     "q_vocab_topn",
     "q_win_distribution",
@@ -232,7 +171,6 @@ PRIORITY: tuple[str, ...] = (
     "q_dup_detect",
     "q_join_anti",
     "q_join_asof",
-    # -- r10 block (position 129+)
     "q_json_extract",
     "q_filter_notnull",
     "q_join_broadcast",
@@ -254,21 +192,14 @@ PRIORITY: tuple[str, ...] = (
     "q_embed_centroid",
     "q_graph_ancestors",
     "q_graph_subtree_size",
-    "q_graph_pagerank",
     "q_embed_quantize",
-    "q_pq_codes",
-    "q_kmeans_assign",
     "q_dedup_embed",
     "q_sim_topk",
     "q_regex_normalize",
     "q_corpus_shuffle",
-    "q_mix_temperature",
     "q_multimodal_framesample",
     "q_embed_matryoshka",
-    "q_pq_adc_topk",
     "q_sim_mrl_rerank",
-    "q_dedup_semantic",
-    "q_mix_materialize",
     "q_subquery_exists_corr",
     "q_subquery_scalar",
     "q_except",
@@ -279,6 +210,53 @@ PRIORITY: tuple[str, ...] = (
     "q_limit_offset",
     "q_scan_pruned",
     "q_semver_gate",
+    "q_agg_stats",
+    "q_rollup_cascade",
+    "q_win_running_sum",
+    "q_win_range_frame",
+    "q_sessionize",
+    "q_session_window",
+    "q_time_tumbling",
+    "q_time_sliding",
+    "q_agg_cube",
+    "q_agg_salted",
+    "q_stream_sessionize",
+    "q_str_funcs",
+    "q_text_fingerprint",
+    "q_pii_redact",
+    "q_split_key",
+    "q_union_all",
+    "q_union_distinct",
+    "q_scan_events",
+    "q_filter_eq",
+    "q_valid_at",
+    "q_agg_minmax",
+    "q_win_last_event",
+    "q_win_first_seen",
+    "q_tombstone_expire",
+    "q_upsert_merge",
+    "q_join_asof_tolerance",
+    "q_join_interval",
+    "q_funnel",
+    "q_retention_cohorts",
+    "q_time_weighted_avg",
+    "q_anomaly_zscore",
+    "q_scd2_build",
+    "q_text_normalize",
+    "q_recursive_cte",
+    "q_dedup_exact",
+    "q_dedup_incremental",
+    "q_win_lag_lead",
+    "q_source_csv",
+    "q_source_jsonl",
+    "q_source_orc",
+    "q_array_funcs",
+    "q_chunk_documents",
+    "q_corpus_mix",
+    "q_decontaminate",
+    "q_hist_equiwidth",
+    "q_join_lateral",
+    "q_pack_sequences",
 )
 
 

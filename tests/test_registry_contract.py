@@ -3,11 +3,11 @@
 The driver checks the FIRST 50 queries in iteration order against their
 oracles — these tests pin the properties that make that budget count:
 every exposed query is callable, every first-50 entry carries an oracle,
-and the round-11 rotation (the 14-key churn head — the aggregate-dialect
-probe's micros128/guarded-corr lockstep changes plus the three
-f-string-oracle keys — then the ENTIRE 24-key r7-era evidence remainder
-and the 12 oldest r8-era keys) stays at the front until the next
-deliberate rotation.
+and the round-12 rotation (the 14-key churn head — every oracle-bearing
+query the optimization round restructured: the packed/numpy vector
+family, the windowed span dedup, the scalar-subquery attaches — then
+the ENTIRE 34-key r8-era evidence remainder and the 2 oldest r9-era
+keys) stays at the front until the next deliberate rotation.
 """
 
 from __future__ import annotations
@@ -65,34 +65,29 @@ def _last_green_round() -> dict[str, int]:
 
 
 # Keys whose implementing code changed AFTER their latest driver row.
-# Round-11 churn: the aggregate-dialect probe (tests/test_agg_edges.py,
-# DIALECT.md §8) found two ANSI query-killer classes reachable through
-# registered queries. (a) sum(BIGINT) micros overflow — two readings
-# inside the quantizable gate overflow int64 and kill the Spark query
-# while DuckDB widens to HUGEINT; every events.value micros sum moved
-# to the DECIMAL(38,0) accumulator (tables.micros128), including the
-# streaming session state and q_rollup_cascade's internal carrier
-# (whose emit also renamed v_micros → sum_value). (b) corr() on a
-# zero-variance group DIVIDE_BY_ZEROs under ANSI while DuckDB NULLs —
-# q_agg_stats now uses the guarded moment form. Plus the three
-# ADVICE-r10 f-string-oracle keys (q_str_funcs, q_text_fingerprint,
-# q_pii_redact): generated SQL semantically identical, conservative
-# churn ranking anyway.
+# Round-12 churn (the optimization round): every oracle-bearing query
+# whose Spark-side plan was restructured for performance — the
+# packed/numpy vector family (kmeans/PQ assignment as vectorized
+# mapInArrow kernels, SemDeDup pairs as a per-cluster applyInPandas
+# kernel), the span-dedup min/max-window rewrite, and the 1-row
+# broadcast-crossJoin → scalar-subquery attach conversions. Results were
+# proven identical against the unchanged oracles (check_subset + full
+# driver_sim) before commit; conservative churn ranking applies anyway.
 _CHURN: set[str] = {
-    "q_agg_stats",
-    "q_rollup_cascade",
-    "q_win_running_sum",
-    "q_win_range_frame",
-    "q_sessionize",
-    "q_session_window",
-    "q_time_tumbling",
-    "q_time_sliding",
-    "q_agg_cube",
-    "q_agg_salted",
-    "q_stream_sessionize",
-    "q_str_funcs",
-    "q_text_fingerprint",
-    "q_pii_redact",
+    "q_kmeans_assign",
+    "q_pq_codes",
+    "q_pq_adc_topk",
+    "q_dedup_semantic",
+    "q_dedup_spans",
+    "q_dedup_span_clean",
+    "q_text_tfidf",
+    "q_text_bm25",
+    "q_graph_pagerank",
+    "q_hist_equidepth",
+    "q_timeseries_gapfill",
+    "q_timeseries_interpolate",
+    "q_mix_temperature",
+    "q_mix_materialize",
 }
 
 
