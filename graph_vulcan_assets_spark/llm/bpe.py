@@ -41,7 +41,13 @@ from graph_vulcan_assets_spark.registry import query
 from graph_vulcan_assets_spark.tables import load_table
 
 # Lineage truncation cadence for the iterative merge loop (kmeans idiom).
-_CHECKPOINT_EVERY = 4
+# Round 12, measured on the 12-merge train at sf0.1 (min of 3, same host):
+# every 2 -> 4.45 s, 3 -> 4.79, 4 -> 4.93-5.11, 6 -> 8.07, 1 -> 4.74.
+# Between checkpoints iteration i's argmax job re-executes the fold chain
+# since the last checkpoint, so a short cadence wins once the fold is
+# guarded; a persist()-per-iteration variant (no eager materialization at
+# all) nests 12 broadcast builds recursively and hangs - rejected.
+_CHECKPOINT_EVERY = 2
 
 
 # Pre-token length cap, the same bound real BPE trainers apply (e.g.

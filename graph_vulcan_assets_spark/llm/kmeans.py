@@ -140,6 +140,15 @@ def np_assign(vecs: DataFrame, cent: list[tuple[int, list[int]]]) -> DataFrame:
     """
     import numpy as np
 
+    if not cent:
+        # degenerate input (empty table ⇒ no seed vectors): the old
+        # broadcast join produced no assignment rows; mirror that
+        return vecs.select(
+            "vec_id",
+            F.lit(None).cast("long").alias("cid"),
+            F.lit(None).cast("long").alias("d"),
+            "qarr",
+        ).where(F.lit(False))
     cids = np.array([c for c, _ in cent], dtype=np.int64)
     cmat = np.array([arr for _, arr in cent], dtype=np.int64)
     cnorm = (cmat * cmat).sum(axis=1)

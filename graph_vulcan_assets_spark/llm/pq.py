@@ -113,6 +113,16 @@ def _np_pq_assign(packed: DataFrame, books: list[list[tuple[int, list[int]]]]):
     Output: (vec_id, qarr, cids array, ds array) indexed by sub."""
     import numpy as np
 
+    if any(not b for b in books):
+        # degenerate input (empty table ⇒ empty codebooks — seeds and
+        # updates vanish together): the old broadcast join produced no
+        # assignment rows; mirror that
+        return packed.select(
+            "vec_id",
+            "qarr",
+            F.lit(None).cast("array<bigint>").alias("cids"),
+            F.lit(None).cast("array<bigint>").alias("ds"),
+        ).where(F.lit(False))
     subs = []
     for s in range(M):
         cids = np.array([c for c, _ in books[s]], dtype=np.int64)

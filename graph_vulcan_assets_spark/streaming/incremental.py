@@ -34,7 +34,15 @@ from graph_vulcan_assets_spark.tables import finite_values, micros128
 # batch boundaries can never change the result.
 # sum_micros is the 128-bit lifetime total (tables.micros128): the state
 # parquet stores DECIMAL(38,0) so the maintained sum never hits the
-# int64 edge that a bigint state column would re-introduce at merge
+# int64 edge that a bigint state column would re-introduce at merge.
+# STATE-FORMAT COMPATIBILITY (ADVICE r11): the round-11 long→decimal(38,0)
+# widening is a BREAKING state-format change — _read_live_state reads the
+# state parquet under this schema, and parquet will not serve an
+# int64-written column as decimal. A deployment upgrading across round 11
+# must start from a fresh state_dir (and streaming checkpoint — Spark's
+# state-schema compatibility check rejects the old checkpoint anyway) or
+# migrate once by reading batch=N with the OLD bigint schema and
+# rewriting it cast to decimal(38,0) before the first post-upgrade merge.
 _AGG_SCHEMA = "event_type string, n bigint, sum_micros decimal(38,0)"
 
 

@@ -45,7 +45,13 @@ from graph_vulcan_assets_spark.tables import (
 GAP_SECONDS = 1800
 
 # state: one fixed-width row per open session; value_micros is the 128-bit
-# session total (tables.micros128 convention — see module docstring)
+# session total (tables.micros128 convention — see module docstring).
+# STATE-FORMAT COMPATIBILITY (ADVICE r11): the round-11 long→decimal(38,0)
+# widening breaks checkpoint compatibility — Spark's state-schema check
+# rejects a pre-change checkpoint on restart. Upgrading across round 11
+# requires a fresh checkpoint directory (the sessionizer's state is
+# re-derivable from the replayed source); see streaming/incremental.py
+# for the equivalent batch-state migration note.
 _STATE_SCHEMA = (
     "session_start_us long, last_ts_us long, n_events long, "
     "value_micros decimal(38,0)"

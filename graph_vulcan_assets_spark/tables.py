@@ -198,7 +198,17 @@ def floor_div_sql(expr: str, d: int) -> str:
     bucketing (``CAST(ts AS LONG)``, ``window()`` start alignment)
     floors. Subtract the sign-safe positive remainder, then divide
     exactly. Used by :func:`epoch_sec_sql` and the sliding-window
-    bucket index."""
+    bucket index.
+
+    ``expr`` is interpolated THREE times into the generated SQL
+    (ADVICE r11): it MUST be deterministic — a nondeterministic
+    expression would make the floor identity itself wrong. The
+    lag-sessionizer oracles deliberately pass ``lag(ts) OVER w`` and
+    accept the triple evaluation: ``lag`` is deterministic over the
+    total (ts, event_id) window order, and the generated SQL runs only
+    in the DuckDB correctness harness, never on the timed Spark path;
+    bind nontrivial expressions via a prior CTE alias if that ever
+    changes."""
     return f"(({expr} - (({expr} % {d}) + {d}) % {d}) // {d})"
 
 

@@ -98,3 +98,48 @@ def test_nonvacuous_on_testdata(spark, sf_dir):
 
     n = all_queries()["q_dedup_spans"](spark, sf_dir).count()
     assert n > 0
+
+
+@pytest.mark.slow
+def test_hot_gram_skew_within_2x_of_uniform(spark):
+    """Hot-gram skew rehearsal (VERDICT r11 #8): a boilerplate gram
+    present in half the corpus concentrates one window-partition key
+    (round 12 moved the dup test to a min/max window over the gram hash),
+    but the skewed partition's work is linear in its row count — so
+    wall-time at equal volume must stay within ~2x of a uniform corpus.
+    Mirrors tests/test_skew_replay.py's co-measured-control protocol."""
+    import time
+
+    from pyspark.sql import Row
+
+    def corpus(hot: bool, n_docs: int = 400, toks: int = 40):
+        boiler = " ".join(f"b{j}" for j in range(SPAN_K + 4))
+        rows = []
+        for i in range(n_docs):
+            body = " ".join(f"t{i}x{j}" for j in range(toks))
+            if hot and i % 2 == 0:
+                body = boiler + " " + body
+            rows.append(Row(doc_id=i, text=body, lang="en", source="web"))
+        return spark.createDataFrame(rows)
+
+    def seconds(df, runs: int = 3) -> float:
+        best = float("inf")
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            duplicated_spans(df, SPAN_K).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    uniform, skewed = corpus(False), corpus(True)
+    seconds(uniform, runs=1)  # codegen warm-up outside the timing
+    for _attempt in range(2):
+        t_uniform = seconds(uniform)
+        t_skewed = seconds(skewed)
+        if t_skewed <= 2.0 * max(t_uniform, 0.5):
+            return
+    pytest.fail(
+        f"hot-gram spans {t_skewed:.2f}s vs uniform {t_uniform:.2f}s on "
+        "both attempts — the shared gram is serializing the dup window"
+    )
