@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from graph_vulcan_assets_spark.registry import query
-from graph_vulcan_assets_spark.llm.embeddings import finite_embeddings, finite_sql
+from graph_vulcan_assets_spark.llm.embeddings import finite_sql
 from graph_vulcan_assets_spark.tables import load_table
 
 M = 4  # subspaces
