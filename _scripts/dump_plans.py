@@ -1,4 +1,4 @@
-"""Dump .explain('formatted') for named queries to plans/r12/<name>_<tag>.txt.
+"""Dump .explain('formatted') for named queries to plans/r13/<name>_<tag>.txt.
 
     python _scripts/dump_plans.py before q_kmeans_assign q_pq_codes ...
 
@@ -21,7 +21,7 @@ def main() -> None:
     tag = sys.argv[1]
     names = sys.argv[2:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r12")
+    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r13")
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark(app_name="gvas-dump-plans")
     qs = all_queries()

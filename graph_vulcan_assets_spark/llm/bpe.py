@@ -11,17 +11,23 @@ shards naturally:
   every count and every merge applies per distinct word once, weighted by
   its frequency. At 100 TB the corpus is huge but the distinct-word table
   is vocabulary-sized; only the initial word count ever scans the corpus.
-- Each training iteration is one partial-aggregated shuffle on the pair
-  (map-side combine does the heavy lifting); the winning pair attaches to
-  every vocab row via a BROADCAST crossJoin of the 1-row argmax — no per-
-  iteration driver round-trip. (Round 12 measured the scalar-subquery
-  attach here and REJECTED it: between checkpoints the iterations nest,
-  and nested scalar subqueries re-evaluate per nesting level while
-  identical broadcast subtrees are deduped by exchange reuse within the
-  one plan — the subquery form was ~1.4x slower on the 12-merge train.)
-  Merging is a pure fold expression over each word's symbol array,
-  guarded by an O(len) adjacency scan so only words that contain the
-  winning pair pay the quadratic fold; no Python touches a row.
+- Each training iteration is ONE job: a partial-aggregated shuffle on the
+  pair (map-side combine does the heavy lifting) whose 1-row argmax
+  returns to the driver — the winning pair is a bounded model artifact
+  (the same merge list ``bpe_encode_words`` already consumes), exactly
+  like the k·d centroid matrix llm/kmeans.py collects per Lloyd
+  iteration. The vocab is persisted lazily, so the argmax job doubles as
+  the materialization of the current vocab: each iteration folds exactly
+  one merge from the previous iteration's cache — no fold-chain replay
+  between checkpoints, no per-iteration broadcast build job. (History:
+  round 12 measured the scalar-subquery attach and REJECTED it ~1.4x
+  slower; the broadcast-crossJoin attach + checkpoint-every-2 cadence it
+  kept still paid a broadcast build job per iteration plus a replayed
+  fold chain per checkpoint window — round 13 replaced both with the
+  collect-and-literal form.) Merging is a pure fold expression over each
+  word's symbol array, guarded by an O(len) adjacency scan so only words
+  that contain the winning pair pay the quadratic fold; no Python touches
+  a row.
 - Encoding joins documents' words against the trained distinct-word
   tokenization — an equi-join on the word, never re-running merges per
   occurrence. The learned merge list itself is a model artifact
@@ -38,15 +44,16 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from graph_vulcan_assets_spark.registry import query
-from graph_vulcan_assets_spark.tables import load_table
+from graph_vulcan_assets_spark.tables import input_size_bytes, load_table, tuned_for_input
 
-# Lineage truncation cadence for the iterative merge loop (kmeans idiom).
-# Round 12, measured on the 12-merge train at sf0.1 (min of 3, same host):
-# every 2 -> 4.45 s, 3 -> 4.79, 4 -> 4.93-5.11, 6 -> 8.07, 1 -> 4.74.
-# Between checkpoints iteration i's argmax job re-executes the fold chain
-# since the last checkpoint, so a short cadence wins once the fold is
-# guarded; a persist()-per-iteration variant (no eager materialization at
-# all) nests 12 broadcast builds recursively and hangs - rejected.
+# Lineage truncation cadence for bpe_encode_words' literal-merge loop
+# (kmeans idiom). bpe_train itself no longer checkpoints: since round 13
+# each argmax job caches the current vocab (persist), so no job ever
+# replays more than one fold. (Round-12 history, measured on the 12-merge
+# train at sf0.1: checkpoint every 2 -> 4.45 s, 3 -> 4.79, 4 -> 4.93-5.11,
+# 6 -> 8.07, 1 -> 4.74; a persist-per-iteration variant nested 12
+# BROADCAST builds recursively and hung — the round-13 form has no
+# broadcasts to nest, which is what makes persist-per-iteration work.)
 _CHECKPOINT_EVERY = 2
 
 
@@ -71,21 +78,29 @@ def word_counts(docs: DataFrame) -> DataFrame:
     )
 
 
-def pair_counts(vocab: DataFrame) -> DataFrame:
-    """(a, b, cnt): adjacent-symbol pair totals over (syms, cnt) vocab."""
+def _pair_explode_expr() -> Column:
+    """The exploded adjacent-pair column over ``syms`` — built ONCE and
+    reused across training iterations: Column objects are unresolved
+    expression trees, and constructing this one costs ~30 py4j
+    round-trips + two lambda conversions (~0.1 s measured), which at a
+    12-iteration train is pure per-iteration driver overhead."""
     syms = F.col("syms")
     idx = F.sequence(F.lit(1), F.size(syms) - 1)
-    pairs = vocab.where(F.size(syms) >= 2).select(
-        "cnt",
-        F.explode(
-            F.transform(
-                idx,
-                lambda i: F.struct(
-                    F.element_at(syms, i).alias("a"),
-                    F.element_at(syms, i + 1).alias("b"),
-                ),
-            )
-        ).alias("p"),
+    return F.explode(
+        F.transform(
+            idx,
+            lambda i: F.struct(
+                F.element_at(syms, i).alias("a"),
+                F.element_at(syms, i + 1).alias("b"),
+            ),
+        )
+    ).alias("p")
+
+
+def pair_counts(vocab: DataFrame, pair_expr: Column | None = None) -> DataFrame:
+    """(a, b, cnt): adjacent-symbol pair totals over (syms, cnt) vocab."""
+    pairs = vocab.where(F.size(F.col("syms")) >= 2).select(
+        "cnt", pair_expr if pair_expr is not None else _pair_explode_expr()
     )
     return pairs.groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b")).agg(
         F.sum("cnt").alias("cnt")
@@ -135,45 +150,59 @@ def bpe_train(docs: DataFrame, n_merges: int) -> tuple[DataFrame, DataFrame]:
     DataFrame in learned order; vocab as the final (w, cnt, syms)
     distinct-word table tokenized under all learned merges. Ties break on
     (count desc, a asc, b asc), a total order, so training is
-    deterministic corpus-wide. Precondition: the corpus supports at least
-    ``n_merges`` merges (any real text corpus does); if pairs exhaust
-    early the remaining ranks simply don't appear.
+    deterministic corpus-wide. If pairs exhaust early the remaining ranks
+    simply don't appear (and the vocab stays at its fixed point).
+
+    Round 13 shape: ONE job per iteration. The 1-row argmax is collected
+    (TakeOrderedAndProject — the merge list is a bounded driver artifact
+    by design), and because each vocab generation is a LAZY
+    localCheckpoint, that same job materializes the current generation:
+    iteration i+1's fold reads iteration i's checkpointed rows instead of
+    replaying the fold chain from the last eager checkpoint. Lazy
+    localCheckpoint (not ``persist``) deliberately: each call wraps a
+    fresh RDD, so nothing is shared between INVOCATIONS through the SQL
+    cache-manager's plan matching (every bench rep recomputes from the
+    parquet inputs), and released references are context-cleaned exactly
+    like the previous eager checkpoints.
     """
-    vocab = (
-        word_counts(docs)
-        .withColumn("syms", F.split(F.col("w"), ""))
-        .localCheckpoint(eager=True)
-    )
-    merge_steps: list[DataFrame] = []
-    for it in range(n_merges):
-        best = (
-            pair_counts(vocab)
-            .orderBy(F.col("cnt").desc(), F.col("a"), F.col("b"))
-            .limit(1)
-            .select(
-                F.col("a").alias("ma"),
-                F.col("b").alias("mb"),
-                F.col("cnt").alias("mcnt"),
-            )
-        )
-        merge_steps.append(
-            best.select(
-                F.lit(it).alias("rank"),
-                F.col("ma").alias("left"),
-                F.col("mb").alias("right"),
-                F.col("mcnt").cast("long").alias("cnt"),
-            )
-        )
+    spark = docs.sparkSession
+    merge_rows: list[tuple[int, str, str, int]] = []
+    # hoisted expression trees: the fold and the pair explode are built
+    # once per train (each costs ~0.1 s of py4j construction — measured
+    # round 13; the fold binds the winning pair through the __ma/__mb
+    # columns so the SAME tree serves every iteration's literals)
+    pair_expr = _pair_explode_expr()
+    merge_col = _merge_expr(F.col("syms"), F.col("__ma"), F.col("__mb"))
+    # input-scaled initial shuffle partitions + no AQE for the tiny
+    # per-iteration jobs (tables.tuned_for_input; saturates to the session
+    # default at corpus scale) — each iteration's shuffle carries only the
+    # aggregated pair table, and per-stage fixed cost dominates it
+    with tuned_for_input(spark, input_size_bytes(docs)):
         vocab = (
-            vocab.crossJoin(F.broadcast(best))
-            .withColumn("syms", _merge_expr(F.col("syms"), F.col("ma"), F.col("mb")))
-            .drop("ma", "mb", "mcnt")
+            word_counts(docs)
+            .withColumn("syms", F.split(F.col("w"), ""))
+            .localCheckpoint(eager=False)
         )
-        if (it + 1) % _CHECKPOINT_EVERY == 0 or it == n_merges - 1:
-            vocab = vocab.localCheckpoint(eager=True)
-    merges = merge_steps[0]
-    for step in merge_steps[1:]:
-        merges = merges.unionByName(step)
+        for it in range(n_merges):
+            rows = (
+                pair_counts(vocab, pair_expr)
+                .orderBy(F.col("cnt").desc(), F.col("a"), F.col("b"))
+                .limit(1)
+                .collect()
+            )
+            if not rows:
+                break
+            a, b, cnt = rows[0]["a"], rows[0]["b"], int(rows[0]["cnt"])
+            merge_rows.append((it, a, b, cnt))
+            vocab = (
+                vocab.withColumns({"__ma": F.lit(a), "__mb": F.lit(b)})
+                .withColumn("syms", merge_col)
+                .drop("__ma", "__mb")
+                .localCheckpoint(eager=False)
+            )
+    merges = spark.createDataFrame(
+        merge_rows, schema="rank int, left string, right string, cnt long"
+    )
     return merges, vocab
 
 
