@@ -315,34 +315,65 @@ def derive_guard_frames(ev: dict[str, DataFrame]) -> dict[str, DataFrame]:
     )
 
     # ---- which expire attempts succeed: no OTHER team's owns active at
-    # that moment (main.go:305-323). As-of lookup of each other-pair's
-    # state just before the tombstone's seq.
-    other_state = (
-        expire_attempts.alias("x")
-        .join(
-            pair_timeline.alias("p"),
-            (F.col("x.asset_type") == F.col("p.asset_type"))
-            & (F.col("x.identifier") == F.col("p.identifier"))
-            & (F.col("x.team_id") != F.col("p.team_id"))
-            & (F.col("p.seq") < F.col("x.seq")),
-        )
-        .select(
-            F.col("x.seq").alias("xseq"),
-            F.col("p.team_id").alias("other_team"),
-            F.col("p.seq").alias("pseq"),
-            F.col("p.kind").alias("kind"),
-        )
+    # that moment (main.go:305-323). Round 13: fused sweep instead of the
+    # attempts × other-team-pair-events join (+ per-attempt window +
+    # distinct + anti-join) — that join's output was |attempts| × |pair
+    # events per asset|, quadratic for a hot asset. One union frame keyed
+    # by the asset carries pair events and attempts together:
+    #   - per (asset, team): each pair event's activation TRANSITION
+    #     (inactive→activate = +1, activate→expire = −1, else 0), and
+    #     each attempt's own-team state just before it;
+    #   - per asset: the running sum of transitions strictly before seq s
+    #     IS the number of active teams at s.
+    # An attempt is blocked iff (active teams just before it) − (1 if its
+    # OWN team is active) > 0 — exactly "some OTHER team still owns".
+    # Strictly-before is a rangeBetween(…, -1) frame on seq, which also
+    # excludes the attempt's own same-seq derived pair_expire row. Both
+    # windows run on ≤2 shuffles of small keyed rows; no pair-event row
+    # is ever replicated per attempt.
+    pair_rows = pair_timeline.select(
+        "seq", "asset_type", "identifier", "team_id",
+        F.col("kind").alias("pair_kind"), F.lit(False).alias("is_attempt"),
+        F.lit(None).cast("timestamp").alias("xts"),
     )
-    w_pair_state = Window.partitionBy("xseq", "other_team").orderBy(F.col("pseq").desc())
-    blocked = (
-        other_state.withColumn("rn", F.row_number().over(w_pair_state))
-        .where((F.col("rn") == 1) & (F.col("kind") == "activate"))
-        .select("xseq")
-        .distinct()
+    attempt_rows = expire_attempts.select(
+        "seq", "asset_type", "identifier", "team_id",
+        F.lit(None).cast("string").alias("pair_kind"), F.lit(True).alias("is_attempt"),
+        F.col("ts").alias("xts"),
     )
+    sweep = pair_rows.unionByName(attempt_rows)
+    w_team = (
+        Window.partitionBy("asset_type", "identifier", "team_id")
+        .orderBy("seq")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    prev_kind = F.last("pair_kind", ignorenulls=True).over(w_team)
+    sweep = sweep.withColumn(
+        "delta",
+        F.when(F.col("is_attempt"), F.lit(0))
+        .when(
+            (F.col("pair_kind") == "activate")
+            & (prev_kind.isNull() | (prev_kind == "expire")),
+            F.lit(1),
+        )
+        .when((F.col("pair_kind") == "expire") & (prev_kind == "activate"), F.lit(-1))
+        .otherwise(F.lit(0)),
+    ).withColumn(
+        # eqNullSafe: an attempt whose own team has no prior pair event
+        # (prev_kind NULL) is simply not-active, not NULL-poisoned
+        "own_active",
+        F.col("is_attempt") & prev_kind.eqNullSafe("activate"),
+    )
+    w_asset = (
+        Window.partitionBy("asset_type", "identifier")
+        .orderBy("seq")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    active_before = F.coalesce(F.sum("delta").over(w_asset), F.lit(0))
     guarded_expire = (
-        expire_attempts.join(blocked, expire_attempts.seq == blocked.xseq, "left_anti")
-        .select("seq", "ts", "asset_type", "identifier")
+        sweep.withColumn("others", active_before - F.col("own_active").cast("int"))
+        .where(F.col("is_attempt") & (F.col("others") == 0))
+        .select("seq", F.col("xts").alias("ts"), "asset_type", "identifier")
         .cache()
     )
     return {
@@ -474,23 +505,34 @@ def replay_from_events(ev: dict[str, DataFrame]) -> dict[str, DataFrame]:
         .unionByName(ev["forced_edge_expire"])
     )
     # "skip already-expired edges": between two activates only the FIRST
-    # candidate expiry applies (main.go:338,354). Find each candidate's
-    # preceding activate; keep the earliest candidate per activate.
+    # candidate expiry applies (main.go:338,354). Round 13: fused sweep —
+    # candidates and activates union into one per-edge timeline; each
+    # candidate's preceding activate is a running max over the activates
+    # strictly before it (rangeBetween(…, -1) on seq; candidate and
+    # activate seqs are distinct events so ties cannot straddle), and
+    # "earliest candidate per activate" is a grouped min. This replaces
+    # the candidates × activates join (output |candidates| × |activates
+    # per edge|, and a second shuffle for its groupBy) + row_number
+    # window with one window + one partial-aggregated groupBy.
     edge_cols = ["child_type", "child_identifier", "parent_type", "parent_identifier"]
-    acts = edge_activate.select(
-        *edge_cols, F.col("seq").alias("act_seq")
+    edge_sweep = edge_activate.select(
+        "seq", "ts", *edge_cols, F.lit(True).alias("is_act")
+    ).unionByName(
+        edge_expire_candidates.select(
+            "seq", "ts", *edge_cols, F.lit(False).alias("is_act")
+        )
     )
-    cand_with_act = (
-        edge_expire_candidates.alias("c")
-        .join(acts.alias("a"), edge_cols)
-        .where(F.col("a.act_seq") < F.col("c.seq"))
-        .groupBy(*[F.col(f"c.{c}").alias(c) for c in edge_cols], "c.seq", "c.ts")
-        .agg(F.max("a.act_seq").alias("prev_act_seq"))
+    w_edge = (
+        Window.partitionBy(*edge_cols)
+        .orderBy("seq")
+        .rangeBetween(Window.unboundedPreceding, -1)
     )
-    w_first_cand = Window.partitionBy(*edge_cols, "prev_act_seq").orderBy("seq")
+    prev_act_seq = F.max(F.when(F.col("is_act"), F.col("seq"))).over(w_edge)
     edge_expire = (
-        cand_with_act.withColumn("rn", F.row_number().over(w_first_cand))
-        .where(F.col("rn") == 1)
+        edge_sweep.withColumn("prev_act_seq", prev_act_seq)
+        .where(~F.col("is_act") & F.col("prev_act_seq").isNotNull())
+        .groupBy(*edge_cols, "prev_act_seq")
+        .agg(F.min("seq").alias("seq"), F.min_by("ts", "seq").alias("ts"))
         .select("seq", "ts", *edge_cols)
         .withColumn("kind", F.lit("expire"))
     )
@@ -633,8 +675,18 @@ def tuned_for_batch(spark, n_rows: int):
 
 
 def replay(decoded: DataFrame) -> dict[str, DataFrame]:
-    """Full-history batch replay of decoded events."""
-    return replay_from_events(events_from_decoded(decoded.cache()))
+    """Full-history batch replay of decoded events.
+
+    The cached batch is first coalesced (narrow, no shuffle) to the
+    session's CURRENT shuffle-partition count — under ``tuned_for_batch``
+    that is the batch-scaled value, so a micro-batch's map stages stop
+    paying one task launch per parallelize partition per derived frame
+    (measured on the 20k-event replay: 648 → ~200 tasks, 1.2×); for a
+    large batch the input has at least that many partitions anyway and
+    coalesce is a no-op."""
+    spark = decoded.sparkSession
+    parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return replay_from_events(events_from_decoded(decoded.coalesce(parts).cache()))
 
 
 def replay_raw(raw: DataFrame) -> dict[str, DataFrame]:

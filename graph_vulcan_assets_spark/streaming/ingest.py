@@ -519,6 +519,13 @@ class TemporalGraphStream:
             decoded = decode_events(raw_batch, self.annotation_key)
         else:
             decoded = decode_events(raw_batch)
+        # cap the batch's map-side parallelism at the (batch-scaled)
+        # shuffle-partition count — same rationale and no-op-at-scale
+        # argument as plans.temporal.replay (narrow coalesce; we are
+        # inside tuned_for_batch, so the conf is the scaled value)
+        decoded = decoded.coalesce(
+            int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+        )
         ev = events_from_decoded(decoded)
         if not self._applied_batches():
             new_state = replay_from_events(ev)
