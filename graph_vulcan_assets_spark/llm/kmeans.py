@@ -116,8 +116,31 @@ def quantize_vectors(emb: DataFrame) -> DataFrame:
                 lambda e: F.round(e.cast("double") * _SCALE, 0).cast("long"),
             ).alias("qarr"),
         )
-        .localCheckpoint(eager=True)
+        # LAZY checkpoint (round 13): the first consumer job — always the
+        # seed-centroid collect, which scans every partition — materializes
+        # it, saving the separate eager materialization job per query
+        .localCheckpoint(eager=False)
     )
+
+
+# Kernel-author note (round 13, caught by driver_sim): the Arrow kernels
+# below inline their batch→matrix guard instead of sharing a module-level
+# helper. A module-level function referenced from a mapInArrow closure is
+# pickled BY REFERENCE, and the driver contract imports this package by
+# FILE PATH — so executors (whose sys.path lacks the repo when the driver
+# runs from another cwd) cannot import it and every kernel task dies.
+# The guard itself is the ADVICE-r12 defense: a NULL or wrong-length qarr
+# would silently misalign every subsequent row of the batch and corrupt
+# assignments; fail loudly instead.
+
+
+def trunc_mean(s: int, n: int) -> int:
+    """Exact ``(s - s % n) / n`` with TRUNCATED ``%`` (the Spark/DuckDB
+    semantics both oracles use) over arbitrary-precision Python ints —
+    i.e. integer division truncating toward zero; Python's ``//`` floors,
+    so negative sums need the sign split."""
+    q = abs(s) // n
+    return q if s >= 0 else -q
 
 
 def np_assign(vecs: DataFrame, cent: list[tuple[int, list[int]]]) -> DataFrame:
@@ -153,6 +176,8 @@ def np_assign(vecs: DataFrame, cent: list[tuple[int, list[int]]]) -> DataFrame:
     cmat = np.array([arr for _, arr in cent], dtype=np.int64)
     cnorm = (cmat * cmat).sum(axis=1)
 
+    d = cmat.shape[1]
+
     def fn(batches):
         import pyarrow as pa
 
@@ -160,7 +185,12 @@ def np_assign(vecs: DataFrame, cent: list[tuple[int, list[int]]]) -> DataFrame:
             if b.num_rows == 0:
                 continue
             qlist = b.column("qarr")
-            q = np.asarray(qlist.flatten(), dtype=np.int64).reshape(b.num_rows, -1)
+            q = np.asarray(qlist.flatten(), dtype=np.int64)
+            assert qlist.null_count == 0 and q.size == b.num_rows * d, (
+                f"packed vectors violated the finite gate: {qlist.null_count}"
+                f" nulls, {q.size} values for {b.num_rows} rows x {d} dims"
+            )
+            q = q.reshape(b.num_rows, d)
             dist = (q * q).sum(axis=1)[:, None] + cnorm[None, :] - 2 * (q @ cmat.T)
             idx = dist.argmin(axis=1)  # first min = lowest cid (cent sorted)
             yield pa.RecordBatch.from_arrays(
@@ -184,47 +214,109 @@ def collect_centroids(df: DataFrame) -> list[tuple[int, list[int]]]:
     return sorted((r["cid"], list(r["carr"])) for r in df.collect())
 
 
+def np_update(
+    vecs: DataFrame, cent: list[tuple[int, list[int]]]
+) -> list[tuple[int, list[int]]]:
+    """One fused Lloyd step: assignment + per-cluster component sums in a
+    SINGLE map-only pass (the treeAggregate shape MLlib's KMeans uses).
+
+    Each task emits at most k partial rows ``(cid, component sums,
+    count)``; the driver reduces the partials with arbitrary-precision
+    Python ints and applies the truncated integer mean. Bit-identical to
+    the previous posexplode + two-level groupBy update: integer sums are
+    association-order-independent, and :func:`trunc_mean` reproduces
+    ``(sum - sum % cnt) / cnt`` under Spark/DuckDB's truncated ``%``.
+    Replaces, per iteration, a separate assignment recompute feeding an
+    n·d-row explode through a two-exchange hash aggregate with one
+    exchange-free job; the collected partials are ≤ tasks · k·(d+2)
+    values (the same boundedness class as the k·d centroid collect —
+    at extreme task counts swap the driver reduce for a two-level
+    groupBy(cid) over these same partial rows). Clusters that receive no
+    vectors drop out, exactly as they dropped out of the old groupBy."""
+    import numpy as np
+
+    cids = np.array([c for c, _ in cent], dtype=np.int64)
+    cmat = np.array([arr for _, arr in cent], dtype=np.int64)
+    cnorm = (cmat * cmat).sum(axis=1)
+    k, d = cmat.shape
+
+    def fn(batches):
+        import pyarrow as pa
+
+        sums = np.zeros((k, d), dtype=np.int64)
+        cnts = np.zeros(k, dtype=np.int64)
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            qlist = b.column("qarr")
+            q = np.asarray(qlist.flatten(), dtype=np.int64)
+            assert qlist.null_count == 0 and q.size == b.num_rows * d, (
+                f"packed vectors violated the finite gate: {qlist.null_count}"
+                f" nulls, {q.size} values for {b.num_rows} rows x {d} dims"
+            )
+            q = q.reshape(b.num_rows, d)
+            dist = (q * q).sum(axis=1)[:, None] + cnorm[None, :] - 2 * (q @ cmat.T)
+            idx = dist.argmin(axis=1)
+            for j in np.unique(idx):
+                sums[j] += q[idx == j].sum(axis=0)
+            cnts += np.bincount(idx, minlength=k)
+        nz = np.flatnonzero(cnts)
+        if nz.size == 0:
+            return
+        offsets = pa.array(np.arange(0, (nz.size + 1) * d, d, dtype=np.int32))
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(cids[nz], type=pa.int64()),
+                pa.ListArray.from_arrays(
+                    offsets, pa.array(sums[nz].ravel(), type=pa.int64())
+                ),
+                pa.array(cnts[nz], type=pa.int64()),
+            ],
+            names=["cid", "s", "n"],
+        )
+
+    rows = (
+        vecs.select("qarr")
+        .mapInArrow(fn, "cid long, s array<bigint>, n long")
+        .collect()
+    )
+    agg: dict[int, tuple[list[int], int]] = {}
+    for r in rows:
+        prev = agg.get(r["cid"])
+        if prev is None:
+            agg[r["cid"]] = ([int(x) for x in r["s"]], int(r["n"]))
+        else:
+            s, n = prev
+            agg[r["cid"]] = (
+                [x + int(y) for x, y in zip(s, r["s"])],
+                n + int(r["n"]),
+            )
+    return sorted(
+        (cid, [trunc_mean(x, n) for x in s]) for cid, (s, n) in agg.items()
+    )
+
+
 def lloyd_assign(vecs: DataFrame, k: int = K, iters: int = ITERS) -> DataFrame:
     """Fixed-point Lloyd over packed (vec_id, qarr) — the Spark twin of
     :func:`lloyd_ctes`; returns (vec_id, cid, d, qarr). See module
     docstring for the exactness contract and the packed plan shape.
 
-    Each iteration: map-only numpy assignment (:func:`np_assign`) + ONE
-    shuffled update aggregate whose k·d result is collected to seed the
-    next pass — the per-iteration driver artifact is centroid-sized, and
-    the final assignment job is a single exchange-free stage.
+    Round-13 shape: the seed collect doubles as the materialization of
+    the lazy quantize checkpoint; each update iteration is ONE fused
+    map-only job (:func:`np_update` — assignment and partial sums in the
+    same numpy pass, no posexplode, no exchange); the final assignment
+    job is a single exchange-free map stage.
     """
     cent = collect_centroids(
         vecs.where(F.col("vec_id") < k).select(
             F.col("vec_id").alias("cid"), F.col("qarr").alias("carr")
         )
     )
-    assigned = None
-    for i in range(iters):
-        assigned = np_assign(vecs, cent)
-        if i < iters - 1:
-            # truncated integer mean per (cid, pos) — the only shuffle per
-            # iteration; partial aggregation collapses it to ≤ k·d rows
-            # per map task before the exchange, and the k·d result comes
-            # back to the driver as the next iteration's centroid matrix
-            cent = collect_centroids(
-                assigned.select("cid", F.posexplode("qarr").alias("pos", "q"))
-                .groupBy("cid", "pos")
-                .agg(
-                    ((F.sum("q") - F.sum("q") % F.count("*")) / F.count("*"))
-                    .cast("long")
-                    .alias("c")
-                )
-                .groupBy("cid")
-                .agg(
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("pos", "c"))),
-                        lambda s: s["c"],
-                    ).alias("carr")
-                )
-            )
-    assert assigned is not None
-    return assigned
+    for _ in range(iters - 1):
+        if not cent:
+            break  # degenerate input: no seed vectors ⇒ empty assignment
+        cent = np_update(vecs, cent)
+    return np_assign(vecs, cent)
 
 
 @query("q_kmeans_assign", oracle=_kmeans_oracle())

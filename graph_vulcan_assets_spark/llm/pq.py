@@ -113,6 +113,10 @@ def _np_pq_assign(packed: DataFrame, books: list[list[tuple[int, list[int]]]]):
     Output: (vec_id, qarr, cids array, ds array) indexed by sub."""
     import numpy as np
 
+    # all-or-none emptiness (ADVICE r12): subspace codebooks only empty
+    # together (seeds/updates vanish per vector, never per sub) — a
+    # future per-sub collapse path must fail loudly, not drop all rows
+    assert all(books) or not any(books), "per-sub codebook emptiness diverged"
     if any(not b for b in books):
         # degenerate input (empty table ⇒ empty codebooks — seeds and
         # updates vanish together): the old broadcast join produced no
@@ -136,7 +140,15 @@ def _np_pq_assign(packed: DataFrame, books: list[list[tuple[int, list[int]]]]):
             if b.num_rows == 0:
                 continue
             qlist = b.column("qarr")
-            q = np.asarray(qlist.flatten(), dtype=np.int64).reshape(b.num_rows, -1)
+            q = np.asarray(qlist.flatten(), dtype=np.int64)
+            # inline guard (see kmeans kernel-author note: module-level
+            # helpers pickle by reference and break under the file-path
+            # driver import)
+            assert qlist.null_count == 0 and q.size == b.num_rows * M * SUB_DIM, (
+                f"packed vectors violated the finite gate: {qlist.null_count}"
+                f" nulls, {q.size} values for {b.num_rows} rows x {M * SUB_DIM} dims"
+            )
+            q = q.reshape(b.num_rows, M * SUB_DIM)
             n = b.num_rows
             cid_cols, d_cols = [], []
             for s, (cids, cmat, cnorm) in enumerate(subs):
@@ -164,20 +176,108 @@ def _np_pq_assign(packed: DataFrame, books: list[list[tuple[int, list[int]]]]):
     )
 
 
+def _np_pq_update(packed, books):
+    """One fused PQ Lloyd step over all M subspaces: assignment + per-
+    (sub, cid) component sums in a SINGLE map-only pass (the same
+    treeAggregate shape as kmeans.np_update, and the same exactness
+    argument — integer partials reduced with Python ints, truncated mean
+    via kmeans.trunc_mean). Replaces the per-iteration posexplode +
+    hash-aggregate update job; each task emits ≤ M·K partial rows."""
+    import numpy as np
+
+    from graph_vulcan_assets_spark.llm.kmeans import trunc_mean
+
+    subs = []
+    for s in range(M):
+        cids = np.array([c for c, _ in books[s]], dtype=np.int64)
+        cmat = np.array([arr for _, arr in books[s]], dtype=np.int64)
+        subs.append((cids, cmat, (cmat * cmat).sum(axis=1)))
+
+    def fn(batches):
+        import pyarrow as pa
+
+        sums = [np.zeros(c[1].shape, dtype=np.int64) for c in subs]
+        cnts = [np.zeros(len(c[0]), dtype=np.int64) for c in subs]
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            qlist = b.column("qarr")
+            q = np.asarray(qlist.flatten(), dtype=np.int64)
+            # inline guard (see kmeans kernel-author note)
+            assert qlist.null_count == 0 and q.size == b.num_rows * M * SUB_DIM, (
+                f"packed vectors violated the finite gate: {qlist.null_count}"
+                f" nulls, {q.size} values for {b.num_rows} rows x {M * SUB_DIM} dims"
+            )
+            q = q.reshape(b.num_rows, M * SUB_DIM)
+            for s, (cids, cmat, cnorm) in enumerate(subs):
+                qs = q[:, s * SUB_DIM : (s + 1) * SUB_DIM]
+                dist = (
+                    (qs * qs).sum(axis=1)[:, None] + cnorm[None, :] - 2 * (qs @ cmat.T)
+                )
+                idx = dist.argmin(axis=1)
+                for j in np.unique(idx):
+                    sums[s][j] += qs[idx == j].sum(axis=0)
+                cnts[s] += np.bincount(idx, minlength=len(cids))
+        out_sub, out_cid, out_s, out_n = [], [], [], []
+        for s, (cids, _, _) in enumerate(subs):
+            for j in np.flatnonzero(cnts[s]):
+                out_sub.append(s)
+                out_cid.append(int(cids[j]))
+                out_s.append([int(x) for x in sums[s][j]])
+                out_n.append(int(cnts[s][j]))
+        if not out_sub:
+            return
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(out_sub, type=pa.int32()),
+                pa.array(out_cid, type=pa.int64()),
+                pa.array(out_s, type=pa.list_(pa.int64())),
+                pa.array(out_n, type=pa.int64()),
+            ],
+            names=["sub", "cid", "s", "n"],
+        )
+
+    rows = (
+        packed.select("qarr")
+        .mapInArrow(fn, "sub int, cid long, s array<bigint>, n long")
+        .collect()
+    )
+    agg: dict[tuple[int, int], tuple[list[int], int]] = {}
+    for r in rows:
+        key = (r["sub"], r["cid"])
+        prev = agg.get(key)
+        if prev is None:
+            agg[key] = ([int(x) for x in r["s"]], int(r["n"]))
+        else:
+            sv, n = prev
+            agg[key] = ([x + int(y) for x, y in zip(sv, r["s"])], n + int(r["n"]))
+    return [
+        sorted(
+            (cid, [trunc_mean(x, n) for x in sv])
+            for (s2, cid), (sv, n) in agg.items()
+            if s2 == s
+        )
+        for s in range(M)
+    ]
+
+
 def _train_all_packed(packed):
-    """(packed assignment, melted codebooks) for ALL subspaces in ONE
-    fused dataflow over PACKED vectors: every iteration's assignment is
-    one vectorized numpy map (:func:`_np_pq_assign`) against driver-held
-    codebooks (M·K·SUB_DIM integers — bounded like kmeans' centroid
-    matrix), and the update posexplodes the assigned rows once — no
-    assignment join, no argmin window, no per-element interpreted lambda.
-    The assignment comes back as (vec_id, qarr, cids, ds) with the
-    per-sub argmin arrays indexed by sub; :func:`_train_all` melts it for
-    callers that join per-(sub, cid). Bit-identical to the original
-    exploded plan (integer arithmetic, identical tie-breaks)."""
+    """(packed assignment, melted codebooks, driver books, seed vectors)
+    for ALL subspaces in ONE fused dataflow over PACKED vectors: every
+    iteration's assignment is one vectorized numpy map
+    (:func:`_np_pq_assign`) against driver-held codebooks (M·K·SUB_DIM
+    integers — bounded like kmeans' centroid matrix), and each update
+    iteration is ONE fused map-only job (:func:`_np_pq_update`). The
+    seed collect doubles as the materialization of the lazy quantize
+    checkpoint. The assignment comes back as (vec_id, qarr, cids, ds)
+    with the per-sub argmin arrays indexed by sub; :func:`_train_all`
+    melts it for callers that join per-(sub, cid). Bit-identical to the
+    original exploded plan (integer arithmetic, identical tie-breaks).
+    ``seed`` (the driver-held first-K quantized vectors) rides along so
+    ADC scorers can build their query LUTs without another job."""
     spark = packed.sparkSession
     seed = {
-        r["vec_id"]: list(r["qarr"])
+        r["vec_id"]: [int(x) for x in r["qarr"]]
         for r in packed.where(F.col("vec_id") < K).collect()
     }
     books = [
@@ -185,42 +285,11 @@ def _train_all_packed(packed):
         for s in range(M)
     ]
 
-    assigned = None
-    for i in range(ITERS):
-        assigned = _np_pq_assign(packed, books)
-        if i < ITERS - 1:
-            rows = (
-                assigned.select(
-                    F.posexplode("qarr").alias("pos", "q"), F.col("cids")
-                )
-                .select(
-                    F.floor(F.col("pos") / SUB_DIM).cast("int").alias("sub"),
-                    F.col("pos").cast("long").alias("pos"),
-                    "q",
-                    "cids",
-                )
-                .select(
-                    "sub", F.get("cids", F.col("sub")).alias("cid"), "pos", "q"
-                )
-                .groupBy("sub", "cid", "pos")
-                .agg(
-                    ((F.sum("q") - F.sum("q") % F.count("*")) / F.count("*"))
-                    .cast("long")
-                    .alias("c")
-                )
-                .collect()
-            )
-            comp: dict[tuple[int, int], dict[int, int]] = {}
-            for r in rows:
-                comp.setdefault((r["sub"], r["cid"]), {})[r["pos"]] = r["c"]
-            books = [
-                [
-                    (cid, [d[p] for p in sorted(d)])
-                    for (s2, cid), d in sorted(comp.items())
-                    if s2 == s
-                ]
-                for s in range(M)
-            ]
+    for _ in range(ITERS - 1):
+        if any(not b for b in books):
+            break  # degenerate input: no seeds ⇒ empty assignment below
+        books = _np_pq_update(packed, books)
+    assigned = _np_pq_assign(packed, books)
     # the melted (sub, cid, pos, c) codebook callers join LUTs against —
     # rebuilt from the driver-held final books (tiny: M·K·SUB_DIM rows)
     cent = spark.createDataFrame(
@@ -232,14 +301,13 @@ def _train_all_packed(packed):
         ],
         schema="sub int, cid long, pos long, c long",
     )
-    assert assigned is not None
-    return assigned, cent
+    return assigned, cent, books, seed
 
 
 def _train_all(packed):
     """Melted view of :func:`_train_all_packed`: (vec_id, sub, cid, d)
     assignment rows + the melted (sub, cid, pos, c) codebooks."""
-    assigned, cent = _train_all_packed(packed)
+    assigned, cent, _books, _seed = _train_all_packed(packed)
     melt = F.array(
         *[
             F.struct(
@@ -268,7 +336,7 @@ def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     The packed plan makes this MAP-ONLY after training: each row already
     carries its per-sub argmin arrays, so codes and dist_sq project out
     without the old melted groupBy(vec_id) pivot shuffle."""
-    assigned, _cent = _train_all_packed(_quantized_packed(spark, sf_dir))
+    assigned, _cent, _books, _seed = _train_all_packed(_quantized_packed(spark, sf_dir))
     dist_sq = F.get("ds", 0)
     for s in range(1, M):
         dist_sq = dist_sq + F.get("ds", s)
@@ -310,26 +378,49 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate, which is why PQ search scans billions of codes at memory
     bandwidth.
 
-    Scale shape: the LUT is 64 rows, broadcast; scoring is an equi-join
-    of the melted (vec_id, sub, code) table against it + a partial-agg
-    sum; the top-10 compiles to TakeOrderedAndProject. Integer-exact end
-    to end, so the ranking (with vec_id tie-break) is engine-identical.
+    Scale shape (round 13): the M×K LUT is computed ON THE DRIVER from
+    the driver-held final codebooks and the driver-held query vector
+    (vector 0 is among the first-K seed rows the training already
+    collects — no extra job) and inlined as literal arrays, so scoring
+    is a PURE PROJECTION over the packed assignment — 4 array lookups
+    summed per row, no LUT join, no groupBy — and the top-10 compiles
+    to TakeOrderedAndProject. Exact: the LUT entries are
+    arbitrary-precision Python-int Σ(q−c)², the same integers the old
+    broadcast-join aggregate produced; ranking (vec_id tie-break) is
+    engine-identical.
     """
     packed = _quantized_packed(spark, sf_dir)
-    assign, cent = _train_all(packed)
-    qv = _exploded(packed).where(F.col("vec_id") == 0).select(
-        F.floor(F.col("pos") / SUB_DIM).cast("int").alias("sub"), "pos", "q"
-    )
-    lut = (
-        qv.join(F.broadcast(cent), ["sub", "pos"])
-        .groupBy("sub", "cid")
-        .agg(F.sum((F.col("q") - F.col("c")) * (F.col("q") - F.col("c"))).alias("d"))
-    )
+    assigned, _cent, books, seed = _train_all_packed(packed)
+    q0 = seed.get(0)
+    if q0 is None:
+        # vector 0 absent (finite-gated away / empty table): the oracle's
+        # per-sub LUT CTEs are empty, so the scored set is empty
+        return assigned.select(
+            "vec_id", F.lit(None).cast("long").alias("adc_dist")
+        ).where(F.lit(False))
+    adc = None
+    for s in range(M):
+        qsub = q0[s * SUB_DIM : (s + 1) * SUB_DIM]
+        lut = {
+            cid: sum((qv - cv) * (qv - cv) for qv, cv in zip(qsub, comps))
+            for cid, comps in books[s]
+        }
+        # a MAP literal keyed by the actual cid — cids are seed VEC_IDS,
+        # which hostile inputs make sparse or negative, so positional
+        # array indexing would silently yield NULL (probe_extreme caught
+        # exactly that); every assigned cid is a books key (argmin over
+        # these books), so the lookup never misses
+        m = F.create_map(
+            *[
+                x
+                for cid, d in lut.items()
+                for x in (F.lit(int(cid)).cast("long"), F.lit(int(d)).cast("long"))
+            ]
+        )
+        term = F.element_at(m, F.get("cids", s))
+        adc = term if adc is None else adc + term
     return (
-        assign.select("vec_id", "sub", "cid")
-        .join(F.broadcast(lut), ["sub", "cid"])
-        .groupBy("vec_id")
-        .agg(F.sum("d").cast("long").alias("adc_dist"))
+        assigned.select("vec_id", adc.cast("long").alias("adc_dist"))
         .orderBy("adc_dist", "vec_id")
         .limit(10)
     )
@@ -359,7 +450,7 @@ def q_sim_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     nprobe, shortlist, topk = 3, 20, 5
     packed = _quantized_packed(spark, sf_dir)
     vecs = _exploded(packed)
-    assign_all, cent_all = _train_all(packed)
+    assigned_packed, _cent_all, books, seed = _train_all_packed(packed)
 
     # ---- stage 1: coarse cells (integer L2 against sampled centroids)
     cents = vecs.where(F.col("vec_id") % 25 == 0).select(
@@ -392,23 +483,44 @@ def q_sim_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "vec_id")
     )
 
-    # ---- stage 2: ADC over the PQ codes
-    qv = vecs.where(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("qid"),
-        F.floor(F.col("pos") / SUB_DIM).cast("int").alias("sub"),
-        "pos",
-        "q",
-    )
-    lut = (
-        qv.join(F.broadcast(cent_all), ["sub", "pos"])
-        .groupBy("qid", "sub", "cid")
-        .agg(F.sum((F.col("q") - F.col("c")) * (F.col("q") - F.col("c"))).alias("d"))
-    )
-    adc = (
-        candidates.join(assign_all.select("vec_id", "sub", "cid"), "vec_id")
-        .join(F.broadcast(lut), ["qid", "sub", "cid"])
-        .groupBy("qid", "vec_id")
-        .agg(F.sum("d").alias("adc_dist"))
+    # ---- stage 2: ADC over the PQ codes (round 13: the per-query LUTs
+    # are driver-computed from the driver-held books + seed query vectors
+    # — the queries are vec_id < 10 < K, already in the seed collect —
+    # and inlined as literal (qid × cid) arrays, so scoring is a pure
+    # projection after the candidate join: no melt, no LUT join, no
+    # groupBy; integer-exact like q_pq_adc_topk)
+    # query LUTs keyed by the ACTUAL ids (nested map literals — ids can be
+    # sparse or negative on hostile inputs, so positional array indexing
+    # would silently NULL; see q_pq_adc_topk). Query vectors are the
+    # vec_id < 10 rows, all inside the first-K seed collect.
+    qids_present = sorted(v for v in seed if v < 10)
+    if not qids_present or any(not b for b in books):
+        # degenerate: no surviving query vectors / empty codebooks ⇒ the
+        # candidate set is empty too; a typed NULL keeps the plan valid
+        qids_present = []
+    adc_dist = F.lit(None).cast("long") if not qids_present else None
+    for s in range(M if qids_present else 0):
+        pairs = []
+        for qid in qids_present:
+            qsub = seed[qid][s * SUB_DIM : (s + 1) * SUB_DIM]
+            lut = {
+                cid: sum((qv - cv) * (qv - cv) for qv, cv in zip(qsub, comps))
+                for cid, comps in books[s]
+            }
+            inner = F.create_map(
+                *[
+                    x
+                    for cid, d in lut.items()
+                    for x in (F.lit(int(cid)).cast("long"), F.lit(int(d)).cast("long"))
+                ]
+            )
+            pairs.extend((F.lit(int(qid)).cast("long"), inner))
+        term = F.element_at(
+            F.element_at(F.create_map(*pairs), F.col("qid")), F.get("cids", s)
+        )
+        adc_dist = term if adc_dist is None else adc_dist + term
+    adc = candidates.join(assigned_packed.select("vec_id", "cids"), "vec_id").select(
+        "qid", "vec_id", adc_dist.alias("adc_dist")
     )
     w = Window.partitionBy("qid").orderBy("adc_dist", "vec_id")
     short = (
