@@ -46,17 +46,22 @@ def connected_components(
     # round's plan nests the previous round's and analysis/optimization
     # time grows exponentially with iteration count (the standard trap of
     # iterative DataFrame algorithms)
+    # LAZY checkpoints (round 13): each iteration's convergence count —
+    # unavoidable — doubles as the materialization of that iteration's
+    # checkpointed frame (a LogicalRDD barrier defeats count's pruning),
+    # halving the driver actions per iteration; sym/labels materialize
+    # inside the first iteration's count job the same way.
     sym = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     labels = (
         sym.select(F.col("u").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
 
     changed = -1
@@ -79,7 +84,7 @@ def connected_components(
                     F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))
                 ).alias("component"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         changed = joined.where(F.col("component") != F.col("old_component")).count()
         labels = joined.select("node", "component")

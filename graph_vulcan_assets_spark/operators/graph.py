@@ -72,14 +72,20 @@ def transitive_ancestors(edges: DataFrame, max_iter: int | None = None) -> DataF
     """
     if max_iter is None:
         max_iter = default_max_iter()
+    # LAZY checkpoints (round 13): the per-level count() — the loop's
+    # exit condition, unavoidable — doubles as the materialization of the
+    # level (a LogicalRDD barrier defeats count's column pruning, so the
+    # full level computes and caches), halving the driver actions per
+    # level (eager checkpoint + count → count alone); `hop` materializes
+    # inside the first level's count job the same way.
     level = edges.select(
         F.col("child").alias("node"),
         F.col("parent").alias("ancestor"),
         F.lit(1).cast("long").alias("depth"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     hop = edges.select(
         F.col("child").alias("h_child"), F.col("parent").alias("h_parent")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
 
     out = [level]
     for _ in range(max_iter):
@@ -92,7 +98,7 @@ def transitive_ancestors(edges: DataFrame, max_iter: int | None = None) -> DataF
             )
             .groupBy("node", "ancestor")
             .agg(F.min("depth").alias("depth"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         if nxt.count() == 0:
             break
@@ -232,7 +238,14 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("child").alias("src"), F.col("parent").alias("dst")
     ).unionByName(tree.select(F.col("parent").alias("src"), F.col("child").alias("dst")))
     deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
-    edges_deg = edges.join(deg, "src").localCheckpoint(eager=True)
+    # LAZY checkpoints throughout the PageRank loop (round 13): each
+    # iteration's plan still flattens to a LogicalRDD (the analysis-time
+    # blowup protection), but with NO iteration forcing its own job the
+    # whole 15-iteration chain executes inside the caller's single action
+    # as chained RDD lineage — 15 driver round-trips removed. RDD lineage
+    # depth is cheap (it is the CATALYST plan nesting that grows
+    # exponentially, and that stays one iteration deep).
+    edges_deg = edges.join(deg, "src").localCheckpoint(eager=False)
     nn = docs.agg(F.count("*").alias("n"))
 
     ranks = attach_scalar(docs, nn, "n").select(
@@ -255,7 +268,7 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                     " + (85 * coalesce(s, 0)) DIV 100 AS BIGINT)"
                 ).alias("pr"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     return ranks
 

@@ -164,7 +164,9 @@ def q_hist_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
     vc = (
         li.groupBy(F.col("l_extendedprice").alias("val"))
         .agg(F.count("*").alias("cnt"))
-        .localCheckpoint(eager=True)
+        # lazy: the caller's single action materializes it once and all
+        # three branches read the persisted RDD — no separate eager job
+        .localCheckpoint(eager=False)
     )
     c = parallel_prefix_sum(vc, "val", "cnt", num_ranges=16)
     n_total = vc.agg(F.sum("cnt").alias("n_total"))

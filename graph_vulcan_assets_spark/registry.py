@@ -51,52 +51,180 @@ def load_all() -> None:
 # Exposure order for ``queries()`` / ``oracle_sql()``. The driver runs its
 # 50-entry correctness budget over queries in iteration order, so each round
 # rotates the highest-value checks to the front (round-2 verdict item #1:
-# budget rotation, not code). Round-12 order (VERDICT r11 #2), standing rule
+# budget rotation, not code). Round-13 order, standing rule
 # (module-changed-since-last-driver-row, evidence age):
 #
-#   positions 1-14  = the round-12 CHURN: every oracle-bearing query whose
-#                     Spark side was restructured by this OPTIMIZATION
-#                     round (results proven identical via check_subset +
-#                     full driver_sim before commit; oracles unchanged):
-#                     the packed/numpy vector family (q_kmeans_assign,
-#                     q_pq_codes, q_pq_adc_topk, q_dedup_semantic), the
-#                     windowed span-dedup pair (q_dedup_spans,
-#                     q_dedup_span_clean), and the scalar-subquery
-#                     attach conversions (q_text_tfidf, q_text_bm25,
-#                     q_graph_pagerank, q_hist_equidepth,
-#                     q_timeseries_gapfill, q_timeseries_interpolate,
-#                     q_mix_temperature, q_mix_materialize).
-#   positions 15-48 = the ENTIRE r8-era evidence remainder (34 keys —
-#                     includes the dozen VERDICT r11 flagged as 3 rounds
-#                     stale). After this round's driver run, no r8-era
-#                     latest rows remain.
-#   positions 49-50 = the 2 oldest r9-era keys.
-#   positions 51+   = r9 remainder, then r10 / r11 driver-green
-#                     inventory, oldest evidence first, freshest last —
-#                     loses nothing if the fixed-size budget cuts off.
+#   positions 1-5  = the round-13 CHURN: every oracle-bearing query whose
+#                    Spark side was restructured by this OPTIMIZATION
+#                    round (results proven identical via check_subset +
+#                    full driver_sim + hostile probe before commit;
+#                    oracles unchanged): the fused-update vector family
+#                    (q_kmeans_assign, q_pq_codes — map-only Lloyd
+#                    updates, lazy quantize checkpoint), the driver-LUT
+#                    ADC scorer (q_pq_adc_topk), the chunked-Gram
+#                    SemDeDup kernel (q_dedup_semantic), and the
+#                    restructured BPE train feeding q_bpe_pairs'
+#                    pair-count path.
+#   positions 6-50 = the oracle-bearing inventory, OLDEST driver
+#                    evidence first (CORRECTNESS_r01..r12): all 38
+#                    remaining r9-era keys, then the oldest r10-era
+#                    keys. After this round's driver run no r9-era
+#                    latest rows remain in the first 50.
+#   positions 51+  = r10/r11/r12 remainder oldest-first, then the
+#                    rows-only (no-oracle) keys — loses nothing if the
+#                    fixed-size budget cuts off.
 # The driver-evidence horizon this PRIORITY was computed from: the
 # rotation above ranks keys by their latest green row in
 # CORRECTNESS_r01..r{this}. Bump it together with every rotation — the
 # contract test judges the order against exactly this evidence set, so
 # a CORRECTNESS file the rotation could not have seen (written by the
 # driver after the rotation) does not red the staleness invariants.
-ROTATION_EVIDENCE_THROUGH: int = 11
+ROTATION_EVIDENCE_THROUGH: int = 12
 
 PRIORITY: tuple[str, ...] = (
     "q_kmeans_assign",
     "q_pq_codes",
     "q_pq_adc_topk",
     "q_dedup_semantic",
-    "q_dedup_spans",
+    "q_bpe_pairs",
+    "q_agg_any_active",
+    "q_agg_distinct",
+    "q_agg_groupby",
+    "q_agg_having",
+    "q_agg_rollup",
+    "q_cap_per_source",
+    "q_case_when",
+    "q_classifier_route",
+    "q_date_funcs",
+    "q_dup_detect",
+    "q_except_all",
+    "q_feature_hashing",
+    "q_intersect_all",
+    "q_join_anti",
+    "q_join_asof",
+    "q_join_part_supplier",
+    "q_join_salted",
+    "q_keyset_page",
+    "q_lang_confusion",
+    "q_lang_id",
+    "q_length_buckets",
+    "q_map_funcs",
+    "q_math_funcs",
+    "q_quality_classifier",
+    "q_quantile_filter",
+    "q_text_lang_dist",
+    "q_text_lm_score",
+    "q_text_quality",
+    "q_text_repetition",
+    "q_text_search",
+    "q_text_search_indexed",
+    "q_text_search_phrase",
+    "q_text_stats",
+    "q_token_count",
+    "q_topic_assign",
+    "q_vocab_topn",
+    "q_win_distribution",
+    "q_win_ratio_to_report",
+    "q_agg_listagg",
+    "q_agg_mode",
+    "q_agg_percentile",
+    "q_agg_pivot",
+    "q_cascade_expire",
+    "q_corpus_shuffle",
+    "q_dedup_embed",
+    "q_drift_psi",
+    "q_embed_centroid",
+    "q_embed_matryoshka",
+    "q_embed_quantize",
+    "q_except",
+    "q_explode_filter",
+    "q_filter_in_like",
+    "q_filter_notnull",
+    "q_filter_range",
+    "q_graph_ancestors",
+    "q_graph_subtree_size",
+    "q_intersect",
+    "q_join_broadcast",
+    "q_join_cross",
+    "q_join_full",
+    "q_join_inner",
+    "q_join_left",
+    "q_join_multiway",
+    "q_join_range",
+    "q_join_semi",
+    "q_json_extract",
+    "q_limit_offset",
+    "q_multimodal_framesample",
+    "q_regex_normalize",
+    "q_scan_pruned",
+    "q_semver_gate",
+    "q_sim_mrl_rerank",
+    "q_sim_topk",
+    "q_subquery_exists_corr",
+    "q_subquery_scalar",
+    "q_unpivot",
+    "q_agg_cube",
+    "q_agg_minmax",
+    "q_agg_salted",
+    "q_agg_stats",
+    "q_anomaly_zscore",
+    "q_array_funcs",
+    "q_chunk_documents",
+    "q_corpus_mix",
+    "q_decontaminate",
+    "q_dedup_exact",
+    "q_dedup_incremental",
+    "q_filter_eq",
+    "q_funnel",
+    "q_hist_equiwidth",
+    "q_join_asof_tolerance",
+    "q_join_interval",
+    "q_join_lateral",
+    "q_pack_sequences",
+    "q_pii_redact",
+    "q_recursive_cte",
+    "q_retention_cohorts",
+    "q_rollup_cascade",
+    "q_scan_events",
+    "q_scd2_build",
+    "q_session_window",
+    "q_sessionize",
+    "q_source_csv",
+    "q_source_jsonl",
+    "q_source_orc",
+    "q_split_key",
+    "q_str_funcs",
+    "q_stream_sessionize",
+    "q_text_fingerprint",
+    "q_text_normalize",
+    "q_time_sliding",
+    "q_time_tumbling",
+    "q_time_weighted_avg",
+    "q_tombstone_expire",
+    "q_union_all",
+    "q_union_distinct",
+    "q_upsert_merge",
+    "q_valid_at",
+    "q_win_first_seen",
+    "q_win_lag_lead",
+    "q_win_last_event",
+    "q_win_range_frame",
+    "q_win_running_sum",
+    "q_agg_filtered",
+    "q_agg_grouping_sets",
+    "q_cms_heavy_hitters",
+    "q_dedup_boilerplate",
+    "q_dedup_clusters",
+    "q_dedup_containment",
+    "q_dedup_ngram",
     "q_dedup_span_clean",
-    "q_text_tfidf",
-    "q_text_bm25",
+    "q_dedup_spans",
+    "q_dq_checks",
+    "q_entity_pairs",
     "q_graph_pagerank",
     "q_hist_equidepth",
-    "q_timeseries_gapfill",
-    "q_timeseries_interpolate",
-    "q_mix_temperature",
     "q_mix_materialize",
+    "q_mix_temperature",
     "q_profile_columns",
     "q_sample_stratified",
     "q_shape_q10",
@@ -120,143 +248,27 @@ PRIORITY: tuple[str, ...] = (
     "q_split_leakage_safe",
     "q_split_train_test",
     "q_subquery_not_in",
+    "q_text_bm25",
+    "q_text_tfidf",
+    "q_timeseries_gapfill",
+    "q_timeseries_interpolate",
     "q_topk",
     "q_udtf_sentences",
     "q_win_rank",
     "q_win_topk_group",
-    "q_agg_filtered",
-    "q_agg_grouping_sets",
-    "q_cms_heavy_hitters",
-    "q_dedup_boilerplate",
-    "q_dedup_clusters",
-    "q_dedup_containment",
-    "q_dedup_ngram",
-    "q_dq_checks",
-    "q_entity_pairs",
-    "q_except_all",
-    "q_intersect_all",
-    "q_join_part_supplier",
-    "q_join_salted",
-    "q_keyset_page",
-    "q_lang_confusion",
-    "q_lang_id",
-    "q_text_lang_dist",
-    "q_text_lm_score",
-    "q_text_quality",
-    "q_text_repetition",
-    "q_text_search_indexed",
-    "q_text_search_phrase",
-    "q_token_count",
-    "q_vocab_topn",
-    "q_win_distribution",
-    "q_win_ratio_to_report",
-    "q_length_buckets",
-    "q_quantile_filter",
-    "q_cap_per_source",
-    "q_quality_classifier",
-    "q_classifier_route",
-    "q_feature_hashing",
-    "q_topic_assign",
-    "q_case_when",
-    "q_date_funcs",
-    "q_map_funcs",
-    "q_math_funcs",
-    "q_text_search",
-    "q_text_stats",
-    "q_agg_any_active",
-    "q_agg_distinct",
-    "q_agg_groupby",
-    "q_agg_having",
-    "q_agg_rollup",
-    "q_dup_detect",
-    "q_join_anti",
-    "q_join_asof",
-    "q_json_extract",
-    "q_filter_notnull",
-    "q_join_broadcast",
-    "q_join_inner",
-    "q_join_left",
-    "q_join_multiway",
-    "q_join_range",
-    "q_join_semi",
-    "q_cascade_expire",
-    "q_agg_listagg",
-    "q_agg_mode",
-    "q_agg_percentile",
-    "q_agg_pivot",
-    "q_unpivot",
-    "q_join_cross",
-    "q_join_full",
-    "q_drift_psi",
-    "q_bpe_pairs",
-    "q_embed_centroid",
-    "q_graph_ancestors",
-    "q_graph_subtree_size",
-    "q_embed_quantize",
-    "q_dedup_embed",
-    "q_sim_topk",
-    "q_regex_normalize",
-    "q_corpus_shuffle",
-    "q_multimodal_framesample",
-    "q_embed_matryoshka",
-    "q_sim_mrl_rerank",
-    "q_subquery_exists_corr",
-    "q_subquery_scalar",
-    "q_except",
-    "q_explode_filter",
-    "q_filter_in_like",
-    "q_filter_range",
-    "q_intersect",
-    "q_limit_offset",
-    "q_scan_pruned",
-    "q_semver_gate",
-    "q_agg_stats",
-    "q_rollup_cascade",
-    "q_win_running_sum",
-    "q_win_range_frame",
-    "q_sessionize",
-    "q_session_window",
-    "q_time_tumbling",
-    "q_time_sliding",
-    "q_agg_cube",
-    "q_agg_salted",
-    "q_stream_sessionize",
-    "q_str_funcs",
-    "q_text_fingerprint",
-    "q_pii_redact",
-    "q_split_key",
-    "q_union_all",
-    "q_union_distinct",
-    "q_scan_events",
-    "q_filter_eq",
-    "q_valid_at",
-    "q_agg_minmax",
-    "q_win_last_event",
-    "q_win_first_seen",
-    "q_tombstone_expire",
-    "q_upsert_merge",
-    "q_join_asof_tolerance",
-    "q_join_interval",
-    "q_funnel",
-    "q_retention_cohorts",
-    "q_time_weighted_avg",
-    "q_anomaly_zscore",
-    "q_scd2_build",
-    "q_text_normalize",
-    "q_recursive_cte",
-    "q_dedup_exact",
-    "q_dedup_incremental",
-    "q_win_lag_lead",
-    "q_source_csv",
-    "q_source_jsonl",
-    "q_source_orc",
-    "q_array_funcs",
-    "q_chunk_documents",
-    "q_corpus_mix",
-    "q_decontaminate",
-    "q_hist_equiwidth",
-    "q_join_lateral",
-    "q_pack_sequences",
+    "q_agg_approx_distinct",
+    "q_agg_approx_percentile",
+    "q_hll_rollup",
+    "q_embed_project",
+    "q_dedup_near",
+    "q_dedup_simhash",
+    "q_sim_ivf",
+    "q_sim_lsh_bucketed",
+    "q_decontaminate_bloom",
+    "q_multimodal_features",
+    "q_sim_ivfpq",
+    "q_bpe_merges",
+    "q_bpe_encode",
 )
 
 

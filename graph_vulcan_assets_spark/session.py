@@ -42,6 +42,21 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # honor the advisory partition size instead of maximizing
+        # parallelism (round 13): with parallelismFirst (the default) AQE
+        # splits small shuffles into per-core slivers whose task overhead
+        # dominates at sub-GB shuffle sizes, and 24/38 bench entries ran
+        # FASTER on 8 cores than 32 (PERF r12). Bytes-proportional
+        # coalescing is the scale-adaptive behavior the tuning guide
+        # recommends; the advisory size is env-parameterized — 64m local
+        # default (measured: sub-second entries −6%, kernel-heavy vector
+        # entries −20–30% at sf0.1, 10× scale rehearsals green), 256m is
+        # the documented production setting for cluster-scale shuffles.
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        .config(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION", "64m"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -95,7 +95,15 @@ def attach_scalar(df: DataFrame, one_cell: DataFrame, name: str) -> DataFrame:
     one). The attached value must be bounded — a k·d centroid pack, an
     M·K codebook, a 1-row argmax — the same boundedness discipline as the
     BPE merge-list collect (it is held by the driver and inlined into the
-    physical plan)."""
+    physical plan).
+
+    ``DataFrame.scalar()`` is Spark 4.0+; on an older runtime fall back
+    to the pre-round-12 broadcast crossJoin form (ADVICE r12: the repo
+    declares no minimum pyspark version, so degrade instead of raising
+    AttributeError)."""
+    if not hasattr(one_cell, "scalar"):  # pragma: no cover - Spark < 4.0
+        col = one_cell.columns[0]
+        return df.crossJoin(F.broadcast(one_cell.select(F.col(col).alias(name))))
     return df.withColumn(name, one_cell.scalar())
 
 

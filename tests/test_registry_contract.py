@@ -3,11 +3,12 @@
 The driver checks the FIRST 50 queries in iteration order against their
 oracles — these tests pin the properties that make that budget count:
 every exposed query is callable, every first-50 entry carries an oracle,
-and the round-12 rotation (the 14-key churn head — every oracle-bearing
-query the optimization round restructured: the packed/numpy vector
-family, the windowed span dedup, the scalar-subquery attaches — then
-the ENTIRE 34-key r8-era evidence remainder and the 2 oldest r9-era
-keys) stays at the front until the next deliberate rotation.
+and the round-13 rotation (the 5-key churn head — every oracle-bearing
+query this optimization round restructured: fused Lloyd/PQ updates,
+driver-LUT ADC, chunked SemDeDup Gram, collect-driven BPE — then the
+oracle-bearing inventory oldest-evidence-first: all 38 remaining r9-era
+keys and the oldest r10-era keys) stays at the front until the next
+deliberate rotation.
 """
 
 from __future__ import annotations
@@ -65,29 +66,20 @@ def _last_green_round() -> dict[str, int]:
 
 
 # Keys whose implementing code changed AFTER their latest driver row.
-# Round-12 churn (the optimization round): every oracle-bearing query
-# whose Spark-side plan was restructured for performance — the
-# packed/numpy vector family (kmeans/PQ assignment as vectorized
-# mapInArrow kernels, SemDeDup pairs as a per-cluster applyInPandas
-# kernel), the span-dedup min/max-window rewrite, and the 1-row
-# broadcast-crossJoin → scalar-subquery attach conversions. Results were
-# proven identical against the unchanged oracles (check_subset + full
-# driver_sim) before commit; conservative churn ranking applies anyway.
+# Round-13 churn (optimization round 2): every oracle-bearing query whose
+# Spark-side plan was restructured for performance — the fused map-only
+# Lloyd/PQ updates + lazy quantize checkpoint (kmeans/PQ), the
+# driver-built literal-LUT ADC scorer, the chunked-Gram SemDeDup kernel,
+# and the collect-driven BPE train (q_bpe_pairs shares pair_counts).
+# Results were proven identical against the unchanged oracles
+# (check_subset + full driver_sim + probe_extreme) before commit;
+# conservative churn ranking applies anyway.
 _CHURN: set[str] = {
     "q_kmeans_assign",
     "q_pq_codes",
     "q_pq_adc_topk",
     "q_dedup_semantic",
-    "q_dedup_spans",
-    "q_dedup_span_clean",
-    "q_text_tfidf",
-    "q_text_bm25",
-    "q_graph_pagerank",
-    "q_hist_equidepth",
-    "q_timeseries_gapfill",
-    "q_timeseries_interpolate",
-    "q_mix_temperature",
-    "q_mix_materialize",
+    "q_bpe_pairs",
 }
 
 

@@ -76,6 +76,9 @@ def test_stream_matches_batch_replay(spark, tmp_path, msgs_fn):
     assert read_final_state(spark, stream) == state_from_replay(spark, msgs)
 
 
+@pytest.mark.slow  # randomized rehearsal, 1.5-2 min per seed: the two
+# heaviest entries of the default suite (r13 durations: 98 s + 70 s);
+# the deterministic golden/stream-matches-batch coverage stays default
 @pytest.mark.parametrize("seed", [5, 21])
 def test_any_batch_split_matches_interpreter(spark, tmp_path, seed):
     """Incremental application across arbitrary in-order batch boundaries
