@@ -262,13 +262,16 @@ def derive_guard_frames(ev: dict[str, DataFrame]) -> dict[str, DataFrame]:
     pair_activate = ev["pair_activate"]
     tombstone = ev["tombstones"]
 
-    # cached: consumed by both the guard joins and the final state joins —
-    # within the fused single-job materialization the cache turns repeated
-    # groupBy shuffles into one
+    # round 13: no longer cached — since the round-12 fused final-state
+    # reduction the guard join is this frame's ONLY consumer inside the
+    # replay, so the InMemoryRelation materialization was pure overhead
+    # (same for pair_created / successful_expire / edge_created below;
+    # the multi-consumer frames pair_timeline / guarded_expire /
+    # edge_activate keep their caches)
     asset_created = asset_refresh.groupBy("asset_type", "identifier").agg(
         F.min("seq").alias("created_seq"),
         F.min_by("ts", "seq").alias("first_seen"),
-    ).cache()
+    )
     team_created = team_events.groupBy("team_id").agg(
         F.min("seq").alias("team_created_seq")
     )
@@ -295,7 +298,7 @@ def derive_guard_frames(ev: dict[str, DataFrame]) -> dict[str, DataFrame]:
     pair_created = pair_activate.groupBy("asset_type", "identifier", "team_id").agg(
         F.min("seq").alias("pair_created_seq"),
         F.min_by("ts", "seq").alias("start_time"),
-    ).cache()
+    )
     pair_expire = (
         expire_attempts.alias("x")
         .join(
@@ -409,7 +412,7 @@ def replay_from_events(ev: dict[str, DataFrame]) -> dict[str, DataFrame]:
     # forced (seeded) expires reconstruct an asset's recorded state but must
     # NOT re-cascade to edges: the seeded edge rows already reflect every
     # cascade that happened before the snapshot
-    successful_expire = guarded_expire.unionByName(ev["forced_asset_expire"]).cache()
+    successful_expire = guarded_expire.unionByName(ev["forced_asset_expire"])
 
     # ---- assets final state: last touch wins (refresh resurrects —
     # UpdateAsset(..., now, Unexpired) main.go:152-156; successful expire
@@ -467,7 +470,7 @@ def replay_from_events(ev: dict[str, DataFrame]) -> dict[str, DataFrame]:
         "child_type", "child_identifier", "parent_type", "parent_identifier"
     ).agg(
         F.min("seq").alias("edge_created_seq"), F.min_by("ts", "seq").alias("first_seen")
-    ).cache()
+    )
 
     # endpoint expiry: a successful asset expire hits every edge where the
     # asset is child (Parents) or parent (Children) — main.go:331-361
